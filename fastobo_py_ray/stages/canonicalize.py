@@ -1,0 +1,200 @@
+"""S7 — distributed canonicalization: union-find as iterative shuffles.
+
+Equivalence classes are induced by ``alt_id`` + ``replaced_by`` + xrefs
+under ``treat-xrefs-as-equivalent`` (``/root/reference/src/py/header/
+clause.rs:1212-1286``); the class representative is the minimum canonical
+identifier under the reference ordering (``src/py/id.rs:308-335``), which
+plain string order on canonical id strings reproduces.
+
+Two implementations with identical results:
+
+* :func:`union_find` — exact driver-side union-find for small edge sets
+  (an ontology's identity edges are tiny relative to the corpus). Used to
+  seed the broadcast representative map and as the test oracle.
+* :func:`connected_components` — distributed min-label propagation over a
+  Ray ``Dataset`` of edges, for corpus-scale identity graphs (e.g. LSH
+  near-dup clusters over 10^12 documents). Each round is
+  ``union -> groupby(node).map_groups -> groupby(node).min`` — an
+  all-to-all hash shuffle keyed on the node id. Skew notes: per-batch
+  combiners pre-reduce (node, label) pairs to per-batch minima before each
+  shuffle, so a head entity with millions of edges contributes at most one
+  row per upstream block per round; converges in O(graph diameter) rounds
+  (identity clusters are shallow: alt_id/xref stars), with convergence
+  detected by a label checksum instead of a driver-side materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+from ..obo import ids as obo_ids
+
+
+# ---------------------------------------------------------------------------
+# exact driver-side union-find (small inputs; also the test oracle)
+# ---------------------------------------------------------------------------
+
+def union_find(edges: Iterable[Tuple[str, str]],
+               key=obo_ids.sort_key) -> Dict[str, str]:
+    """Edges -> {node: representative}; representative = min(key) of its
+    component. Non-trivial entries only (identity mappings omitted)."""
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by canonical order so the min id is always the root
+            lo, hi = (ra, rb) if key(ra) <= key(rb) else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent) if find(x) != x}
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+def _batch_min_label(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: keep the minimum label per node (skew defusal —
+    runs before each shuffle so hot nodes shrink to one row per block)."""
+    if df.empty:
+        return df
+    return df.groupby("node", as_index=False)["label"].min()
+
+
+def _lab_frame(nodes, labels, nbrs=None) -> pd.DataFrame:
+    return pd.DataFrame({
+        "node": pd.Series(nodes, dtype="object"),
+        "label": pd.Series(labels, dtype="object"),
+        "nbr": pd.Series(nbrs if nbrs is not None else [None] * len(nodes),
+                         dtype="object"),
+    })
+
+
+def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
+                         max_rounds: int = 25):
+    """Distributed connected components over a Dataset of string edges.
+
+    Returns a Dataset with columns (node, label) where ``label`` is the
+    component's minimum node id. Min-label propagation:
+
+        labels <- node -> node
+        repeat: every node sends its label to every neighbor;
+                labels <- min(received, own)
+        until the global label checksum stops changing.
+    """
+    import zlib
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch[col_a].to_pylist()
+        b = batch[col_b].to_pylist()
+        return pa.table({"node": a + b, "nbr": b + a})
+
+    adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    labels = adj.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]})
+        .groupby("node", as_index=False).min(),
+        batch_format="pandas")
+
+    def checksum(lab) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            s = sum(zlib.crc32(f"{n}\x00{l}".encode())
+                    for n, l in zip(df["node"], df["label"]))
+            return pd.DataFrame({"c": [s]})
+        parts = lab.map_batches(h, batch_format="pandas").to_pandas()
+        return int(parts["c"].sum())
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        own = group.loc[group["nbr"].isna(), "label"]
+        if own.empty:  # defensive: edge rows for a node with no label row
+            return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                 "label": pd.Series(dtype="object")})
+        m = own.min()
+        out_nodes = [group["node"].iloc[0]] + list(group["nbr"].dropna())
+        return pd.DataFrame({"node": pd.Series(out_nodes, dtype="object"),
+                             "label": pd.Series([m] * len(out_nodes),
+                                                dtype="object")})
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda df: _lab_frame(df["node"], df["label"]),
+            batch_format="pandas")
+        adj_rows = adj.map_batches(
+            lambda df: _lab_frame(df["node"], [None] * len(df), df["nbr"]),
+            batch_format="pandas")
+        msgs = lab_rows.union(adj_rows).groupby("node").map_groups(
+            propagate, batch_format="pandas")
+        labels = msgs.map_batches(_batch_min_label, batch_format="pandas") \
+                     .groupby("node").map_groups(
+                         lambda df: pd.DataFrame(
+                             {"node": [df["node"].iloc[0]],
+                              "label": [df["label"].min()]}),
+                         batch_format="pandas").materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def representatives_from_labels(labels_ds) -> Dict[str, str]:
+    """Collect a (small) labels Dataset into a {node: rep} dict, dropping
+    identity rows. Only for broadcast-sized outputs (ontology identity
+    graphs); corpus-scale outputs stay Datasets and are applied with a
+    distributed join instead."""
+    out = {}
+    for row in labels_ds.take_all():
+        if row["node"] != row["label"]:
+            out[row["node"]] = row["label"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# applying representatives
+# ---------------------------------------------------------------------------
+
+def apply_representatives_batch(batch: pa.Table, cols: List[str],
+                                rep: Dict[str, str]) -> pa.Table:
+    """Rewrite id columns through a broadcast representative map."""
+    for c in cols:
+        vals = batch[c].to_pylist()
+        new = [rep.get(v, v) for v in vals]
+        batch = batch.set_column(batch.column_names.index(c), c,
+                                 pa.array(new, type=pa.string()))
+    return batch
+
+
+def compact_ids_batch(batch: pa.Table, cols: List[str],
+                      idspaces: Optional[Dict[str, str]] = None) -> pa.Table:
+    """S3 vectorized canonicalizer: IDspace compaction over id columns
+    (``OboDoc.compact_ids`` semantics, ``src/py/doc.rs:241-248``)."""
+    for c in cols:
+        vals = batch[c].to_pylist()
+        new = [obo_ids.compact(v, idspaces) if v is not None else None
+               for v in vals]
+        batch = batch.set_column(batch.column_names.index(c), c,
+                                 pa.array(new, type=pa.string()))
+    return batch
+
+
+def decompact_ids_batch(batch: pa.Table, cols: List[str],
+                        idspaces: Optional[Dict[str, str]] = None) -> pa.Table:
+    """Inverse of :func:`compact_ids_batch` (``src/py/doc.rs:278-285``)."""
+    for c in cols:
+        vals = batch[c].to_pylist()
+        new = [obo_ids.decompact(v, idspaces) if v is not None else None
+               for v in vals]
+        batch = batch.set_column(batch.column_names.index(c), c,
+                                 pa.array(new, type=pa.string()))
+    return batch

@@ -1,0 +1,339 @@
+"""S4/S5/S6 — dictionary mention detection, entity linking, triple emission.
+
+The stateful heart of the KG pipeline. An :class:`OntologyIndex` is built
+once from a parsed :class:`~fastobo_py_ray.obo.model.Ontology`:
+
+* surface dictionary = term ``name:`` + all ``synonym:`` texts, scope-
+  weighted per the reference scope enum (``/root/reference/src/py/syn.rs:
+  68-82``); obsolete terms redirect through ``replaced_by``
+  (``src/py/term/clause.rs:1630``; obsolete.ipynb pattern); ``alt_id``
+  surfaces merge into their primary term (``src/py/term/clause.rs:410``);
+* a trie-compressed regex (shared-prefix alternation, longest-match-first)
+  compiled once per actor — C-speed scanning, leftmost-longest non-
+  overlapping semantics like an Aho-Corasick automaton;
+* per-term token profiles + IDF table for TF-IDF context-window linking,
+  deterministic tie-break by canonical ident order
+  (``src/py/id.rs:308-335``);
+* canonicalized ontology edges (representatives pre-applied) for page-local
+  triple emission.
+
+Ray Data mapping: ``pages.map_batches(PageAnnotator, concurrency=N,
+batch_size=B)`` — the index is built ONCE per actor in ``__init__`` from a
+``ray.put``-broadcast payload; ``__call__`` is per Arrow batch. Detection,
+linking and triple emission are page-local, so they are fused into one actor
+stage: zero shuffles until the wide dedup/sort steps.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+
+from ..obo import ids as obo_ids
+from ..obo.model import Ontology
+
+# scope -> detection weight (EXACT > NARROW/BROAD > RELATED; name outranks
+# synonyms). Mirrors the scope semantics of src/py/syn.rs:68-82.
+SCOPE_WEIGHTS = {
+    "NAME": 1.0, "EXACT": 0.9, "NARROW": 0.7, "BROAD": 0.7, "RELATED": 0.5,
+}
+
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _trie_pattern(surfaces: Sequence[str]) -> str:
+    """Build a trie-compressed regex matching any surface, preferring the
+    longest alternative at every branch (end-of-word option emitted last),
+    which gives leftmost-longest semantics under Python's re engine."""
+    trie: dict = {}
+    for s in surfaces:
+        node = trie
+        for ch in s:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # end marker
+
+    def emit(node: dict) -> str:
+        if not node:
+            return ""
+        keys = sorted(k for k in node if k != "")
+        alts = []
+        for k in keys:
+            alts.append(re.escape(k) + emit(node[k]))
+        has_end = "" in node
+        if not alts:
+            return ""
+        if len(alts) == 1 and not has_end:
+            return alts[0]
+        body = "|".join(alts)
+        if has_end:
+            return f"(?:{body})?" if alts else ""
+        return f"(?:{body})"
+
+    return emit(trie)
+
+
+@dataclass
+class OntologyIndex:
+    """Broadcastable, pickle-friendly index; regex compiled lazily per
+    process (actors compile once in ``__init__`` via :meth:`compile`)."""
+
+    # surface (lowercase) -> list of (term_id, scope) candidates
+    surfaces: Dict[str, List[Tuple[str, str]]]
+    # term_id -> profile tokens (name + def + synonyms, lowercased)
+    profiles: Dict[str, Tuple[str, ...]]
+    idf: Dict[str, float]
+    # canonicalized ontology edges grouped by subject: subj -> [(pred, obj)]
+    edges_by_subj: Dict[str, List[Tuple[str, str]]]
+    # raw term id -> canonical representative (union-find output)
+    representatives: Dict[str, str]
+    _pattern: Optional["re.Pattern[str]"] = field(default=None, repr=False,
+                                                  compare=False)
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_pattern"] = None
+        return d
+
+    def compile(self) -> "re.Pattern[str]":
+        if self._pattern is None:
+            pat = _trie_pattern(sorted(self.surfaces, key=len, reverse=True))
+            self._pattern = re.compile(r"\b(?:%s)\b" % pat, re.IGNORECASE)
+        return self._pattern
+
+    def canonical(self, term_id: str) -> str:
+        return self.representatives.get(term_id, term_id)
+
+
+def build_index(ontology: Ontology,
+                representatives: Optional[Dict[str, str]] = None,
+                compact: bool = True) -> OntologyIndex:
+    """Ontology -> OntologyIndex.
+
+    ``representatives`` is the union-find output over
+    :meth:`Ontology.equivalence_edges` (see
+    :mod:`fastobo_py_ray.stages.canonicalize`); pass ``None`` for an
+    identity mapping. ``compact=True`` first applies IDspace compaction to
+    every identifier (``OboDoc.compact_ids`` semantics,
+    ``/root/reference/src/py/doc.rs:241-248``).
+    """
+    spaces = ontology.header.idspaces
+
+    def cid(i: str) -> str:
+        return obo_ids.compact(i, spaces) if compact else i
+
+    reps = { cid(k): cid(v) for k, v in (representatives or {}).items() }
+
+    surfaces: Dict[str, List[Tuple[str, str]]] = {}
+    profiles: Dict[str, Tuple[str, ...]] = {}
+    for f in ontology.terms():
+        tid = cid(f.id)
+        obs = f.first("is_obsolete")
+        target = tid
+        if obs and str(obs["value"]).lower() == "true":
+            rb = f.values("replaced_by")
+            if not rb:
+                continue  # obsolete without replacement: QA finding, no dict
+            target = cid(rb[0]["value"])
+        entries: List[Tuple[str, str]] = []
+        if f.name:
+            entries.append((f.name, "NAME"))
+        for syn in f.values("synonym"):
+            if syn.get("text"):
+                entries.append((syn["text"], syn.get("scope", "RELATED")))
+        for surface, scope in entries:
+            surfaces.setdefault(surface.lower(), []).append((target, scope))
+        # linking profile (only for non-redirected terms)
+        if target == tid:
+            toks: List[str] = []
+            if f.name:
+                toks += _TOKEN_RE.findall(f.name.lower())
+            d = f.first("def")
+            if d and d.get("text"):
+                toks += _TOKEN_RE.findall(d["text"].lower())
+            for syn in f.values("synonym"):
+                if syn.get("text"):
+                    toks += _TOKEN_RE.findall(syn["text"].lower())
+            profiles[tid] = tuple(sorted(set(toks)))
+
+    # deterministic candidate order + dedup
+    for k in surfaces:
+        surfaces[k] = sorted(set(surfaces[k]),
+                             key=lambda ts: (obo_ids.sort_key(ts[0]), ts[1]))
+
+    n = max(1, len(profiles))
+    df: Dict[str, int] = {}
+    for toks in profiles.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(1.0 + n / c) for t, c in df.items()}
+
+    rep = lambda i: reps.get(i, i)
+    edges_by_subj: Dict[str, List[Tuple[str, str]]] = {}
+    for row in ontology.edges_table().to_pylist():
+        s, p, o = rep(cid(row["subj"])), row["pred"], rep(cid(row["obj"]))
+        if p in ("equivalent_to", "disjoint_from"):
+            continue  # identity handled by union-find; disjointness is QA
+        if s == o:
+            continue
+        if (p, o) not in edges_by_subj.setdefault(s, []):
+            edges_by_subj[s].append((p, o))
+
+    return OntologyIndex(surfaces=surfaces, profiles=profiles, idf=idf,
+                         edges_by_subj=edges_by_subj, representatives=reps)
+
+
+# ---------------------------------------------------------------------------
+# detection + linking (pure functions; used by the actor and by tests)
+# ---------------------------------------------------------------------------
+
+def detect(index: OntologyIndex, text: str
+           ) -> List[Tuple[int, int, str, List[Tuple[str, str]]]]:
+    """Leftmost-longest non-overlapping dictionary scan.
+
+    Returns [(begin, end, surface, [(term_id, scope), ...])].
+    """
+    out = []
+    for m in index.compile().finditer(text):
+        key = m.group(0).lower()
+        cands = index.surfaces.get(key)
+        if cands:
+            out.append((m.start(), m.end(), m.group(0), cands))
+    return out
+
+
+def link(index: OntologyIndex, text: str, begin: int, end: int,
+         candidates: List[Tuple[str, str]], window: int = 60
+         ) -> Tuple[str, str, float]:
+    """Resolve an ambiguous mention -> (term_id, scope, score).
+
+    Score = scope weight + IDF-weighted overlap between the +-``window``
+    char context and the term's profile tokens; ties break on canonical
+    ident order (``src/py/id.rs:308-335``), making linking deterministic.
+    """
+    if len(candidates) == 1:
+        tid, scope = candidates[0]
+        return tid, scope, SCOPE_WEIGHTS.get(scope, 0.5)
+    ctx = set(_TOKEN_RE.findall(
+        text[max(0, begin - window):min(len(text), end + window)].lower()))
+    surface_toks = set(_TOKEN_RE.findall(text[begin:end].lower()))
+    ctx -= surface_toks
+    best = None
+    for tid, scope in candidates:
+        overlap = ctx.intersection(index.profiles.get(tid, ()))
+        sim = sum(index.idf.get(t, 0.0) for t in overlap)
+        score = sim + SCOPE_WEIGHTS.get(scope, 0.5)
+        key = (-score, obo_ids.sort_key(tid))
+        if best is None or key < best[0]:
+            best = (key, tid, scope, score)
+    return best[1], best[2], best[3]
+
+
+def annotate_page(index: OntologyIndex, url: str, text: str,
+                  canonicalize: bool = True):
+    """One page -> (mentions, triples).
+
+    mentions: (url, term_id, canonical_id, surface, begin, end, scope, score)
+    triples:  (subj, pred, obj, url, confidence, provenance dict)
+
+    Triple emission: the set of canonical term ids seen on the page is
+    matched against the canonicalized ontology edges (is_a
+    ``src/py/term/clause.rs:1067``, relationship ``:1479``, TreatXrefsAs
+    macro edges ``src/py/header/clause.rs:1212-1716``); a triple is emitted
+    when both endpoints are mentioned on the page.
+    """
+    mentions = []
+    seen: Dict[str, Tuple[str, int, int, float]] = {}  # canonical -> best ev
+    for begin, end, surface, cands in detect(index, text):
+        tid, scope, score = link(index, text, begin, end, cands)
+        can = index.canonical(tid) if canonicalize else tid
+        mentions.append((url, tid, can, surface, begin, end, scope, score))
+        prev = seen.get(can)
+        if prev is None or score > prev[3]:
+            seen[can] = (surface, begin, end, score)
+    triples = []
+    for s in seen:
+        for pred, obj in index.edges_by_subj.get(s, ()):
+            if obj in seen:
+                ssurf, sb, se, ssc = seen[s]
+                osurf, ob, oe, osc = seen[obj]
+                triples.append((s, pred, obj, url,
+                                round(min(ssc, osc), 6),
+                                {"begin": sb, "end": se,
+                                 "surface_subj": ssurf, "surface_obj": osurf}))
+    return mentions, triples
+
+
+# ---------------------------------------------------------------------------
+# the actor-pool stage
+# ---------------------------------------------------------------------------
+
+MENTIONS_SCHEMA = pa.schema([
+    ("url", pa.string()), ("term_id", pa.string()),
+    ("canonical_id", pa.string()), ("surface", pa.string()),
+    ("begin", pa.int32()), ("end", pa.int32()),
+    ("scope", pa.string()), ("score", pa.float32()),
+])
+
+TRIPLES_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("url", pa.string()), ("confidence", pa.float32()),
+    ("provenance", pa.struct([
+        ("begin", pa.int32()), ("end", pa.int32()),
+        ("surface_subj", pa.string()), ("surface_obj", pa.string())])),
+])
+
+
+class PageAnnotator:
+    """Actor-pool stage: pages batch -> mentions or triples batch.
+
+    Usage::
+
+        payload = ray.put(build_index(ontology, reps))
+        ds.map_batches(PageAnnotator, batch_format="pyarrow",
+                       fn_constructor_kwargs={"index_ref": payload,
+                                              "emit": "triples"},
+                       concurrency=8, batch_size=256)
+
+    ``__init__`` runs once per actor: fetches the broadcast index and
+    compiles the automaton. ``__call__`` runs per batch.
+    """
+
+    def __init__(self, index_ref, emit: str = "triples",
+                 url_col: str = "url", text_col: str = "text",
+                 canonicalize: bool = True):
+        import ray
+
+        index = index_ref
+        if isinstance(index, ray.ObjectRef):
+            index = ray.get(index)
+        if not isinstance(index, OntologyIndex):
+            raise TypeError(f"expected OntologyIndex, got {type(index)!r}")
+        self.index = index
+        self.index.compile()
+        self.emit = emit
+        self.url_col = url_col
+        self.text_col = text_col
+        self.canonicalize = canonicalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self.url_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        ments, trips = [], []
+        for url, text in zip(urls, texts):
+            if not text:
+                continue
+            m, t = annotate_page(self.index, url, text,
+                                 canonicalize=self.canonicalize)
+            ments.extend(m)
+            trips.extend(t)
+        if self.emit == "mentions":
+            cols = list(zip(*ments)) if ments else [[] for _ in range(8)]
+            return pa.table(dict(zip(MENTIONS_SCHEMA.names, cols)),
+                            schema=MENTIONS_SCHEMA)
+        cols = list(zip(*trips)) if trips else [[] for _ in range(6)]
+        return pa.table(dict(zip(TRIPLES_SCHEMA.names, cols)),
+                        schema=TRIPLES_SCHEMA)

@@ -1,0 +1,107 @@
+"""End-to-end KG pipeline golden tests (the MS_FRAMES-style golden-count
+discipline of /root/reference/tests/test_fastobo.py:10-139 projected onto
+emitted triples, per SURVEY.md §5)."""
+
+import pandas as pd
+import pytest
+
+from fastobo_py_ray.pipelines.kg import (dedup_triples, prepare_index,
+                                         run_kg_pipeline)
+from fastobo_py_ray.stages.extract import extract_text
+from fastobo_py_ray.stages.mentions import annotate_page
+from fastobo_py_ray.testing.corpus import (GOLDEN_PAGES, MINI_OBO,
+                                           golden_pages_table, make_html)
+
+# hand-enumerated golden triples for the golden corpus (canonical ids;
+# representative = min canonical ident, /root/reference/src/py/id.rs:308-335)
+GOLDEN_TRIPLES = {
+    ("ALT:9000001", "is_a", "TST:0000002"): 2,        # p0, p3
+    ("TST:0000002", "part_of", "TST:0000003"): 1,     # p2
+    ("TST:0000005", "is_a", "TST:0000003"): 1,        # p4
+    ("TST:0000006", "is_a", "TST:0000002"): 1,        # p5
+    ("TST:0000004", "is_a", "TST:0000002"): 1,        # p5
+    ("TST:0000007", "is_a", "TST:0000002"): 1,        # p6
+    ("TST:0000011", "is_a", "TST:0000003"): 1,        # p8
+}
+
+
+def test_golden_mentions_pure():
+    """Per-page detection/linking semantics, no Ray."""
+    idx = prepare_index(MINI_OBO)
+    # xref-equivalent cluster: TST:0000001 ~ ALT:9000001, rep is min id
+    assert idx.representatives["TST:0000001"] == "ALT:9000001"
+    # alt_id cluster
+    assert idx.representatives["TST:0009002"] == "TST:0000002"
+    # obsolete redirect at dictionary level: "old alpha" -> TST:0000001
+    assert idx.surfaces["old alpha"] == [("TST:0000001", "NAME")]
+
+    text = extract_text(make_html("t", GOLDEN_PAGES[4][2]))  # p4: ambiguity
+    m, _ = annotate_page(idx, "p4", text)
+    delta = [x for x in m if x[3].lower() == "delta"]
+    assert delta and delta[0][1] == "TST:0000005"  # context "region" wins
+
+    text7 = extract_text(make_html("t", GOLDEN_PAGES[7][2]))  # p7: tie
+    m7, _ = annotate_page(idx, "p7", text7)
+    assert m7[0][1] == "TST:0000005"  # tie-break = min canonical id
+
+
+def test_kg_pipeline_golden_counts(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages = rd.from_arrow(golden_pages_table())
+    out = run_kg_pipeline(pages, MINI_OBO, concurrency=2, batch_size=4)
+    df = out.to_pandas().sort_values(["subj", "pred", "obj"])
+    got = {(r.subj, r.pred, r.obj): int(r.n_evidence)
+           for r in df.itertuples()}
+    assert got == GOLDEN_TRIPLES
+
+
+def test_kg_pipeline_invariance_across_partitioning(ray_session):
+    """Results identical across partition counts and batch sizes
+    (parallelism invariance, SURVEY.md §5)."""
+    import ray.data as rd
+
+    t = golden_pages_table()
+    a = run_kg_pipeline(rd.from_arrow(t).repartition(1), MINI_OBO,
+                        concurrency=1, batch_size=64).to_pandas()
+    b = run_kg_pipeline(rd.from_arrow(t).repartition(7), MINI_OBO,
+                        concurrency=3, batch_size=2).to_pandas()
+    a = a.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = b.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_text_extraction_invariant(ray_session):
+    """Per-row invariant (input_hint): extracted text byte-identical to the
+    stored text column for every url."""
+    t = golden_pages_table()
+    for html, text in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert extract_text(html) == text
+    # boilerplate is actually stripped
+    assert "Home" not in t["text"][0].as_py()
+    assert "Example Corp" not in t["text"][0].as_py()
+
+
+def test_distributed_union_find_matches_exact(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import (
+        connected_components, representatives_from_labels, union_find)
+
+    rng = random.Random(7)
+    nodes = [f"N:{i:04d}" for i in range(120)]
+    edges = []
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    # long chain: worst-case diameter for label propagation
+    chain = [f"C:{i:03d}" for i in range(12)]
+    edges += list(zip(chain, chain[1:]))
+
+    exact = union_find(edges)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges]).repartition(5)
+    labels = connected_components(ds)
+    dist = representatives_from_labels(labels)
+    assert dist == exact
