@@ -1,0 +1,110 @@
+"""Relational building blocks: broadcast joins and partitioned hash joins.
+
+The reference has no joins (single-document library); these are the engine
+operators the KG/testdata pipelines compose (SURVEY.md §2.2 coverage:
+joins, aggregations, sorts/top-k).
+
+Join strategy selection (ray_guide.md "Joins and lookups"):
+
+* small side (dimension table, representative map, vocab) ->
+  :func:`broadcast_join`: ``ray.put`` once, pandas merge per batch inside
+  ``map_batches`` — no shuffle, the small side is fetched once per worker.
+* both sides large -> :func:`hash_join`: explicit partitioned hash join —
+  add ``__bucket = hash(key) % B`` to both sides, tag, union, group by
+  bucket, merge within each bucket. Two shuffles total, no driver
+  materialization; bucket count B is the skew/parallelism knob (salt hot
+  keys into sub-buckets by raising B).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pd.DataFrame, on: Union[str, List[str]],
+                   how: str = "inner", small_ref=None):
+    """Join a Dataset against a broadcast pandas DataFrame.
+
+    Pass ``small_ref=ray.put(small)`` to share one copy across tasks (the
+    plain ``small`` argument is then ignored); otherwise the frame is
+    embedded in the task closure (fine for tiny tables).
+    """
+    import ray
+
+    ref = small_ref if small_ref is not None else ray.put(small)
+
+    class _Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(left, right, on: Union[str, List[str]],
+              num_buckets: int = 16, how: str = "inner",
+              suffixes=("_l", "_r")):
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Both sides are hash-bucketed on the key, unioned with a side tag, and
+    merged per bucket inside ``groupby(bucket).map_groups`` — the portable
+    large-large join (no reliance on a Dataset.join API). Deterministic:
+    bucket id is a stable string hash of the key columns.
+    """
+    import zlib
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            key_str = df[keys].astype(str).agg("\x00".join, axis=1)
+            df["__bucket"] = key_str.map(
+                lambda s: zlib.crc32(s.encode()) % num_buckets)
+            df["__side"] = side
+            return df
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+
+    # union requires identical schemas: carry each side's columns, fill the
+    # other side's with NA via an outer concat inside the group instead --
+    # so keep sides separable by packing non-key columns per-row is costly;
+    # instead we union on a superset of columns.
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def widen(all_cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = pd.NA
+            return df[all_cols + ["__bucket", "__side"]]
+        return fn
+
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    u = lt.map_batches(widen(all_cols), batch_format="pandas").union(
+        rt.map_batches(widen(all_cols), batch_format="pandas"))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"][[c for c in lcols]]
+        r = df[df["__side"] == "r"][[c for c in rcols]]
+        out = l.merge(r, on=keys, how=how, suffixes=suffixes)
+        return out.drop(columns=[c for c in ("__bucket", "__side")
+                                 if c in out.columns])
+
+    return u.groupby("__bucket").map_groups(merge_bucket,
+                                            batch_format="pandas")
+
+
+def lookup_map(ds_or_df, key: str, value: str) -> Dict:
+    """Small table -> python dict (driver-side; for broadcast lookups)."""
+    df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") and not \
+        isinstance(ds_or_df, pd.DataFrame) else ds_or_df
+    return dict(zip(df[key], df[value]))

@@ -1,0 +1,563 @@
+"""Driver-contract queries: each implemented operator/pipeline from
+SURVEY.md §2 as a callable over an ``sf_dir`` of testdata parquet tables,
+paired with an ANSI-SQL DuckDB oracle (see ``__ray_entry__.py``).
+
+Column names are kept identical between the Ray result and the oracle SQL
+(the driver's compare hashes values after sorting columns by name).
+Float aggregates are rounded on BOTH sides so distributed summation order
+cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.pages import documents_as_pages
+from ..stages.ann import brute_force_topk
+from ..stages.dedup import exact_dedup, minhash_dedup, simhash64
+from ..stages.mentions import PageAnnotator
+from ..stages.textstats import (DEFAULT_STOPWORDS, LangId, fingerprint_batch,
+                                token_stats_batch)
+from ..testing.corpus import (docs_canonical_edges, docs_canonical_word_map,
+                              docs_obo)
+from .kg import dedup_triples, prepare_index, run_kg_pipeline
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(DEFAULT_STOPWORDS))
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over the documents table (DOCS_OBO vocabulary ontology)
+# ---------------------------------------------------------------------------
+
+def _docs_annotated(sf_dir: str, emit: str):
+    import ray
+
+    index_ref = ray.put(prepare_index(docs_obo()))
+    pages = documents_as_pages(sf_dir)
+    return pages.map_batches(
+        PageAnnotator, batch_format="pyarrow",
+        fn_constructor_kwargs={"index_ref": index_ref, "emit": emit},
+        concurrency=(1, 4), batch_size=512)
+
+
+def kg_mentions(sf_dir: str) -> pd.DataFrame:
+    """Dictionary mention detection + linking + canonicalization over
+    documents; counts per (doc_id, canonical term_id)."""
+    ments = _docs_annotated(sf_dir, "mentions")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        df["doc_id"] = df["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+        g = df.groupby(["doc_id", "canonical_id"], as_index=False).size()
+        return g.rename(columns={"canonical_id": "term_id",
+                                 "size": "n_mentions"})
+
+    partial = ments.map_batches(count, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    out = partial.groupby(["doc_id", "term_id"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")).to_pandas()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out
+
+
+def kg_mentions_sql() -> str:
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    return f"""
+WITH dict(word, term_id) AS (VALUES {dict_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+SELECT t.doc_id, d.term_id, count(*) AS n_mentions
+FROM toks t JOIN dict d USING (word)
+GROUP BY t.doc_id, d.term_id
+"""
+
+
+def kg_triples(sf_dir: str) -> pd.DataFrame:
+    """Full KG pipeline: detect -> link -> canonicalize -> emit -> dedup."""
+    out = run_kg_pipeline(documents_as_pages(sf_dir), docs_obo(),
+                          langs=None, concurrency=(1, 4),
+                          batch_size=512).to_pandas()
+    out["n_evidence"] = out["n_evidence"].astype("int64")
+    return out[["subj", "pred", "obj", "n_evidence"]]
+
+
+def kg_triples_sql() -> str:
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    edge_rows = ", ".join(f"('{s}', '{p}', '{o}')"
+                          for s, p, o in docs_canonical_edges())
+    return f"""
+WITH dict(word, term_id) AS (VALUES {dict_rows}),
+edges(subj, pred, obj) AS (VALUES {edge_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+ments AS (SELECT DISTINCT t.doc_id, d.term_id
+          FROM toks t JOIN dict d USING (word))
+SELECT e.subj, e.pred, e.obj, count(*) AS n_evidence
+FROM edges e
+JOIN ments ms ON ms.term_id = e.subj
+JOIN ments mo ON mo.doc_id = ms.doc_id AND mo.term_id = e.obj
+GROUP BY e.subj, e.pred, e.obj
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational pipelines (aggregation / join / sort-topk)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with per-batch partial combine before the shuffle
+    (ray_guide 'Aggregation at scale')."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return g
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order")).to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        # 4-decimal rounding: the true sums live on a 1e-4 grid (2-decimal
+        # prices x 2-decimal discounts), so both engines snap to the same
+        # grid point; 2-decimal rounding would sit exactly on midpoints.
+        out[c] = out[c].round(4)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
+    """customer (broadcast semi-join) |> orders x lineitem (partitioned
+    hash join) |> grouped revenue |> top-10."""
+    import ray
+
+    from ..functions.relops import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    b_ref = ray.put(building)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(b_ref)
+        df = df[(df["o_custkey"].isin(keys)) &
+                (df["o_orderdate"] < pd.Timestamp("1997-01-01"))]
+        return df[["o_orderkey", "o_orderdate"]]
+
+    orders_f = orders.map_batches(semi, batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    li = li.map_batches(
+        lambda df: df[df["l_shipdate"] > pd.Timestamp("1997-01-01")]
+        .assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        [["l_orderkey", "revenue"]].rename(
+            columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = hash_join(li, orders_f, on="o_orderkey", num_buckets=16)
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(
+        lambda df: df.groupby(["o_orderkey", "o_orderdate"],
+                              as_index=False).agg(
+                                  revenue=("revenue", "sum")),
+        batch_format="pandas") \
+        .groupby(["o_orderkey", "o_orderdate"]).aggregate(
+            Sum("revenue", alias_name="revenue"))
+    top = agg.sort(["revenue", "o_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    top["revenue"] = top["revenue"].round(4)
+    return top[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multi-way star join: all dimension sides broadcast, single pass over
+    lineitem, partial-combine then final groupby."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    supplier = _read(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).to_pandas()
+
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup_nation = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
+    cust_nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    refs = ray.put((nkey_to_name, sup_nation, cust_nation, order_cust))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    class Star:
+        def __init__(self):
+            (self.nname, self.snat, self.cnat, self.ocust) = ray.get(refs)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            snat = df["l_suppkey"].map(self.snat)
+            cnat = df["l_orderkey"].map(self.ocust).map(self.cnat)
+            keep = (snat == cnat) & snat.map(self.nname).notna()
+            d = df[keep]
+            if d.empty:
+                return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                     "revenue": pd.Series(dtype="float64")})
+            rev = d["l_extendedprice"] * (1 - d["l_discount"])
+            g = pd.DataFrame({"n_name": snat[keep].map(self.nname),
+                              "revenue": rev}).groupby(
+                                  "n_name", as_index=False).sum()
+            return g
+
+    out = li.map_batches(Star, batch_format="pandas",
+                         concurrency=(1, 8)) \
+        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")) \
+        .to_pandas()
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate + sessionization
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor("h"))
+        return df.groupby(["event_type", "window_start"],
+                          as_index=False).agg(n_events=("value", "size"),
+                                              sum_value=("value", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """30-minute-gap sessionization per user: partition by user (hash
+    shuffle), in-partition sort by ts (ray_guide 'Streaming-shaped
+    workloads' pattern)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    out = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out
+
+
+Q_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, sum(is_new)::BIGINT AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda df: token_stats_batch(df)[["doc_id", "n_tokens",
+                                          "n_stopwords"]],
+        batch_format="pandas").to_pandas()
+    for c in ("n_tokens", "n_stopwords"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+Q_DOC_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+                       x -> lower(x) IN ({_STOP_SQL})))::BIGINT AS n_stopwords
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    from ..stages.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: quality_score_batch(df)[["doc_id", "quality_score"]],
+        batch_format="pandas").to_pandas()
+
+
+Q_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         x -> lower(x) IN ({_STOP_SQL}))) AS n_stop,
+         length(text) AS n_char
+  FROM documents)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+           + 0.3 * (CASE WHEN n_stop * 1.0 / n_tok > 0.01 THEN 1 ELSE 0 END)
+           + 0.3 * (CASE WHEN n_char * 1.0 / n_tok BETWEEN 2.0 AND 15.0
+                         THEN 1 ELSE 0 END), 4) AS quality_score
+FROM s
+"""
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out
+
+
+Q_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    out = _read(sf_dir, "documents", columns=["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+Q_LANG_COUNTS_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(_pq(sf_dir, "embeddings"),
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, np.asarray(q), k=10, exclude_ids={0})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+Q_ANN_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT qe FROM q)), 6) AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds)
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash": pd.Series([simhash64(t) for t in df["text"]],
+                                 index=df.index, dtype="int64")})
+
+    return f_to_pandas(ds, f)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return f_to_pandas(
+        ds, lambda df: fingerprint_batch(df)[["doc_id", "fingerprint"]])
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=(1, 4)) \
+        .map_batches(lambda df: df[["doc_id", "lang_pred"]],
+                     batch_format="pandas").to_pandas()
+
+
+def f_to_pandas(ds, fn) -> pd.DataFrame:
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
+    return {
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q_top_orders": q_top_orders,
+        "q_events_hourly": q_events_hourly,
+        "q_sessionize": q_sessionize,
+        "q_doc_stats": q_doc_stats,
+        "q_quality": q_quality,
+        "q_exact_dedup": q_exact_dedup,
+        "q_lang_counts": q_lang_counts,
+        "q_ann_topk": q_ann_topk,
+        "q_minhash_clusters": q_minhash_clusters,
+        "q_simhash": q_simhash,
+        "q_fingerprint": q_fingerprint,
+        "q_langid": q_langid,
+    }
+
+
+def oracles() -> Dict[str, str]:
+    return {
+        "kg_mentions": kg_mentions_sql(),
+        "kg_triples": kg_triples_sql(),
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_revenue": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "q_top_orders": Q_TOP_ORDERS_SQL,
+        "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+        "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_doc_stats": Q_DOC_STATS_SQL,
+        "q_quality": Q_QUALITY_SQL,
+        "q_exact_dedup": Q_EXACT_DEDUP_SQL,
+        "q_lang_counts": Q_LANG_COUNTS_SQL,
+        "q_ann_topk": Q_ANN_TOPK_SQL,
+        # q_minhash_clusters / q_simhash / q_fingerprint / q_langid are
+        # intentionally omitted: stateful hashing / heuristics with no
+        # faithful ANSI-SQL equivalent -> rows-only check.
+    }

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — the exact baseline: numpy block matmul per
+  Arrow batch against a broadcast query matrix (``ray.put`` once, fetched
+  once per task), per-batch partial top-k, driver-side final merge of the
+  tiny partials. One pass, no shuffle, scales linearly with the corpus.
+* :class:`LshBucketer` / :func:`lsh_topk` — the scale path: random
+  hyperplane signatures bucket vectors once; queries probe only matching
+  buckets (approximate; recall grows with ``num_probes``).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_ids: Optional[set] = None) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch partial top-k inside map_batches, then
+    a driver merge over (num_blocks * k) rows. Columns (vec_id, cos_sim)."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_ref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mask = ~df[id_col].isin(excl)
+        df = df[mask]
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        m = _normalize(_as_matrix(df[vec_col]))
+        sims = (m @ qm.T).ravel()
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[top],
+                             "cos_sim": np.round(sims[top], 6)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["cos_sim", id_col], ascending=[False, True], kind="mergesort")
+    return partials.head(k).reset_index(drop=True)
+
+
+class LshBucketer:
+    """Actor stage assigning random-hyperplane LSH bucket ids; the
+    hyperplanes are derived from a fixed seed so bucketing is deterministic
+    and shared across query time without shipping state."""
+
+    def __init__(self, dim: int, num_planes: int = 8, seed: int = 42,
+                 vec_col: str = "embedding", out_col: str = "bucket"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(num_planes, dim))
+        self.vec_col, self.out_col = vec_col, out_col
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits.astype(np.uint64) <<
+                np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[self.out_col] = self.signature(
+            _normalize(_as_matrix(df[self.vec_col]))).astype("int64")
+        return df
+
+
+def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
+             num_planes: int = 8, num_probes: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> pd.DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket is within the
+    ``num_probes`` nearest probe signatures of the query (multi-probe =
+    flipping the lowest-margin hyperplane bits)."""
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    if dim is None:
+        dim = q.shape[1]
+    bucketer = LshBucketer(dim, num_planes, seed, vec_col)
+    qn = _normalize(q)
+    margins = (qn @ bucketer.planes.T).ravel()
+    base_bits = margins > 0
+    order = np.argsort(np.abs(margins))  # flip least-confident planes first
+    probe_sigs = set()
+    for p in range(num_probes):
+        bits = base_bits.copy()
+        if p > 0:
+            for bit in order[:_count_bits(p)]:
+                bits[bit] = not bits[bit]
+        probe_sigs.add(int((bits.astype(np.uint64) <<
+                            np.arange(len(bits), dtype=np.uint64)).sum()))
+
+    bucketed = ds.map_batches(bucketer, batch_format="pandas",
+                              concurrency=(1, 8))
+    candidates = bucketed.map_batches(
+        lambda df: df[df["bucket"].isin(probe_sigs)], batch_format="pandas")
+    return brute_force_topk(candidates, query, k, id_col, vec_col)
+
+
+def _count_bits(p: int) -> int:
+    return max(1, p.bit_length() - 1) if p else 0

