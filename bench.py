@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "kg_e2e_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "triples_per_sec": ...}
+
+Headline = full KG-construction pipeline over a deterministic HTML page
+corpus (read parquet -> extract_text -> mention/link/triple map -> dedup
+shuffle -> sorted partitioned parquet write), the north-star workload.
+Before timing, a small warm-up run of the same pipeline spins up Ray's
+worker processes and per-worker ontology indexes (on a long-lived cluster
+that cost is paid once per deployment, not per job).
+
+``--scaling`` runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs and
+the scaling efficiency (sandbox proxy for the N vs 4N node cluster gate).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_PAGES (default 2.4M = 600k slab x 4 tiles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "2400000"))
+BENCH_MAX_PARAS = 24  # ~3-6KB html/page, closer to Common-Crawl weight
+BASE_SLAB = 600_000
+CORPUS_ROOT = "/tmp/fastobo_bench_corpus"
+
+
+def ensure_corpus(n_pages: int) -> str:
+    """Deterministic page corpus, generated once and cached on disk."""
+    out = os.path.join(CORPUS_ROOT, f"pages-{n_pages}x{BENCH_MAX_PARAS}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    from fastobo_py_ray.testing.corpus import write_pages_corpus
+
+    base = min(n_pages, BASE_SLAB)
+    n_tiles = max(1, n_pages // base)
+    write_pages_corpus(out, n_rows=base, n_files=32, include_golden=False,
+                       max_paras=BENCH_MAX_PARAS, n_tiles=n_tiles)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines import queries as Q
+    from fastobo_py_ray.pipelines.kg import run_kg_pipeline
+    from fastobo_py_ray.testing.corpus import MINI_OBO
+
+    corpus = ensure_corpus(N_PAGES)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+
+    # Warm-up: same pipeline over a slice wide enough to touch EVERY
+    # worker process (imports, per-worker ontology index compile), plus a
+    # cheap full scan to warm the OS page cache.  Cold-start is a
+    # per-deployment cost, not part of steady-state throughput.
+    run_kg_pipeline(rd.read_parquet(files[:8]), MINI_OBO, out_dir=None,
+                    batch_size=1024, langs=("en",)).count()
+    rd.read_parquet(corpus).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow").count()
+
+    out_dir = f"/tmp/fastobo_bench_out/{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(corpus)
+    run_kg_pipeline(pages, MINI_OBO, out_dir=out_dir,
+                    batch_size=1024, langs=("en",))
+    headline = time.perf_counter() - t0
+    n_triples = int(sum(r["n_evidence"] for r in
+                        rd.read_parquet(out_dir).take_all()))
+
+    timings = {}
+    skip_queries = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
+
+    def timed(name, fn):
+        if skip_queries:
+            return
+        t = time.perf_counter()
+        fn(SF_DIR)
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed("kg_triples_docs", Q.kg_triples)
+    timed("q1_pricing_summary", Q.q1_pricing_summary)
+    timed("q3_top_revenue", Q.q3_top_revenue)
+    timed("q5_region_revenue", Q.q5_region_revenue)
+    timed("q_events_hourly", Q.q_events_hourly)
+    timed("q_sessionize", Q.q_sessionize)
+    timed("q_exact_dedup", Q.q_exact_dedup)
+    timed("q_ann_topk", Q.q_ann_topk)
+    timed("q_minhash_clusters", Q.q_minhash_clusters)
+
+    result = {
+        "metric": "kg_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_pages": N_PAGES,
+        "n_triples": n_triples,
+        "pages_per_sec": round(N_PAGES / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_corpus(N_PAGES)  # build cache outside both timed runs
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "bench_pages": N_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

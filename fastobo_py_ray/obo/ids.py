@@ -21,6 +21,7 @@ Identifiers are stored engine-wide as canonical strings (the reference's
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Dict, Optional, Tuple
 
 # Default OBO Foundry PURL rule (OBO 1.4 §5.9): CURIE PREFIX:LOCAL <->
@@ -150,10 +151,15 @@ def _needs_escape(local: str) -> bool:
     return any(c in ' :,"\\()[]{}\n\t' for c in local)
 
 
+@lru_cache(maxsize=65536)
 def sort_key(s: str) -> str:
     """Ordering key reproducing PrefixedIdent ordering
     (``src/py/id.rs:308-335``): lexicographic on (prefix, local) == plain
-    string order of the canonical form (':' < all ident chars)."""
+    string order of the canonical form (':' < all ident chars).
+
+    Cached: the hot caller is the entity-linking tie-break, which keys on
+    the bounded set of ontology term ids millions of times per block.
+    """
     return canonical(s)
 
 

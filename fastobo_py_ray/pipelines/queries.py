@@ -37,6 +37,9 @@ def _pq(sf_dir: str, table: str) -> str:
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    from ..context import tune_data_context
+
+    tune_data_context()
     return rd.read_parquet(_pq(sf_dir, table), columns=columns)
 
 
@@ -47,12 +50,14 @@ def _read(sf_dir: str, table: str, columns=None):
 def _docs_annotated(sf_dir: str, emit: str):
     import ray
 
+    from ..context import tune_data_context
+    from ..stages.mentions import make_page_annotator
+
+    tune_data_context()
     index_ref = ray.put(prepare_index(docs_obo()))
     pages = documents_as_pages(sf_dir)
-    return pages.map_batches(
-        PageAnnotator, batch_format="pyarrow",
-        fn_constructor_kwargs={"index_ref": index_ref, "emit": emit},
-        concurrency=(1, 4), batch_size=512)
+    return pages.map_batches(make_page_annotator(index_ref, emit=emit),
+                             batch_format="pyarrow", batch_size=512)
 
 
 def kg_mentions(sf_dir: str) -> pd.DataFrame:
@@ -91,8 +96,7 @@ GROUP BY t.doc_id, d.term_id
 def kg_triples(sf_dir: str) -> pd.DataFrame:
     """Full KG pipeline: detect -> link -> canonicalize -> emit -> dedup."""
     out = run_kg_pipeline(documents_as_pages(sf_dir), docs_obo(),
-                          langs=None, concurrency=(1, 4),
-                          batch_size=512).to_pandas()
+                          langs=None, batch_size=512).to_pandas()
     out["n_evidence"] = out["n_evidence"].astype("int64")
     return out[["subj", "pred", "obj", "n_evidence"]]
 

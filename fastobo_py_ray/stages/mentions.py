@@ -233,7 +233,7 @@ def link(index: OntologyIndex, text: str, begin: int, end: int,
 
 
 def annotate_page(index: OntologyIndex, url: str, text: str,
-                  canonicalize: bool = True):
+                  canonicalize: bool = True, want_mentions: bool = True):
     """One page -> (mentions, triples).
 
     mentions: (url, term_id, canonical_id, surface, begin, end, scope, score)
@@ -244,13 +244,19 @@ def annotate_page(index: OntologyIndex, url: str, text: str,
     ``src/py/term/clause.rs:1067``, relationship ``:1479``, TreatXrefsAs
     macro edges ``src/py/header/clause.rs:1212-1716``); a triple is emitted
     when both endpoints are mentioned on the page.
+
+    ``want_mentions=False`` skips materializing the mention tuples (the
+    triples-only pipeline drops them; at millions of mentions per block the
+    allocations are pure memory-bandwidth waste).
     """
     mentions = []
     seen: Dict[str, Tuple[str, int, int, float]] = {}  # canonical -> best ev
     for begin, end, surface, cands in detect(index, text):
         tid, scope, score = link(index, text, begin, end, cands)
         can = index.canonical(tid) if canonicalize else tid
-        mentions.append((url, tid, can, surface, begin, end, scope, score))
+        if want_mentions:
+            mentions.append((url, tid, can, surface, begin, end, scope,
+                             score))
         prev = seen.get(can)
         if prev is None or score > prev[3]:
             seen[can] = (surface, begin, end, score)
@@ -268,8 +274,86 @@ def annotate_page(index: OntologyIndex, url: str, text: str,
 
 
 # ---------------------------------------------------------------------------
-# the actor-pool stage
+# the annotator stage — stateless cached-task path (default) + actor pool
 # ---------------------------------------------------------------------------
+
+# Per-worker-process cache: Ray Data reuses its (already warm) task workers
+# across batches, so a plain-function stage with this cache pays the index
+# fetch + automaton compile ONCE per worker process — the same amortization
+# an actor pool gives — without paying dedicated actor-process spin-up.
+# Measured on this workload (600k pages, single node): the cached-task path
+# scales 8->32 CPUs at ~0.75 efficiency while a (2,30) actor pool *lost*
+# throughput at 32 CPUs because 30 fresh actor processes cost more than the
+# work. On a long-lived multi-node cluster with heavier per-actor state the
+# actor pool amortizes better; both paths are provided.
+_WORKER_INDEX_CACHE: dict = {}
+
+
+def resolve_index(index_ref) -> OntologyIndex:
+    """ObjectRef-or-index -> compiled OntologyIndex, cached per process."""
+    import ray
+
+    if isinstance(index_ref, OntologyIndex):
+        index_ref.compile()
+        return index_ref
+    key = index_ref.hex()
+    idx = _WORKER_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = ray.get(index_ref)
+        idx.compile()
+        _WORKER_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _annotate_table(index: OntologyIndex, batch: pa.Table, emit: str,
+                    url_col: str, text_col: str,
+                    canonicalize: bool) -> pa.Table:
+    urls = batch[url_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    ments, trips = [], []
+    want_m = emit != "triples"
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        m, t = annotate_page(index, url, text, canonicalize=canonicalize,
+                             want_mentions=want_m)
+        if want_m:
+            ments.extend(m)
+        if emit != "mentions":
+            trips.extend(t)
+    if emit == "mentions":
+        cols = [list(c) for c in zip(*ments)] if ments \
+            else [[] for _ in range(8)]
+        return pa.table(dict(zip(MENTIONS_SCHEMA.names, cols)),
+                        schema=MENTIONS_SCHEMA)
+    cols = [list(c) for c in zip(*trips)] if trips else [[] for _ in range(6)]
+    return pa.table(dict(zip(TRIPLES_SCHEMA.names, cols)),
+                    schema=TRIPLES_SCHEMA)
+
+
+def make_page_annotator(index_ref, emit: str = "triples",
+                        url_col: str = "url", text_col: str = "text",
+                        langs=None, canonicalize: bool = True):
+    """Build the fused stateless batch fn: [lang filter] -> [extract_text
+    if html present] -> detect/link/emit. One operator boundary, zero-copy
+    Arrow in/out, index cached per worker process."""
+    import pyarrow.compute as pc
+
+    from .extract import extract_text_batch
+
+    langs_arr = pa.array(list(langs)) if langs else None
+
+    def annotate_batch(batch: pa.Table) -> pa.Table:
+        idx = resolve_index(index_ref)
+        if langs_arr is not None and "lang" in batch.column_names:
+            batch = batch.filter(pc.is_in(batch["lang"],
+                                          value_set=langs_arr))
+        if "html" in batch.column_names:
+            batch = extract_text_batch(batch, text_col=text_col)
+        return _annotate_table(idx, batch, emit, url_col, text_col,
+                               canonicalize)
+
+    return annotate_batch
 
 MENTIONS_SCHEMA = pa.schema([
     ("url", pa.string()), ("term_id", pa.string()),
@@ -320,20 +404,5 @@ class PageAnnotator:
         self.canonicalize = canonicalize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch[self.url_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        ments, trips = [], []
-        for url, text in zip(urls, texts):
-            if not text:
-                continue
-            m, t = annotate_page(self.index, url, text,
-                                 canonicalize=self.canonicalize)
-            ments.extend(m)
-            trips.extend(t)
-        if self.emit == "mentions":
-            cols = list(zip(*ments)) if ments else [[] for _ in range(8)]
-            return pa.table(dict(zip(MENTIONS_SCHEMA.names, cols)),
-                            schema=MENTIONS_SCHEMA)
-        cols = list(zip(*trips)) if trips else [[] for _ in range(6)]
-        return pa.table(dict(zip(TRIPLES_SCHEMA.names, cols)),
-                        schema=TRIPLES_SCHEMA)
+        return _annotate_table(self.index, batch, self.emit, self.url_col,
+                               self.text_col, self.canonicalize)

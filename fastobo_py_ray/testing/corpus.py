@@ -266,13 +266,16 @@ def pages_schema() -> pa.Schema:
     ])
 
 
-def synth_pages_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Bulk deterministic corpus: golden sentences + filler, cycled."""
+def synth_pages_table(n_rows: int, seed: int = 42,
+                      max_paras: int = 3) -> pa.Table:
+    """Bulk deterministic corpus: golden sentences + filler, cycled.
+    ``max_paras`` controls page weight (bench uses heavier pages to
+    approximate real Common-Crawl documents)."""
     rng = random.Random(seed)
     pool = [p for _, _, paras in GOLDEN_PAGES for p in paras] + _FILLER
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     for i in range(n_rows):
-        k = 1 + (i % 3)
+        k = 1 + (i % max_paras)
         paras = [pool[rng.randrange(len(pool))] for _ in range(k)]
         lang = "en" if i % 20 else ("de" if (i // 20) % 2 else "fr")
         html = make_html(f"t{i}", paras)
@@ -284,18 +287,40 @@ def synth_pages_table(n_rows: int, seed: int = 42) -> pa.Table:
     return pa.table(rows, schema=pages_schema())
 
 
+def tile_pages_table(base: pa.Table, tile: int) -> pa.Table:
+    """Vectorized corpus tiling: same html/text/lang (zero-copy column
+    reuse), distinct urls and shifted timestamps per tile.  Lets the bench
+    build a multi-million-page corpus from one Python-generated slab."""
+    import pyarrow.compute as pc
+
+    if tile == 0:
+        return base
+    urls = pc.binary_join_element_wise(
+        pa.scalar(f"https://tile{tile}."),
+        pc.utf8_slice_codeunits(base["url"], 8, 2**30), "")
+    ts = pc.add(base["warc_ts"],
+                pa.scalar(tile * 86_400_000_000, type=pa.duration("us")))
+    return pa.table({"url": urls, "warc_ts": ts, "html": base["html"],
+                     "text": base["text"], "lang": base["lang"]},
+                    schema=pages_schema())
+
+
 def write_pages_corpus(out_dir: str, n_rows: int = 500, n_files: int = 4,
-                       seed: int = 42, include_golden: bool = True) -> List[str]:
+                       seed: int = 42, include_golden: bool = True,
+                       max_paras: int = 3, n_tiles: int = 1) -> List[str]:
     """Write the corpus as >=n_files parquet files (partition-resume tests
-    need multiple input shards). Returns the file paths."""
+    need multiple input shards).  Total pages = n_rows * n_tiles; tiles > 0
+    are vectorized rewrites of the base slab.  Returns the file paths."""
     os.makedirs(out_dir, exist_ok=True)
     tables = []
     if include_golden:
         tables.append(golden_pages_table())
-    bulk = synth_pages_table(n_rows, seed=seed)
+    bulk = synth_pages_table(n_rows, seed=seed, max_paras=max_paras)
     per = max(1, n_rows // n_files)
-    for start in range(0, n_rows, per):
-        tables.append(bulk.slice(start, per))
+    for tile in range(n_tiles):
+        t = tile_pages_table(bulk, tile)
+        for start in range(0, n_rows, per):
+            tables.append(t.slice(start, per))
     paths = []
     for i, t in enumerate(tables):
         p = os.path.join(out_dir, f"pages-{i:04d}.parquet")

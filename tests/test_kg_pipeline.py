@@ -56,6 +56,21 @@ def test_kg_pipeline_golden_counts(ray_session, tmp_path):
     assert got == GOLDEN_TRIPLES
 
 
+def test_adjacency_written_sorted(ray_session, tmp_path):
+    """materialize_adjacency(presorted=True) relies on Ray Data's
+    groupby-aggregate emitting globally range-ordered output over the group
+    key; assert the written adjacency really is sorted by (subj,pred,obj)."""
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "adj")
+    pages = rd.from_arrow(golden_pages_table()).repartition(5)
+    run_kg_pipeline(pages, MINI_OBO, out_dir=out_dir, batch_size=4)
+    back = rd.read_parquet(out_dir).to_pandas()
+    keys = list(zip(back["subj"], back["pred"], back["obj"]))
+    assert keys == sorted(keys)
+    assert {(s, p, o): 0 for s, p, o in keys}.keys() == GOLDEN_TRIPLES.keys()
+
+
 def test_kg_pipeline_invariance_across_partitioning(ray_session):
     """Results identical across partition counts and batch sizes
     (parallelism invariance, SURVEY.md §5)."""
