@@ -251,9 +251,25 @@ def annotate_page(index: OntologyIndex, url: str, text: str,
     """
     mentions = []
     seen: Dict[str, Tuple[str, int, int, float]] = {}  # canonical -> best ev
-    for begin, end, surface, cands in detect(index, text):
-        tid, scope, score = link(index, text, begin, end, cands)
-        can = index.canonical(tid) if canonicalize else tid
+    # Fused detect+link loop (same semantics as detect()/link(), which stay
+    # the unit-testable reference implementations): the single-candidate
+    # fast path is inlined — at ~20 mentions/page x millions of pages the
+    # intermediate tuples and function calls are the hot allocation site.
+    surfaces = index.surfaces
+    reps = index.representatives
+    weights = SCOPE_WEIGHTS
+    for m in index.compile().finditer(text):
+        surface = m.group(0)
+        cands = surfaces.get(surface.lower())
+        if not cands:
+            continue
+        begin, end = m.start(), m.end()
+        if len(cands) == 1:
+            tid, scope = cands[0]
+            score = weights.get(scope, 0.5)
+        else:
+            tid, scope, score = link(index, text, begin, end, cands)
+        can = (reps.get(tid, tid) if canonicalize else tid)
         if want_mentions:
             mentions.append((url, tid, can, surface, begin, end, scope,
                              score))
