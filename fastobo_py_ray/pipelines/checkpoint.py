@@ -1,0 +1,211 @@
+"""S10 — checkpointed, resumable KG pipeline with per-partition lineage.
+
+North-rule requirement: "checkpoints per-partition with lineage manifests
+(input url ranges, triple counts, stage timings), and resumes mid-run by
+skipping completed partitions" (BASELINE.json north_star).
+
+Design (scale-first):
+
+* A **partition** is a deterministic group of input parquet files (the
+  unit of resume).  At 10^12-doc scale each partition is one Common-Crawl
+  segment / file range; here it's ``files_per_partition`` shards.
+* **Stage A (expensive, resumable)**: per partition, run the page-local
+  part of the pipeline (fused extract+annotate) plus the per-partition
+  triple pre-reduce, and write the partial counts to
+  ``out_root/parts/part-<key>/``.  The write is atomic (tmp dir +
+  ``os.replace``) and the lineage manifest is written last, so a crash
+  mid-partition leaves no manifest and the partition simply re-runs —
+  idempotent, no double-counted evidence.
+* **Stage B (cheap, global)**: read every partition's partials, final
+  ``groupby(subj,pred,obj).sum`` and range-sorted adjacency write.  Stage
+  B moves only pre-reduced rows (KB-to-MB per partition), so re-running
+  it on resume costs ~nothing; correctness never depends on how many
+  times it ran.
+
+Manifest row (one JSON file per partition under ``out_root/manifests/``):
+``{key, input_files, url_min, url_max, n_pages, n_triples_partial,
+wall_s, stage: "annotate+partial_dedup"}``.
+
+The reference has no checkpointing (single-process library); this is the
+engine projection of its error-taxonomy discipline
+(``/root/reference/src/error.rs:38-60``) onto partition-grained fault
+tolerance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+from .kg import annotate_pages, dedup_triples, materialize_adjacency, \
+    prepare_index
+
+MANIFEST_DIR = "manifests"
+PARTS_DIR = "parts"
+
+
+def partition_input_files(files: Sequence[str],
+                          files_per_partition: int = 4
+                          ) -> Dict[str, List[str]]:
+    """Deterministic partition key -> file list (sorted, contiguous)."""
+    files = sorted(files)
+    out = {}
+    for i in range(0, len(files), files_per_partition):
+        chunk = files[i:i + files_per_partition]
+        out[f"{i // files_per_partition:05d}"] = chunk
+    return out
+
+
+def completed_partitions(out_root: str) -> Dict[str, dict]:
+    """key -> manifest for every partition with a committed manifest."""
+    mdir = os.path.join(out_root, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                m = json.load(fh)
+            out[m["key"]] = m
+    return out
+
+
+def _run_partition(key: str, files: List[str], index_ref, out_root: str,
+                   batch_size: int, langs) -> dict:
+    """Stage A for one partition: annotate -> partial dedup -> atomic
+    write -> manifest.  Returns the manifest dict."""
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    part_final = os.path.join(out_root, PARTS_DIR, f"part-{key}")
+    part_tmp = part_final + ".tmp"
+    import shutil
+
+    shutil.rmtree(part_tmp, ignore_errors=True)
+    shutil.rmtree(part_final, ignore_errors=True)
+
+    pages = rd.read_parquet(files)
+    triples = annotate_pages(pages, index_ref, emit="triples",
+                             batch_size=batch_size,
+                             langs=list(langs) if langs else None)
+    # per-partition pre-reduce only — the global reduce is stage B
+    partial = dedup_triples(triples, num_partitions=1)
+    partial.write_parquet(part_tmp)
+    os.replace(part_tmp, part_final)
+
+    # lineage: url range + counts from the written partials / input meta
+    import pyarrow.dataset as pds
+
+    n_pages = pds.dataset(files).count_rows()
+    part_ds = pds.dataset(part_final)
+    n_triples = part_ds.count_rows()
+    url_range = _url_range(files)
+    manifest = {
+        "key": key,
+        "input_files": [os.path.basename(f) for f in files],
+        "url_min": url_range[0], "url_max": url_range[1],
+        "n_pages": int(n_pages),
+        "n_triples_partial": int(n_triples),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "stage": "annotate+partial_dedup",
+    }
+    mdir = os.path.join(out_root, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mtmp = os.path.join(mdir, f"{key}.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mtmp, os.path.join(mdir, f"{key}.json"))
+    return manifest
+
+
+def _url_range(files: List[str]):
+    """Min/max url per partition from parquet column statistics — lineage
+    without scanning data."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            if col.statistics is None:
+                continue
+            mn, mx = col.statistics.min, col.statistics.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    return lo, hi
+
+
+def run_kg_pipeline_resumable(corpus_files: Sequence[str], obo_text: str,
+                              out_root: str, files_per_partition: int = 4,
+                              batch_size: int = 1024,
+                              langs: Optional[Sequence[str]] = ("en",),
+                              max_partitions: Optional[int] = None,
+                              skip_finalize: bool = False) -> dict:
+    """Checkpointed end-to-end run.  Safe to re-invoke after a crash: Stage
+    A partitions with a committed manifest are skipped; Stage B always
+    re-runs (cheap, idempotent).
+
+    ``max_partitions`` stops after N newly-processed partitions (fault-
+    injection hook for tests); ``skip_finalize`` skips stage B.
+
+    Returns {"processed": [...keys...], "skipped": [...], "manifests":
+    {...}, "adjacency_dir": ...}.
+    """
+    import ray
+
+    from ..context import tune_data_context
+
+    tune_data_context()
+    parts = partition_input_files(corpus_files, files_per_partition)
+    done = completed_partitions(out_root)
+    index_ref = None
+    processed, skipped = [], []
+    for key, files in parts.items():
+        if key in done:
+            skipped.append(key)
+            continue
+        if max_partitions is not None and len(processed) >= max_partitions:
+            break
+        if index_ref is None:  # broadcast once, lazily
+            index_ref = ray.put(prepare_index(obo_text))
+        done[key] = _run_partition(key, files, index_ref, out_root,
+                                   batch_size, langs)
+        processed.append(key)
+    adjacency_dir = os.path.join(out_root, "adjacency")
+    finalized = False
+    if not skip_finalize and len(done) == len(parts):
+        finalize_adjacency(out_root, adjacency_dir)
+        finalized = True
+    return {"processed": processed, "skipped": skipped,
+            "manifests": done, "finalized": finalized,
+            "adjacency_dir": adjacency_dir}
+
+
+def finalize_adjacency(out_root: str, adjacency_dir: str):
+    """Stage B: global reduce over all partition partials -> sorted
+    partitioned adjacency parquet."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    parts_glob = os.path.join(out_root, PARTS_DIR)
+    part_files = []
+    for d in sorted(os.listdir(parts_glob)):
+        if d.startswith("part-") and not d.endswith(".tmp"):
+            full = os.path.join(parts_glob, d)
+            part_files += [os.path.join(full, f)
+                           for f in sorted(os.listdir(full))
+                           if f.endswith(".parquet")]
+    partials = rd.read_parquet(part_files)
+    final = partials.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("n_evidence", alias_name="n_evidence"),
+        Max("confidence", alias_name="confidence"))
+    tmp = adjacency_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(adjacency_dir, ignore_errors=True)
+    materialize_adjacency(final, tmp, presorted=True)
+    os.replace(tmp, adjacency_dir)

@@ -481,6 +481,96 @@ LIMIT 10
 """
 
 
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index shuffle,
+    no LSH approximation)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.8)
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# word-3-gram shingling in SQL: tokenize on ' ' (the documents table is
+# single-space separated), build positional trigrams, inverted-index join.
+Q_NGRAM_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM t),
+sh AS (SELECT DISTINCT doc_id,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pair
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
+"""
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup(ds, threshold=0.4)
+    for c in ("id_a", "id_b"):
+        out[c] = out[c].astype("int64")
+    out["cos_sim"] = out["cos_sim"].astype("float64")
+    return out
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= 0.4
+"""
+
+
+def kg_triples_ckpt(sf_dir: str) -> pd.DataFrame:
+    """Same result as :func:`kg_triples` but through the S10 checkpointed/
+    resumable pipeline (partition manifests + atomic partial writes +
+    global finalize), proving resume-path correctness against the same
+    DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .checkpoint import run_kg_pipeline_resumable
+
+    work = tempfile.mkdtemp(prefix="kg_ckpt_")
+    try:
+        corpus_dir = os.path.join(work, "pages")
+        documents_as_pages(sf_dir).repartition(4) \
+            .write_parquet(corpus_dir)
+        files = [os.path.join(corpus_dir, f)
+                 for f in sorted(os.listdir(corpus_dir))
+                 if f.endswith(".parquet")]
+        res = run_kg_pipeline_resumable(files, docs_obo(),
+                                        os.path.join(work, "ckpt"),
+                                        files_per_partition=1, langs=None,
+                                        batch_size=512)
+        out = rd.read_parquet(res["adjacency_dir"]).to_pandas()
+        out["n_evidence"] = out["n_evidence"].astype("int64")
+        return out[["subj", "pred", "obj", "n_evidence"]]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; driver records weaker check)
 # ---------------------------------------------------------------------------
@@ -516,6 +606,71 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
                      batch_format="pandas").to_pandas()
 
 
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate (LSH multi-probe) variant of q_ann_topk; rows-only
+    (recall vs brute force is asserted in tests/test_ann.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import lsh_topk
+
+    q = pq.read_table(_pq(sf_dir, "embeddings"),
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, np.asarray(q), k=10, num_probes=4)
+    out = out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing over driver data: document text bytes as opaque
+    media payloads -> actor-pool ImageFeatures (deterministic fake decode,
+    real byte-histogram/entropy features)."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import ImageFeatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "media_id": _pa.compute.cast(t["doc_id"], _pa.string()),
+            "kind": ["image"] * t.num_rows,
+            "mime": ["image/fake"] * t.num_rows,
+            "payload": _pa.array([s.encode() for s in
+                                  t["text"].to_pylist()], _pa.binary()),
+        })
+
+    out = ds.map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(ImageFeatures, batch_format="pyarrow",
+                     fn_constructor_kwargs={"decoder": "fake"},
+                     concurrency=(1, 4), batch_size=256).to_pandas()
+    out["byte_entropy"] = out["byte_entropy"].round(4)
+    return out[["media_id", "n_bytes", "byte_entropy"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def q_qa_ontology(sf_dir: str) -> pd.DataFrame:
+    """Ontology QA scans (reference obsolete.ipynb / descriptions.ipynb
+    patterns): obsolete-without-replacement and missing-definition terms
+    of the documents ontology."""
+    from ..obo import loads as obo_loads
+
+    onto = obo_loads(docs_obo()).ontology
+    rows = []
+    for f in onto.terms():
+        obs = f.first("is_obsolete")
+        is_obs = bool(obs and str(obs["value"]).lower() == "true")
+        has_repl = bool(f.values("replaced_by") or f.values("consider"))
+        d = f.first("def")
+        rows.append({
+            "term_id": f.id,
+            "obsolete_without_replacement": is_obs and not has_repl,
+            "missing_def": not (d and d.get("text")),
+        })
+    return pd.DataFrame(rows).sort_values("term_id").reset_index(drop=True)
+
+
 def f_to_pandas(ds, fn) -> pd.DataFrame:
     return ds.map_batches(fn, batch_format="pandas").to_pandas()
 
@@ -528,6 +683,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
+        "kg_triples_ckpt": kg_triples_ckpt,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -539,10 +695,15 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embedding_neardup": q_embedding_neardup,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_fingerprint": q_fingerprint,
         "q_langid": q_langid,
+        "q_media_features": q_media_features,
+        "q_qa_ontology": q_qa_ontology,
     }
 
 
@@ -550,6 +711,7 @@ def oracles() -> Dict[str, str]:
     return {
         "kg_mentions": kg_mentions_sql(),
         "kg_triples": kg_triples_sql(),
+        "kg_triples_ckpt": kg_triples_sql(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
@@ -561,7 +723,11 @@ def oracles() -> Dict[str, str]:
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
-        # q_minhash_clusters / q_simhash / q_fingerprint / q_langid are
-        # intentionally omitted: stateful hashing / heuristics with no
-        # faithful ANSI-SQL equivalent -> rows-only check.
+        "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+        # q_minhash_clusters / q_simhash / q_fingerprint / q_langid /
+        # q_ann_lsh (approximate) / q_media_features / q_qa_ontology are
+        # intentionally omitted: stateful hashing / heuristics /
+        # approximate or non-tabular ops with no faithful ANSI-SQL
+        # equivalent -> rows-only check.
     }

@@ -103,8 +103,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
         probe_sigs.add(int((bits.astype(np.uint64) <<
                             np.arange(len(bits), dtype=np.uint64)).sum()))
 
-    bucketed = ds.map_batches(bucketer, batch_format="pandas",
-                              concurrency=(1, 8))
+    bucketed = ds.map_batches(bucketer, batch_format="pandas")
     candidates = bucketed.map_batches(
         lambda df: df[df["bucket"].isin(probe_sigs)], batch_format="pandas")
     return brute_force_topk(candidates, query, k, id_col, vec_col)

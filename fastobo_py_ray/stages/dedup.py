@@ -211,6 +211,66 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          "cluster_rep": [r for _, r in rows]})
 
 
+def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, threshold: float = 0.8):
+    """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
+    inverted index (no LSH approximation):
+
+        explode distinct (shingle, doc) -> groupby(shingle) pair counts ->
+        groupby(doc_a, doc_b) sum = |A∩B| -> join |A|,|B| -> filter.
+
+    The only data shuffled is (shingle, doc_id) rows and fixed-width pair
+    partials.  Skew note: a shingle shared by m docs emits O(m^2) pairs —
+    at corpus scale cap or salt hot shingles (stop-gram filtering), or use
+    :func:`minhash_candidate_pairs` (probabilistic) instead; this exact
+    operator is the oracle-checkable baseline.
+    Returns pandas (doc_a, doc_b, jaccard >= threshold), ids ordered.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rid, rsh = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            for s in set(shingles(t, k)):
+                rid.append(i)
+                rsh.append(s)
+        return pd.DataFrame({"shingle": rsh, "doc": rid})
+
+    sh = ds.map_batches(explode, batch_format="pandas")
+
+    sizes = sh.map_batches(
+        lambda df: df.groupby("doc", as_index=False).size()
+        .rename(columns={"size": "n"}), batch_format="pandas") \
+        .groupby("doc").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_of = dict(zip(sizes["doc"], sizes["n"]))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=g["doc"].dtype),
+                                 "doc_b": pd.Series(dtype=g["doc"].dtype),
+                                 "inter": pd.Series(dtype="int64")})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b,
+                             "inter": np.ones(len(a), dtype="int64")})
+
+    inter = sh.groupby("shingle").map_groups(pairs, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).aggregate(
+            Sum("inter", alias_name="inter")).to_pandas()
+    if inter.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    na = inter["doc_a"].map(n_of)
+    nb = inter["doc_b"].map(n_of)
+    jac = (inter["inter"] / (na + nb - inter["inter"])).round(6)
+    out = inter.assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold]
+    return out[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
@@ -234,8 +294,13 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     if not mats:
         return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
     mat = np.vstack(mats)
-    sims = mat @ mat.T
+    # threshold on 6-decimal-rounded sims so float summation order can't
+    # flip membership at the boundary (oracle parity)
+    sims = np.round(mat @ mat.T, 6)
     ia, ib = np.where(np.triu(sims, k=1) >= threshold)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "id_a": [ids[i] for i in ia], "id_b": [ids[j] for j in ib],
-        "cos_sim": np.round(sims[ia, ib], 6)})
+        "cos_sim": sims[ia, ib]})
+    swap = out["id_a"] > out["id_b"]
+    out.loc[swap, ["id_a", "id_b"]] = out.loc[swap, ["id_b", "id_a"]].values
+    return out

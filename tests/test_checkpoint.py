@@ -1,0 +1,72 @@
+"""S10 checkpoint/lineage/resume tests (north-rule: resume mid-run by
+skipping completed partitions; no double-counted evidence)."""
+
+import json
+import os
+
+import pandas as pd
+
+from fastobo_py_ray.pipelines.checkpoint import (completed_partitions,
+                                                 partition_input_files,
+                                                 run_kg_pipeline_resumable)
+from fastobo_py_ray.pipelines.kg import run_kg_pipeline
+from fastobo_py_ray.testing.corpus import MINI_OBO, write_pages_corpus
+
+
+def _triples(df: pd.DataFrame) -> dict:
+    return {(r.subj, r.pred, r.obj): int(r.n_evidence)
+            for r in df.itertuples()}
+
+
+def test_resume_skips_completed_and_matches_direct(ray_session, tmp_path):
+    import ray.data as rd
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=400, n_files=8)
+    out_root = str(tmp_path / "ckpt")
+
+    # "crash" after 2 of 4 partitions (fault injection)
+    r1 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=3, langs=None,
+                                   max_partitions=2)
+    assert len(r1["processed"]) == 2 and not r1["finalized"]
+    done = completed_partitions(out_root)
+    assert set(done) == set(r1["processed"])
+    mtimes = {k: os.path.getmtime(
+        os.path.join(out_root, "manifests", f"{k}.json")) for k in done}
+
+    # resume: completes the rest, does NOT recompute finished partitions
+    r2 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=3, langs=None)
+    assert set(r2["skipped"]) == set(r1["processed"])
+    assert r2["finalized"]
+    for k, t in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(out_root, "manifests", f"{k}.json")) == t
+
+    # lineage manifests carry url ranges, counts and timings
+    n_parts = len(partition_input_files(files, 3))
+    assert len(r2["manifests"]) == n_parts
+    for m in r2["manifests"].values():
+        assert m["url_min"] and m["url_max"] and m["n_pages"] > 0
+        assert m["wall_s"] >= 0 and m["input_files"]
+
+    # final adjacency == the non-checkpointed pipeline, evidence counts
+    # included (idempotent resume, no double counting)
+    direct = run_kg_pipeline(rd.read_parquet(files), MINI_OBO,
+                             langs=None).to_pandas()
+    resumed = rd.read_parquet(r2["adjacency_dir"]).to_pandas()
+    assert _triples(resumed) == _triples(direct)
+
+    # re-invoking on a complete run is a no-op apart from stage B
+    r3 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=3, langs=None)
+    assert not r3["processed"] and len(r3["skipped"]) == n_parts
+
+
+def test_partitioning_is_deterministic(tmp_path):
+    files = [f"/x/pages-{i:04d}.parquet" for i in range(10)]
+    a = partition_input_files(files, 4)
+    b = partition_input_files(list(reversed(files)), 4)
+    assert a == b
+    assert [len(v) for v in a.values()] == [4, 4, 2]

@@ -1,0 +1,106 @@
+"""Dedup suite + similarity-search tests (exactness vs brute force, LSH
+recall, determinism)."""
+
+import numpy as np
+import pandas as pd
+
+from fastobo_py_ray.stages.ann import brute_force_topk, lsh_topk
+from fastobo_py_ray.stages.dedup import (embedding_near_dup, jaccard,
+                                         minhash_signature, _minhash_params,
+                                         ngram_jaccard_pairs, shingles,
+                                         simhash64)
+
+
+def _clustered_vectors(n=400, dim=32, seed=3):
+    """A few tight clusters + noise so top-k/near-dup is non-trivial."""
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(8, dim))
+    rows = []
+    for i in range(n):
+        c = centers[i % 8]
+        rows.append(c + 0.05 * rng.normal(size=dim))
+    return rows
+
+
+def test_minhash_estimates_jaccard():
+    params = _minhash_params(256)
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    sa = minhash_signature(a, 256, params)
+    sb = minhash_signature(b, 256, params)
+    est = float((sa == sb).mean())
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    import ray.data as rd
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon zeta",          # exact dup of 1
+        3: "alpha beta gamma delta epsilon eta",           # near dup
+        4: "completely different words entirely here now",
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    # brute-force check against the pure jaccard()
+    expect = {}
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jv = round(jaccard(texts[ids[i]], texts[ids[j]]), 6)
+            if jv >= 0.5:
+                expect[(ids[i], ids[j])] = jv
+    assert got == expect
+    assert got[(1, 2)] == 1.0
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data as rd
+
+    vecs = _clustered_vectors()
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    ds = rd.from_pandas(df).repartition(4)
+    q = vecs[0]
+    exact = brute_force_topk(ds, np.asarray(q), k=10,
+                             exclude_ids={0})["vec_id"].tolist()
+    approx = lsh_topk(ds, np.asarray(q), k=11,
+                      num_probes=8)["vec_id"].tolist()
+    approx = [v for v in approx if v != 0][:10]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (exact, approx)
+
+
+def test_embedding_near_dup_matches_brute(ray_session):
+    import ray.data as rd
+
+    vecs = _clustered_vectors(n=120)
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    out = embedding_near_dup(rd.from_pandas(df).repartition(3),
+                             threshold=0.99)
+    m = np.stack(vecs)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    ia, ib = np.where(np.triu(sims, k=1) >= 0.99)
+    expect = {(int(i), int(j)) for i, j in zip(ia, ib)}
+    got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert got == expect and len(expect) > 0
+
+
+def test_simhash_near_texts_close():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy cat")
+    c = simhash64("entirely unrelated content about parquet files")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_shingles_edges():
+    assert shingles("") == []
+    assert shingles("one two") == ["one two"]
+    assert shingles("a b c d") == ["a b c", "b c d"]

@@ -1,0 +1,65 @@
+"""Multimodal stage plumbing tests: schema, actor signature, batch
+sizing, deterministic fake decode, real byte-level features."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fastobo_py_ray.stages.multimodal import (AUDIO_FRAMES_SCHEMA,
+                                              AudioFrameSampler,
+                                              IMAGE_FEATURES_SCHEMA,
+                                              ImageFeatures, byte_histogram,
+                                              fake_decode_image,
+                                              resize_nearest,
+                                              synth_media_table)
+
+
+def test_real_decoder_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ImageFeatures(decoder="real")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        AudioFrameSampler(decoder="real")
+
+
+def test_feature_determinism_and_shape():
+    t = synth_media_table(32)
+    out1 = ImageFeatures(thumb=8)(t)
+    out2 = ImageFeatures(thumb=8)(t)
+    assert out1.schema.equals(IMAGE_FEATURES_SCHEMA)
+    assert out1.equals(out2)
+    feats = np.asarray(out1["feature"].to_pylist())
+    assert feats.shape == (32, 64)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, rtol=1e-5)
+    # identical payloads -> identical features; distinct -> distinct
+    assert byte_histogram(b"abcabc").tolist() == \
+        byte_histogram(b"abcabc").tolist()
+
+
+def test_resize_and_fake_decode():
+    img = fake_decode_image(bytes(range(256)) * 10)
+    assert img.ndim == 3 and img.shape[2] == 3
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+
+
+def test_audio_frame_layout():
+    t = synth_media_table(10, kind="audio")
+    out = AudioFrameSampler(n_frames=4, frame_bytes=64)(t)
+    assert out.schema.equals(AUDIO_FRAMES_SCHEMA)
+    assert out.num_rows == 40
+    per = out.to_pandas().groupby("media_id")["frame_idx"].apply(list)
+    assert all(v == [0, 1, 2, 3] for v in per)
+
+
+def test_actor_pool_stage_end_to_end(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_media_table(200)).repartition(4)
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                         fn_constructor_kwargs={"decoder": "fake"},
+                         concurrency=2, batch_size=64).to_pandas()
+    assert len(out) == 200
+    assert "payload" not in out.columns  # bytes are not re-shipped
+    # content-identical media get identical features (near-dup base case)
+    a = out.iloc[0]["feature"]
+    assert len(a) == 64
