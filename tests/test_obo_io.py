@@ -1,0 +1,117 @@
+"""OBO Graph JSON / OWL sink / streaming frame source tests (reference
+ops 4-6 and 3: src/py/mod.rs:110-134, 333-365, 389-422, 464-511)."""
+
+import json
+
+import pytest
+
+from fastobo_py_ray.obo import loads
+from fastobo_py_ray.obo.graphjson import (dump_graph, dumps_graph,
+                                          load_graph, loads_graph)
+from fastobo_py_ray.obo.owl import dumps_owl
+from fastobo_py_ray.sources.obo_source import (read_obo_frames,
+                                               read_obo_header, split_obo)
+from fastobo_py_ray.testing.corpus import MINI_OBO
+
+MS_OBO = "/root/reference/tests/data/ms.obo"
+
+
+def test_graph_json_roundtrip():
+    from fastobo_py_ray.obo import ids as obo_ids
+
+    onto = loads(MINI_OBO).ontology
+    doc = dumps_graph(onto)
+    back = loads_graph(doc)
+    # load_graph canonicalizes OBO-PURL URLs to CURIEs (src/py/id.rs:53-63
+    # + OBO 1.4 §5.9), so compare compacted ids
+    assert [f.id for f in back.frames] == \
+        [obo_ids.compact(f.id) for f in onto.frames]
+    by_id = back.frame_by_id()
+    alpha = by_id["TST:0000001"]
+    assert alpha.name == "alpha factor"
+    syn = alpha.values("synonym")
+    assert {(s["text"], s["scope"]) for s in syn} == \
+        {("alpha", "EXACT"), ("a-factor", "RELATED")}
+    # is_a and relationship edges survive
+    assert back.frame_by_id()["TST:0000002"].values("relationship")[0][
+        "target"] == "TST:0000003"
+    assert alpha.values("is_a")[0]["value"] == "TST:0000002"
+    # obsolete -> deprecated -> obsolete
+    old = by_id["TST:0000010"]
+    assert str(old.first("is_obsolete")["value"]).lower() == "true"
+
+
+def test_graph_json_node_shape():
+    onto = loads(MINI_OBO).ontology
+    doc = json.loads(dumps_graph(onto))
+    g = doc["graphs"][0]
+    nodes = {n["id"]: n for n in g["nodes"]}
+    assert nodes["part_of"]["type"] == "PROPERTY"
+    assert nodes["TST:0000001"]["type"] == "CLASS"
+    assert any(e == {"sub": "TST:0000001", "pred": "is_a",
+                     "obj": "TST:0000002"} for e in g["edges"])
+
+
+def test_graph_json_purl_compaction():
+    doc = json.dumps({"graphs": [{"nodes": [
+        {"id": "http://purl.obolibrary.org/obo/GO_0005575,",
+         "type": "CLASS"},
+        {"id": "http://purl.obolibrary.org/obo/GO_0008150",
+         "lbl": "biological_process", "type": "CLASS"}],
+        "edges": [{"sub": "http://purl.obolibrary.org/obo/GO_0008150",
+                   "pred": "is_a",
+                   "obj": "http://purl.obolibrary.org/obo/GO_0005575"}]}]})
+    onto = loads_graph(doc)
+    ids = [f.id for f in onto.frames]
+    assert "GO:0008150" in ids
+    f = onto.frame_by_id()["GO:0008150"]
+    assert f.values("is_a")[0]["value"] == "GO:0005575"
+
+
+def test_dump_graph_file(tmp_path):
+    onto = loads(MINI_OBO).ontology
+    p = tmp_path / "g.json"
+    dump_graph(onto, str(p))
+    assert load_graph(str(p)).frame_by_id()["TST:0000004"].name == \
+        "beta factor"
+
+
+def test_owl_ofn_sink():
+    onto = loads(MINI_OBO).ontology
+    owl = dumps_owl(onto)
+    assert "Declaration(Class(<http://purl.obolibrary.org/obo/" \
+        "TST_0000001>))" in owl
+    assert "SubClassOf(<http://purl.obolibrary.org/obo/TST_0000001> " \
+        "<http://purl.obolibrary.org/obo/TST_0000002>)" in owl
+    assert 'AnnotationAssertion(rdfs:label <http://purl.obolibrary.org/' \
+        'obo/TST_0000001> "alpha factor")' in owl
+    assert "ObjectSomeValuesFrom" in owl        # relationship
+    assert "TransitiveObjectProperty" in owl    # typedef flag
+    with pytest.raises(NotImplementedError):
+        dumps_owl(onto, format="owx")
+
+
+def test_split_obo_boundaries():
+    header, frames = split_obo(MINI_OBO)
+    assert "format-version: 1.4" in header
+    assert len(frames) == 11  # 9 terms + 2 typedefs
+    assert frames[0].startswith("[Term]")
+
+
+def test_streaming_frame_source_golden_count(ray_session):
+    """The MS_FRAMES=2941 golden-count discipline
+    (/root/reference/tests/test_fastobo.py:10-139) through the parallel
+    source."""
+    header = read_obo_header(MS_OBO)
+    assert header.format_version is not None
+    ds = read_obo_frames(MS_OBO, num_blocks=8)
+    df = ds.to_pandas().sort_values("doc_order").reset_index(drop=True)
+    assert len(df) == 2941
+    assert (df["kind"] == "term").sum() == 2936
+    assert (df["kind"] == "typedef").sum() == 5
+    assert int(df["n_parse_errors"].sum()) == 0
+    # doc_order recovers exact document order (first frame of ms.obo)
+    assert df.iloc[0]["term_id"] == "MS:0000000"
+    # matches the driver-side whole-doc parse
+    whole = loads(open(MS_OBO).read()).ontology
+    assert df["term_id"].tolist() == [f.id for f in whole.frames]
