@@ -48,24 +48,29 @@ def broadcast_join(ds, small: pd.DataFrame, on: Union[str, List[str]],
 
 def hash_join(left, right, on: Union[str, List[str]],
               num_buckets: int = 16, how: str = "inner",
-              suffixes=("_l", "_r")):
+              suffixes=("_l", "_r"), bucket_finalize=None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Both sides are hash-bucketed on the key, unioned with a side tag, and
     merged per bucket inside ``groupby(bucket).map_groups`` — the portable
     large-large join (no reliance on a Dataset.join API). Deterministic:
     bucket id is a stable string hash of the key columns.
-    """
-    import zlib
 
+    ``bucket_finalize(df) -> df`` runs on each bucket's joined frame
+    inside the same task.  Because a bucket holds EVERY row of its keys,
+    key-grouped aggregation and per-key top-k are exact here — use it to
+    piggyback group-bys on the join shuffle instead of paying a second
+    all-to-all (partition-aware aggregation).
+    """
     keys = [on] if isinstance(on, str) else list(on)
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            key_str = df[keys].astype(str).agg("\x00".join, axis=1)
-            df["__bucket"] = key_str.map(
-                lambda s: zlib.crc32(s.encode()) % num_buckets)
+            # vectorized, process-stable row hash (fixed internal hash key,
+            # independent of PYTHONHASHSEED) — never a per-row Python loop
+            h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            df["__bucket"] = (h % num_buckets).astype("int64")
             df["__side"] = side
             return df
         return fn
@@ -96,8 +101,11 @@ def hash_join(left, right, on: Union[str, List[str]],
         l = df[df["__side"] == "l"][[c for c in lcols]]
         r = df[df["__side"] == "r"][[c for c in rcols]]
         out = l.merge(r, on=keys, how=how, suffixes=suffixes)
-        return out.drop(columns=[c for c in ("__bucket", "__side")
-                                 if c in out.columns])
+        out = out.drop(columns=[c for c in ("__bucket", "__side")
+                                if c in out.columns])
+        if bucket_finalize is not None:
+            out = bucket_finalize(out)
+        return out
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")

@@ -203,19 +203,22 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
         [["l_orderkey", "revenue"]].rename(
             columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
-    joined = hash_join(li, orders_f, on="o_orderkey", num_buckets=16)
 
-    from ray.data.aggregate import Sum
+    # Partition-aware aggregation: the join bucket holds every lineitem of
+    # its orderkeys, so the revenue group-by AND a per-bucket top-10 run
+    # inside the join tasks; the driver merges num_buckets*10 rows.  ONE
+    # all-to-all for the whole query (vs join+aggregate+sort shuffles).
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(
+            revenue=("revenue", "sum"))
+        return g.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(10)
 
-    agg = joined.map_batches(
-        lambda df: df.groupby(["o_orderkey", "o_orderdate"],
-                              as_index=False).agg(
-                                  revenue=("revenue", "sum")),
-        batch_format="pandas") \
-        .groupby(["o_orderkey", "o_orderdate"]).aggregate(
-            Sum("revenue", alias_name="revenue"))
-    top = agg.sort(["revenue", "o_orderkey"],
-                   descending=[True, False]).limit(10).to_pandas()
+    joined = hash_join(li, orders_f, on="o_orderkey", num_buckets=16,
+                       bucket_finalize=finalize)
+    top = joined.to_pandas().sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True],
+        kind="mergesort").head(10).reset_index(drop=True)
     top["revenue"] = top["revenue"].round(4)
     return top[["o_orderkey", "o_orderdate", "revenue"]]
 
@@ -251,13 +254,21 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey"]).to_pandas()
 
+    # driver-side pre-joins of the dimension tables (all vectorized pandas
+    # merges), broadcast once: supplier -> (s_suppkey, nation) restricted
+    # to ASIA; orders -> (o_orderkey, customer nation)
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
-    nat = nation[nation["n_regionkey"].isin(asia)]
-    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    sup_nation = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
-    cust_nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
-    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    refs = ray.put((nkey_to_name, sup_nation, cust_nation, order_cust))
+    nat = nation.loc[nation["n_regionkey"].isin(asia),
+                     ["n_nationkey", "n_name"]]
+    sup = supplier.merge(nat, left_on="s_nationkey",
+                         right_on="n_nationkey")[
+        ["s_suppkey", "s_nationkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+    ord_nat = orders.merge(customer, left_on="o_custkey",
+                           right_on="c_custkey")[
+        ["o_orderkey", "c_nationkey"]].rename(
+        columns={"o_orderkey": "l_orderkey"})
+    refs = ray.put((sup, ord_nat))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -265,21 +276,19 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     class Star:
         def __init__(self):
-            (self.nname, self.snat, self.cnat, self.ocust) = ray.get(refs)
+            self.sup, self.ord_nat = ray.get(refs)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            snat = df["l_suppkey"].map(self.snat)
-            cnat = df["l_orderkey"].map(self.ocust).map(self.cnat)
-            keep = (snat == cnat) & snat.map(self.nname).notna()
-            d = df[keep]
+            d = df.merge(self.sup, on="l_suppkey") \
+                  .merge(self.ord_nat, on="l_orderkey")
+            d = d[d["s_nationkey"] == d["c_nationkey"]]
             if d.empty:
                 return pd.DataFrame({"n_name": pd.Series(dtype="object"),
                                      "revenue": pd.Series(dtype="float64")})
             rev = d["l_extendedprice"] * (1 - d["l_discount"])
-            g = pd.DataFrame({"n_name": snat[keep].map(self.nname),
-                              "revenue": rev}).groupby(
-                                  "n_name", as_index=False).sum()
-            return g
+            return pd.DataFrame({"n_name": d["n_name"],
+                                 "revenue": rev}).groupby(
+                                     "n_name", as_index=False).sum()
 
     out = li.map_batches(Star, batch_format="pandas",
                          concurrency=(1, 8)) \
