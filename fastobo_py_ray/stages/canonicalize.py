@@ -72,9 +72,10 @@ def _batch_min_label(df: pd.DataFrame) -> pd.DataFrame:
     return df.groupby("node", as_index=False)["label"].min()
 
 
-def _lab_frame(nodes, labels, nbrs=None) -> pd.DataFrame:
+def _lab_frame(nodes, labels, salts, nbrs=None) -> pd.DataFrame:
     return pd.DataFrame({
         "node": pd.Series(nodes, dtype="object"),
+        "salt": pd.Series(salts, dtype="int64"),
         "label": pd.Series(labels, dtype="object"),
         "nbr": pd.Series(nbrs if nbrs is not None else [None] * len(nodes),
                          dtype="object"),
@@ -82,7 +83,7 @@ def _lab_frame(nodes, labels, nbrs=None) -> pd.DataFrame:
 
 
 def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
-                         max_rounds: int = 25):
+                         max_rounds: int = 25, salt: int = 4):
     """Distributed connected components over a Dataset of string edges.
 
     Returns a Dataset with columns (node, label) where ``label`` is the
@@ -92,13 +93,29 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
         repeat: every node sends its label to every neighbor;
                 labels <- min(received, own)
         until the global label checksum stops changing.
+
+    **Head-entity skew defusal (north-rule "salted entity hash")**: the
+    propagate shuffle is keyed on ``(node, hash(nbr) % salt)`` rather than
+    the bare node, so a hub with millions of neighbors fans out over
+    ``salt`` independent groups instead of one giant straggler group; the
+    node's label row is replicated to every salt lane (``salt`` rows per
+    node per round — constant, vs O(degree) group size without it).  The
+    per-batch min-label combiner then pre-reduces messages before the
+    label reduce, so hot nodes also shrink to one row per block there.
     """
     import zlib
+
+    from ..context import tune_data_context
+
+    tune_data_context()
+    salt = max(1, salt)
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch[col_a].to_pylist()
         b = batch[col_b].to_pylist()
-        return pa.table({"node": a + b, "nbr": b + a})
+        nodes, nbrs = a + b, b + a
+        salts = [zlib.crc32(x.encode()) % salt for x in nbrs]
+        return pa.table({"node": nodes, "nbr": nbrs, "salt": salts})
 
     adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
     labels = adj.map_batches(
@@ -125,16 +142,24 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
                              "label": pd.Series([m] * len(out_nodes),
                                                 dtype="object")})
 
+    def replicate_labels(df: pd.DataFrame) -> pd.DataFrame:
+        """One label row per (node, salt lane)."""
+        reps = []
+        for s in range(salt):
+            reps.append(_lab_frame(df["node"], df["label"],
+                                   [s] * len(df)))
+        return pd.concat(reps, ignore_index=True)
+
     prev = checksum(labels)
     for _ in range(max_rounds):
-        lab_rows = labels.map_batches(
-            lambda df: _lab_frame(df["node"], df["label"]),
-            batch_format="pandas")
+        lab_rows = labels.map_batches(replicate_labels,
+                                      batch_format="pandas")
         adj_rows = adj.map_batches(
-            lambda df: _lab_frame(df["node"], [None] * len(df), df["nbr"]),
+            lambda df: _lab_frame(df["node"], [None] * len(df),
+                                  df["salt"], df["nbr"]),
             batch_format="pandas")
-        msgs = lab_rows.union(adj_rows).groupby("node").map_groups(
-            propagate, batch_format="pandas")
+        msgs = lab_rows.union(adj_rows).groupby(["node", "salt"]) \
+            .map_groups(propagate, batch_format="pandas")
         labels = msgs.map_batches(_batch_min_label, batch_format="pandas") \
                      .groupby("node").map_groups(
                          lambda df: pd.DataFrame(
