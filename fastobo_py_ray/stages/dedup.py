@@ -173,12 +173,15 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
     cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    # pair dedup: per-batch drop_duplicates combiner, then a grouped Count
+    # (cheaper than a second map_groups shuffle; the count is discarded)
+    from ray.data.aggregate import Count
 
-    return cand.map_batches(dedup_pairs, batch_format="pandas") \
-               .groupby(["doc_a", "doc_b"]).map_groups(
-                   lambda g: g.head(1), batch_format="pandas")
+    return cand.map_batches(lambda df: df.drop_duplicates(),
+                            batch_format="pandas") \
+               .groupby(["doc_a", "doc_b"]) \
+               .aggregate(Count(alias_name="__n")) \
+               .drop_columns(["__n"])
 
 
 def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
