@@ -68,17 +68,24 @@ def _batch_min_label(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch combiner: keep the minimum label per node (skew defusal —
     runs before each shuffle so hot nodes shrink to one row per block)."""
     if df.empty:
-        return df
-    return df.groupby("node", as_index=False)["label"].min()
+        return pd.DataFrame({"node": pd.Series(dtype="string"),
+                             "label": pd.Series(dtype="string")})
+    out = df.groupby("node", as_index=False)["label"].min()
+    return out.astype({"node": "string", "label": "string"})
 
 
 def _lab_frame(nodes, labels, salts, nbrs=None) -> pd.DataFrame:
+    """All columns explicitly string-typed ('' = absent) — a block whose
+    column Arrow types as null (all-None or empty) breaks sort-boundary
+    computation in the shuffle (float vs str searchsorted)."""
+    n = len(nodes)
     return pd.DataFrame({
-        "node": pd.Series(nodes, dtype="object"),
-        "salt": pd.Series(salts, dtype="int64"),
-        "label": pd.Series(labels, dtype="object"),
-        "nbr": pd.Series(nbrs if nbrs is not None else [None] * len(nodes),
-                         dtype="object"),
+        "node": pd.Series(list(nodes), dtype="string"),
+        "salt": pd.Series(list(salts), dtype="int64"),
+        "label": pd.Series([l if l is not None else "" for l in labels],
+                           dtype="string"),
+        "nbr": pd.Series(list(nbrs) if nbrs is not None else [""] * n,
+                         dtype="string"),
     })
 
 
@@ -118,9 +125,12 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
         return pa.table({"node": nodes, "nbr": nbrs, "salt": salts})
 
     adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    num_label_blocks = max(1, adj.num_blocks())
     labels = adj.map_batches(
-        lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]})
-        .groupby("node", as_index=False).min(),
+        lambda df: pd.DataFrame({
+            "node": df["node"], "label": df["node"]})
+        .groupby("node", as_index=False).min()
+        .astype({"node": "string", "label": "string"}),
         batch_format="pandas")
 
     def checksum(lab) -> int:
@@ -132,15 +142,16 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
         return int(parts["c"].sum())
 
     def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        own = group.loc[group["nbr"].isna(), "label"]
+        own = group.loc[group["nbr"] == "", "label"]
         if own.empty:  # defensive: edge rows for a node with no label row
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "label": pd.Series(dtype="object")})
+            return pd.DataFrame({"node": pd.Series(dtype="string"),
+                                 "label": pd.Series(dtype="string")})
         m = own.min()
-        out_nodes = [group["node"].iloc[0]] + list(group["nbr"].dropna())
-        return pd.DataFrame({"node": pd.Series(out_nodes, dtype="object"),
-                             "label": pd.Series([m] * len(out_nodes),
-                                                dtype="object")})
+        nbrs = group.loc[group["nbr"] != "", "nbr"]
+        out_nodes = [group["node"].iloc[0]] + list(nbrs)
+        return pd.DataFrame({
+            "node": pd.Series(out_nodes, dtype="string"),
+            "label": pd.Series([m] * len(out_nodes), dtype="string")})
 
     def replicate_labels(df: pd.DataFrame) -> pd.DataFrame:
         """One label row per (node, salt lane)."""
@@ -149,6 +160,38 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
             reps.append(_lab_frame(df["node"], df["label"],
                                    [s] * len(df)))
         return pd.concat(reps, ignore_index=True)
+
+    def pointer_double(lab):
+        """labels[node] <- labels[labels[node]] — one shuffle keyed on the
+        looked-up label; shortcuts chains so convergence needs
+        O(log diameter) propagate+double iterations instead of
+        O(diameter) propagates (SURVEY §2.2 S7 pointer-jump)."""
+        # explicit string schema on both sides ("" sentinel + is_ask flag)
+        # so no block carries an all-null column that Arrow would type as
+        # null and pandas as float (mixed-type sort keys break the shuffle)
+        asks = lab.map_batches(
+            lambda df: pd.DataFrame({"key": df["label"].astype(str),
+                                     "node": df["node"].astype(str),
+                                     "val": [""] * len(df),
+                                     "is_ask": [True] * len(df)}),
+            batch_format="pandas")
+        answers = lab.map_batches(
+            lambda df: pd.DataFrame({"key": df["node"].astype(str),
+                                     "node": [""] * len(df),
+                                     "val": df["label"].astype(str),
+                                     "is_ask": [False] * len(df)}),
+            batch_format="pandas")
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            vals = g.loc[~g["is_ask"], "val"]
+            # key has no label row -> it is already a root label
+            target = vals.min() if not vals.empty else g["key"].iloc[0]
+            nodes = g.loc[g["is_ask"], "node"]
+            return pd.DataFrame({"node": nodes,
+                                 "label": [target] * len(nodes)})
+
+        return asks.union(answers).groupby("key").map_groups(
+            resolve, batch_format="pandas")
 
     prev = checksum(labels)
     for _ in range(max_rounds):
@@ -160,12 +203,20 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
             batch_format="pandas")
         msgs = lab_rows.union(adj_rows).groupby(["node", "salt"]) \
             .map_groups(propagate, batch_format="pandas")
-        labels = msgs.map_batches(_batch_min_label, batch_format="pandas") \
+        # materialize: pointer_double reads `merged` twice (asks+answers);
+        # an unmaterialized handle would re-execute the whole round twice
+        merged = msgs.map_batches(_batch_min_label, batch_format="pandas") \
                      .groupby("node").map_groups(
                          lambda df: pd.DataFrame(
                              {"node": [df["node"].iloc[0]],
                               "label": [df["label"].min()]}),
                          batch_format="pandas").materialize()
+        # resolve() emits exactly one row per node, so no extra reduce.
+        # repartition caps the block count: union+sort inherit the SUM of
+        # input block counts, so without the coalesce labels blocks double
+        # every round (B -> 2B+|adj|) and round cost grows exponentially.
+        labels = pointer_double(merged) \
+            .repartition(num_label_blocks).materialize()
         cur = checksum(labels)
         if cur == prev:
             break

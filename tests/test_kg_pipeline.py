@@ -111,9 +111,9 @@ def test_distributed_union_find_matches_exact(ray_session):
     for _ in range(150):
         a, b = rng.sample(nodes, 2)
         edges.append((a, b))
-    # chain: worst-case diameter for label propagation (kept short — each
-    # propagation round is a full shuffle; convergence is O(diameter))
-    chain = [f"C:{i:03d}" for i in range(6)]
+    # long chain: worst-case diameter; pointer doubling converges it in
+    # O(log diameter) propagate+double rounds
+    chain = [f"C:{i:03d}" for i in range(12)]
     edges += list(zip(chain, chain[1:]))
 
     exact = union_find(edges)
