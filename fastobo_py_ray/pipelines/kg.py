@@ -91,7 +91,8 @@ def annotate_pages(pages_ds, index_ref, emit: str = "triples",
                                 batch_size=batch_size)
 
 
-def dedup_triples(triples_ds, num_partitions: Optional[int] = 32):
+def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
+                  collect_urls: int = 0):
     """S8 — exact dedup with evidence aggregation.
 
     Combiner pattern: per-batch partial counts (one row per distinct triple
@@ -101,24 +102,61 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32):
     shuffle inherits one partition per upstream page block (~900 tiny
     reduce tasks for a 2.4M-page corpus; measured 8.7s vs 6.6s e2e at 32
     CPUs).  At cluster scale set it to the intended reduce width.
-    Output: (subj, pred, obj, n_evidence, confidence=max).
+
+    ``collect_urls=K`` additionally carries a deterministic evidence
+    sample per triple (the K lexicographically-smallest source urls —
+    min-merge is order-independent, so results don't depend on block
+    arrival order), giving the SURVEY §1.2 adjacency
+    ``urls:list<string>`` column at a bounded per-key cost.
+
+    Output: (subj, pred, obj, n_evidence, confidence=max[, urls]).
     """
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import AggregateFn, Max, Sum
+
+    k = collect_urls
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"subj": [], "pred": [], "obj": [],
-                                 "n_evidence": [], "confidence": []})
-        g = df.groupby(["subj", "pred", "obj"], as_index=False).agg(
-            n_evidence=("url", "size"), confidence=("confidence", "max"))
-        return g
+            cols = {"subj": [], "pred": [], "obj": [],
+                    "n_evidence": [], "confidence": []}
+            if k:
+                cols["urls"] = pd.Series(dtype="string")
+            return pd.DataFrame(cols)
+        aggs = dict(n_evidence=("url", "size"),
+                    confidence=("confidence", "max"))
+        if k:
+            aggs["urls"] = ("url",
+                            lambda s: "\x1f".join(sorted(set(s))[:k]))
+        return df.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            **aggs)
 
     partials = triples_ds.map_batches(partial, batch_format="pandas")
     if num_partitions:
         partials = partials.repartition(num_partitions)
-    return partials.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("n_evidence", alias_name="n_evidence"),
-        Max("confidence", alias_name="confidence"))
+    aggs = [Sum("n_evidence", alias_name="n_evidence"),
+            Max("confidence", alias_name="confidence")]
+    if k:
+        def _merge(a: str, b: str) -> str:
+            if not a:
+                return b
+            if not b:
+                return a
+            both = set(a.split("\x1f")) | set(b.split("\x1f"))
+            return "\x1f".join(sorted(both)[:k])
+
+        aggs.append(AggregateFn(
+            init=lambda key: "",
+            accumulate_row=lambda a, row: _merge(a, row["urls"]),
+            merge=_merge, name="urls"))
+    out = partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
+    if k:
+        def split_urls(df: pd.DataFrame) -> pd.DataFrame:
+            df["urls"] = [s.split("\x1f") if s else []
+                          for s in df["urls"]]
+            return df
+
+        out = out.map_batches(split_urls, batch_format="pandas")
+    return out
 
 
 def materialize_adjacency(deduped_ds, out_dir: str,

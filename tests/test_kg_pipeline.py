@@ -56,6 +56,31 @@ def test_kg_pipeline_golden_counts(ray_session, tmp_path):
     assert got == GOLDEN_TRIPLES
 
 
+def test_dedup_collect_urls(ray_session):
+    """collect_urls=K: deterministic K-smallest evidence urls per triple."""
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import annotate_pages
+    from fastobo_py_ray.pipelines.kg import prepare_index
+    import ray
+
+    t = golden_pages_table()
+    index_ref = ray.put(prepare_index(MINI_OBO))
+    triples = annotate_pages(rd.from_arrow(t).repartition(4), index_ref,
+                             emit="triples", batch_size=3)
+    out = dedup_triples(triples, collect_urls=2).to_pandas()
+    got = {(r.subj, r.pred, r.obj): (int(r.n_evidence), list(r.urls))
+           for r in out.itertuples()}
+    # alpha is_a parent has evidence on p0 (site0) and p3 (site3)
+    n, urls = got[("ALT:9000001", "is_a", "TST:0000002")]
+    assert n == 2
+    assert urls == sorted(urls) and len(urls) == 2
+    assert all("/doc/p" in u for u in urls)
+    for (s, p, o), cnt in GOLDEN_TRIPLES.items():
+        n, urls = got[(s, p, o)]
+        assert n == cnt and 1 <= len(urls) <= 2
+
+
 def test_adjacency_written_sorted(ray_session, tmp_path):
     """materialize_adjacency(presorted=True) relies on Ray Data's
     groupby-aggregate emitting globally range-ordered output over the group
