@@ -38,7 +38,7 @@ CORPUS_ROOT = "/tmp/fastobo_bench_corpus"
 
 def ensure_corpus(n_pages: int) -> str:
     """Deterministic page corpus, generated once and cached on disk."""
-    out = os.path.join(CORPUS_ROOT, f"pages-{n_pages}x{BENCH_MAX_PARAS}")
+    out = os.path.join(CORPUS_ROOT, f"pages-{n_pages}x{BENCH_MAX_PARAS}-raw")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -46,8 +46,11 @@ def ensure_corpus(n_pages: int) -> str:
 
     base = min(n_pages, BASE_SLAB)
     n_tiles = max(1, n_pages // base)
+    # fill_text=False: the text column ships null so the pipeline really
+    # runs S1 extraction (a pre-extracted corpus would skip the stage)
     write_pages_corpus(out, n_rows=base, n_files=32, include_golden=False,
-                       max_paras=BENCH_MAX_PARAS, n_tiles=n_tiles)
+                       max_paras=BENCH_MAX_PARAS, n_tiles=n_tiles,
+                       fill_text=False)
     with open(marker, "w") as fh:
         fh.write("ok")
     return out

@@ -266,11 +266,13 @@ def pages_schema() -> pa.Schema:
     ])
 
 
-def synth_pages_table(n_rows: int, seed: int = 42,
-                      max_paras: int = 3) -> pa.Table:
+def synth_pages_table(n_rows: int, seed: int = 42, max_paras: int = 3,
+                      fill_text: bool = True) -> pa.Table:
     """Bulk deterministic corpus: golden sentences + filler, cycled.
     ``max_paras`` controls page weight (bench uses heavier pages to
-    approximate real Common-Crawl documents)."""
+    approximate real Common-Crawl documents).  ``fill_text=False`` leaves
+    the ``text`` column null so pipelines actually run the S1 extraction
+    stage (the bench uses this; pre-filled text would silently skip it)."""
     rng = random.Random(seed)
     pool = [p for _, _, paras in GOLDEN_PAGES for p in paras] + _FILLER
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -282,7 +284,7 @@ def synth_pages_table(n_rows: int, seed: int = 42,
         rows["url"].append(f"https://site{i % 50}.example/doc/{i:08d}")
         rows["warc_ts"].append(EPOCH_US + i * 1_000_000)
         rows["html"].append(html)
-        rows["text"].append(extract_text(html))
+        rows["text"].append(extract_text(html) if fill_text else None)
         rows["lang"].append(lang)
     return pa.table(rows, schema=pages_schema())
 
@@ -307,7 +309,8 @@ def tile_pages_table(base: pa.Table, tile: int) -> pa.Table:
 
 def write_pages_corpus(out_dir: str, n_rows: int = 500, n_files: int = 4,
                        seed: int = 42, include_golden: bool = True,
-                       max_paras: int = 3, n_tiles: int = 1) -> List[str]:
+                       max_paras: int = 3, n_tiles: int = 1,
+                       fill_text: bool = True) -> List[str]:
     """Write the corpus as >=n_files parquet files (partition-resume tests
     need multiple input shards).  Total pages = n_rows * n_tiles; tiles > 0
     are vectorized rewrites of the base slab.  Returns the file paths."""
@@ -315,7 +318,8 @@ def write_pages_corpus(out_dir: str, n_rows: int = 500, n_files: int = 4,
     tables = []
     if include_golden:
         tables.append(golden_pages_table())
-    bulk = synth_pages_table(n_rows, seed=seed, max_paras=max_paras)
+    bulk = synth_pages_table(n_rows, seed=seed, max_paras=max_paras,
+                             fill_text=fill_text)
     per = max(1, n_rows // n_files)
     for tile in range(n_tiles):
         t = tile_pages_table(bulk, tile)
