@@ -1,0 +1,101 @@
+"""Join operator tests: broadcast join, partitioned hash join (inner/
+left, multi-key, bucket_finalize exactness) vs pandas merge oracle, and
+the actor-pool annotator path vs the default task path."""
+
+import pandas as pd
+import pytest
+
+from fastobo_py_ray.functions.relops import (broadcast_join, hash_join,
+                                             lookup_map)
+
+
+def _orders(n=200):
+    return pd.DataFrame({
+        "k": [i % 37 for i in range(n)],
+        "v": [float(i) for i in range(n)],
+    })
+
+
+def _dim():
+    return pd.DataFrame({"k": list(range(0, 37, 2)),
+                         "name": [f"d{i}" for i in range(0, 37, 2)]})
+
+
+def _norm(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    big, small = _orders(), _dim()
+    got = broadcast_join(rd.from_pandas(big).repartition(4), small,
+                         on="k").to_pandas()
+    want = big.merge(small, on="k")
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_matches_pandas(ray_session, how):
+    import ray.data as rd
+
+    left, right = _orders(), _dim()
+    got = hash_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", num_buckets=5, how=how).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    got, want = _norm(got), _norm(want)
+    pd.testing.assert_frame_equal(
+        got.fillna("<na>"), want.fillna("<na>"), check_dtype=False)
+
+
+def test_hash_join_multikey(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "y", "x", "y"],
+                         "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "w": [7, 8]})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["a", "b"], num_buckets=3).to_pandas()
+    want = left.merge(right, on=["a", "b"])
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+
+
+def test_bucket_finalize_groupby_is_exact(ray_session):
+    """A bucket holds every row of its keys, so per-key aggregation inside
+    bucket_finalize equals a global groupby."""
+    import ray.data as rd
+
+    left, right = _orders(400), _dim()
+    fin = lambda df: df.groupby(["k", "name"], as_index=False).agg(
+        v=("v", "sum"))
+    got = hash_join(rd.from_pandas(left).repartition(6),
+                    rd.from_pandas(right), on="k", num_buckets=4,
+                    bucket_finalize=fin).to_pandas()
+    want = left.merge(_dim(), on="k").groupby(
+        ["k", "name"], as_index=False).agg(v=("v", "sum"))
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+
+
+def test_lookup_map():
+    d = lookup_map(_dim(), "k", "name")
+    assert d[0] == "d0" and d[36] == "d36" and 1 not in d
+
+
+def test_actor_pool_annotator_matches_task_path(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import run_kg_pipeline
+    from fastobo_py_ray.testing.corpus import MINI_OBO, golden_pages_table
+
+    t = golden_pages_table()
+    a = run_kg_pipeline(rd.from_arrow(t), MINI_OBO, batch_size=4,
+                        use_actors=False).to_pandas()
+    b = run_kg_pipeline(rd.from_arrow(t), MINI_OBO, batch_size=4,
+                        use_actors=True, concurrency=2).to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
