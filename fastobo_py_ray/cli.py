@@ -1,0 +1,104 @@
+"""CLI — the `ray job submit` entry point of the engine.
+
+    python -m fastobo_py_ray.cli run --corpus DIR --obo FILE --out DIR
+    python -m fastobo_py_ray.cli resume --corpus DIR --obo FILE --out DIR
+    python -m fastobo_py_ray.cli report --out DIR
+
+`run` executes the full KG pipeline in one pass; `resume` is the
+checkpointed S10 path (safe to re-invoke after a crash — finished
+partitions are skipped via their lineage manifests); `report` prints the
+per-partition manifest metrics (url ranges, counts, stage timings).
+
+Owns its Ray session (guarded init) per the driver contract: library code
+never calls ray.init, CLI entry points do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_run(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.kg import run_kg_pipeline
+
+    _init_ray()
+    pages = rd.read_parquet(args.corpus)
+    obo_text = open(args.obo).read()
+    run_kg_pipeline(pages, obo_text, out_dir=args.out,
+                    batch_size=args.batch_size,
+                    langs=args.langs.split(",") if args.langs else None)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"adjacency_dir": args.out, "n_triples": int(n)}))
+    return 0
+
+
+def cmd_resume(args) -> int:
+    from .pipelines.checkpoint import run_kg_pipeline_resumable
+
+    _init_ray()
+    files = sorted(os.path.join(args.corpus, f)
+                   for f in os.listdir(args.corpus)
+                   if f.endswith(".parquet"))
+    obo_text = open(args.obo).read()
+    res = run_kg_pipeline_resumable(
+        files, obo_text, args.out,
+        files_per_partition=args.files_per_partition,
+        batch_size=args.batch_size,
+        langs=args.langs.split(",") if args.langs else None)
+    print(json.dumps({"processed": res["processed"],
+                      "skipped": res["skipped"],
+                      "finalized": res["finalized"],
+                      "adjacency_dir": res["adjacency_dir"]}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from .pipelines.checkpoint import completed_partitions
+
+    for key, m in sorted(completed_partitions(args.out).items()):
+        print(json.dumps(m))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fastobo_py_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("run", cmd_run), ("resume", cmd_resume)):
+        s = sub.add_parser(name)
+        s.add_argument("--corpus", required=True)
+        s.add_argument("--obo", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--batch-size", type=int, default=1024,
+                       dest="batch_size")
+        s.add_argument("--langs", default="en")
+        if name == "resume":
+            s.add_argument("--files-per-partition", type=int, default=4,
+                           dest="files_per_partition")
+        s.set_defaults(fn=fn)
+    s = sub.add_parser("report")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_report)
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
