@@ -373,14 +373,24 @@ def _parse_header_clause(header: HeaderMeta, tag: str, value: str,
             header.idspaces[words[0]] = words[1]
             c.update(prefix=words[0], url=words[1])
     elif tag in TREAT_XREFS_TAGS:
+        # ';' separates multiple declarations on one line, as in plana.obo
+        # line 6: "treat-xrefs-as-genus-differentia: CARO part_of
+        # NCBITaxon:79327; CL part_of NCBITaxon:79327"
         macro = TREAT_XREFS_TAGS[tag]
-        words = [t for k, t in tokenize_value(value) if k == "word"]
-        idspace = words[0] if words else ""
-        relation = words[1] if len(words) > 1 else ""
-        filler = words[2] if len(words) > 2 else ""
-        header.treat_xrefs.append((macro, idspace, relation, filler))
-        c.update(macro=macro, idspace=idspace, relation=relation,
-                 filler=filler)
+        entries = []
+        for part in value.split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            words = [t for k, t in tokenize_value(part) if k == "word"]
+            idspace = words[0] if words else ""
+            relation = words[1] if len(words) > 1 else ""
+            filler = words[2] if len(words) > 2 else ""
+            header.treat_xrefs.append((macro, idspace, relation, filler))
+            entries.append((idspace, relation, filler))
+        first = entries[0] if entries else ("", "", "")
+        c.update(macro=macro, idspace=first[0], relation=first[1],
+                 filler=first[2], entries=entries)
     # property_value / namespace-id-rule / owl-axioms / remark etc. stay raw
 
 

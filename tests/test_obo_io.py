@@ -91,6 +91,30 @@ def test_owl_ofn_sink():
         dumps_owl(onto, format="owx")
 
 
+def test_plana_golden_counts_and_macros():
+    """plana.obo goldens (reference's second corpus): 577 frames (495 Term
+    + 82 Typedef), ';'-separated multi-entry genus-differentia macro at
+    header line 6, zero parse errors, table roundtrip."""
+    from fastobo_py_ray.obo import dumps, load
+
+    r = load("/root/reference/tests/data/plana.obo")
+    assert not r.errors
+    o = r.ontology
+    assert len(o.frames) == 577
+    assert sum(f.kind == "term" for f in o.frames) == 495
+    assert sum(f.kind == "typedef" for f in o.frames) == 82
+    assert o.header.treat_xrefs == [
+        ("genus-differentia", "CARO", "part_of", "NCBITaxon:79327"),
+        ("genus-differentia", "CL", "part_of", "NCBITaxon:79327")]
+    origins = o.edges_table()["origin"].to_pylist()
+    assert origins.count("relationship") == 1946
+    assert origins.count("xref_macro") == 96
+    rt = loads(dumps(o))
+    assert not rt.errors
+    assert o.terms_table().equals(rt.ontology.terms_table())
+    assert rt.ontology.header.treat_xrefs == o.header.treat_xrefs
+
+
 def test_split_obo_boundaries():
     header, frames = split_obo(MINI_OBO)
     assert "format-version: 1.4" in header
