@@ -45,12 +45,10 @@ def extract_text(html: bytes | str) -> str:
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _html.unescape(s)
-    lines = []
-    for line in s.split("\n"):
-        line = _SPACES_RE.sub(" ", line).strip()
-        if line:
-            lines.append(line)
-    return "\n".join(lines)
+    # one whole-string space squeeze (the class excludes \n), then per-line
+    # strip — identical output to a per-line sub at 1/30th the regex calls
+    s = _SPACES_RE.sub(" ", s)
+    return "\n".join(ln for ln in map(str.strip, s.split("\n")) if ln)
 
 
 def extract_text_batch(batch: pa.Table,
