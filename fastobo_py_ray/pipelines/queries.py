@@ -20,12 +20,11 @@ import pyarrow as pa
 from ..sources.pages import documents_as_pages
 from ..stages.ann import brute_force_topk
 from ..stages.dedup import exact_dedup, minhash_dedup, simhash64
-from ..stages.mentions import PageAnnotator
 from ..stages.textstats import (DEFAULT_STOPWORDS, LangId, fingerprint_batch,
                                 token_stats_batch)
 from ..testing.corpus import (docs_canonical_edges, docs_canonical_word_map,
                               docs_obo)
-from .kg import dedup_triples, prepare_index, run_kg_pipeline
+from .kg import prepare_index, run_kg_pipeline
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(DEFAULT_STOPWORDS))
 
