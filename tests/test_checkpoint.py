@@ -64,6 +64,25 @@ def test_resume_skips_completed_and_matches_direct(ray_session, tmp_path):
     assert not r3["processed"] and len(r3["skipped"]) == n_parts
 
 
+def test_resume_invariant_across_partition_width(ray_session, tmp_path):
+    """Final adjacency identical whatever the partition granularity
+    (north-rule invariance: results independent of partitioning)."""
+    import ray.data as rd
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=300, n_files=6)
+    outs = []
+    for i, width in enumerate((1, 5)):
+        root = str(tmp_path / f"ckpt{i}")
+        r = run_kg_pipeline_resumable(files, MINI_OBO, root,
+                                      files_per_partition=width,
+                                      langs=None)
+        assert r["finalized"]
+        outs.append(_triples(rd.read_parquet(r["adjacency_dir"])
+                             .to_pandas()))
+    assert outs[0] == outs[1]
+
+
 def test_partitioning_is_deterministic(tmp_path):
     files = [f"/x/pages-{i:04d}.parquet" for i in range(10)]
     a = partition_input_files(files, 4)
