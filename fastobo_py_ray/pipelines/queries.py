@@ -353,6 +353,37 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Per-event sliding-window aggregate: number of events by the same
+    user in the 30 minutes up to and including each event.  Partition by
+    user (hash shuffle), in-partition sort + vectorized two-pointer
+    (searchsorted) — no per-row loop, no self-join."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().reset_index(drop=True)
+        arr = ts.to_numpy()
+        lo = np.searchsorted(arr, arr - np.timedelta64(30, "m"),
+                             side="left")
+        n = np.arange(1, len(arr) + 1) - lo
+        return pd.DataFrame({"user_id": g["user_id"].iloc[0],
+                             "ts": ts, "n_in_window": n.astype("int64")})
+
+    out = ds.groupby("user_id").map_groups(
+        window, batch_format="pandas").to_pandas()
+    out["n_in_window"] = out["n_in_window"].astype("int64")
+    return out
+
+
+Q_SLIDING_WINDOW_SQL = """
+SELECT user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                      AND CURRENT ROW) AS n_in_window
+FROM events
+"""
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """30-minute-gap sessionization per user: partition by user (hash
     shuffle), in-partition sort by ts (ray_guide 'Streaming-shaped
@@ -697,6 +728,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q_top_orders": q_top_orders,
         "q_events_hourly": q_events_hourly,
+        "q_sliding_window": q_sliding_window,
         "q_sessionize": q_sessionize,
         "q_doc_stats": q_doc_stats,
         "q_quality": q_quality,
@@ -725,6 +757,7 @@ def oracles() -> Dict[str, str]:
         "q5_region_revenue": Q5_SQL,
         "q_top_orders": Q_TOP_ORDERS_SQL,
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+        "q_sliding_window": Q_SLIDING_WINDOW_SQL,
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_doc_stats": Q_DOC_STATS_SQL,
         "q_quality": Q_QUALITY_SQL,
