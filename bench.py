@@ -113,6 +113,7 @@ def run_bench() -> dict:
     timed("q3_top_revenue", Q.q3_top_revenue)
     timed("q5_region_revenue", Q.q5_region_revenue)
     timed("q_events_hourly", Q.q_events_hourly)
+    timed("q_sliding_window", Q.q_sliding_window)
     timed("q_sessionize", Q.q_sessionize)
     timed("q_exact_dedup", Q.q_exact_dedup)
     timed("q_ann_topk", Q.q_ann_topk)

@@ -92,6 +92,67 @@ GROUP BY t.doc_id, d.term_id
 """
 
 
+def kg_subtree_mentions(sf_dir: str) -> pd.DataFrame:
+    """Mentions of terms in the is_a subtree of 'agg' (graph.ipynb
+    descendants pattern composed with the corpus): driver-side transitive
+    descendants over the ontology edges, broadcast id set, filtered
+    grouped mention counts."""
+    from ray.data.aggregate import Sum
+
+    from ..obo import loads as obo_loads
+    from ..stages.graph import descendants, isa_edges
+
+    onto = obo_loads(docs_obo()).ontology
+    root = _docs_id_of("agg")
+    sub = descendants(isa_edges(onto), root) | {root}
+
+    ments = _docs_annotated(sf_dir, "mentions")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["canonical_id"].isin(sub)]
+        return df.groupby("canonical_id", as_index=False).size().rename(
+            columns={"canonical_id": "term_id", "size": "n_mentions"})
+
+    out = ments.map_batches(count, batch_format="pandas") \
+        .groupby("term_id").aggregate(
+            Sum("n_mentions", alias_name="n_mentions")).to_pandas()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out
+
+
+def _docs_id_of(word: str) -> str:
+    from ..testing.corpus import _docs_id
+
+    return _docs_id(word)
+
+
+def kg_subtree_mentions_sql() -> str:
+    from ..obo import loads as obo_loads
+    from ..stages.graph import isa_edges
+
+    onto = obo_loads(docs_obo()).ontology
+    edge_rows = ", ".join(f"('{c}', '{p}')"
+                          for c, p in isa_edges(onto))
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    root = _docs_id_of("agg")
+    return f"""
+WITH RECURSIVE e(child, parent) AS (VALUES {edge_rows}),
+sub(id) AS (
+  SELECT '{root}'
+  UNION
+  SELECT e.child FROM e JOIN sub ON e.parent = sub.id
+),
+dict(word, term_id) AS (VALUES {dict_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+SELECT d.term_id, count(*) AS n_mentions
+FROM toks t JOIN dict d USING (word)
+WHERE d.term_id IN (SELECT id FROM sub)
+GROUP BY d.term_id
+"""
+
+
 def kg_triples(sf_dir: str) -> pd.DataFrame:
     """Full KG pipeline: detect -> link -> canonicalize -> emit -> dedup."""
     out = run_kg_pipeline(documents_as_pages(sf_dir), docs_obo(),
@@ -723,6 +784,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_triples_ckpt": kg_triples_ckpt,
+        "kg_subtree_mentions": kg_subtree_mentions,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -752,6 +814,7 @@ def oracles() -> Dict[str, str]:
         "kg_mentions": kg_mentions_sql(),
         "kg_triples": kg_triples_sql(),
         "kg_triples_ckpt": kg_triples_sql(),
+        "kg_subtree_mentions": kg_subtree_mentions_sql(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
