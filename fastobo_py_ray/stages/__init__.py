@@ -9,6 +9,8 @@ from .dedup import (MinHasher, embedding_near_dup, exact_dedup, jaccard,
                     minhash_signature, ngram_jaccard_pairs, shingles,
                     simhash64)
 from .extract import extract_text, extract_text_batch
+from .graph import (ancestors, descendants, descendants_ds, is_dag,
+                    isa_edges)
 from .mentions import (OntologyIndex, PageAnnotator, annotate_page,
                        build_index, detect, link, make_page_annotator)
 from .multimodal import (AudioFrameSampler, ImageFeatures, byte_entropy,
@@ -26,6 +28,7 @@ __all__ = [
     "minhash_signature", "simhash64", "jaccard", "shingles",
     "ngram_jaccard_pairs", "embedding_near_dup",
     "extract_text", "extract_text_batch",
+    "isa_edges", "is_dag", "descendants", "ancestors", "descendants_ds",
     "OntologyIndex", "build_index", "detect", "link", "annotate_page",
     "make_page_annotator", "PageAnnotator",
     "ImageFeatures", "AudioFrameSampler", "byte_histogram", "byte_entropy",
