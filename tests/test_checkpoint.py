@@ -64,6 +64,36 @@ def test_resume_skips_completed_and_matches_direct(ray_session, tmp_path):
     assert not r3["processed"] and len(r3["skipped"]) == n_parts
 
 
+def test_crashed_tmp_partial_is_ignored_and_rerun(ray_session, tmp_path):
+    """A partition that crashed mid-write leaves part-XXX.tmp and no
+    manifest; resume must re-run it and finalize must never read the
+    stray tmp dir."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=200, n_files=4)
+    out_root = str(tmp_path / "ckpt")
+    # simulate a crash: garbage half-written partial, no manifest
+    tmpdir = os.path.join(out_root, "parts", "part-00001.tmp")
+    os.makedirs(tmpdir)
+    pq.write_table(pd.DataFrame({"subj": ["junk"], "pred": ["junk"],
+                                 "obj": ["junk"], "n_evidence": [999],
+                                 "confidence": [0.0]}).pipe(
+        lambda df: __import__("pyarrow").Table.from_pandas(df)),
+        os.path.join(tmpdir, "junk.parquet"))
+
+    n_parts = len(partition_input_files(files, 2))
+    r = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                  files_per_partition=2, langs=None)
+    assert r["finalized"] and len(r["processed"]) == n_parts
+    adj = rd.read_parquet(r["adjacency_dir"]).to_pandas()
+    assert "junk" not in set(adj["subj"])
+    direct = run_kg_pipeline(rd.read_parquet(files), MINI_OBO,
+                             langs=None).to_pandas()
+    assert _triples(adj) == _triples(direct)
+
+
 def test_resume_invariant_across_partition_width(ray_session, tmp_path):
     """Final adjacency identical whatever the partition granularity
     (north-rule invariance: results independent of partitioning)."""
