@@ -187,26 +187,44 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
 def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 64, bands: int = 16,
                   jaccard_threshold: float = 0.8, seed: int = 42):
-    """Full near-dup pipeline: LSH candidates -> Jaccard verify (text
-    fetched via broadcast id->text lookup; candidate sets are sparse) ->
-    connected components -> (doc_id, cluster_rep) assignments."""
+    """Full near-dup pipeline: LSH candidates -> DISTRIBUTED Jaccard
+    verify (candidate Dataset x broadcast id->text lookup inside
+    map_batches — no driver-side pair loop) -> union-find over the
+    (small) verified edge set -> (doc_id, cluster_rep) assignments.
+
+    Scale note: the broadcast lookup holds only candidate docs' texts
+    (sparse by construction); if the candidate set ever outgrows the
+    object store, swap the broadcast for two :func:`hash_join` passes of
+    the pair list against the corpus.
+    """
     import ray
 
     from .canonicalize import union_find
 
-    cand = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands,
-                                   seed).to_pandas()
-    if cand.empty:
+    cand_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm,
+                                      bands, seed).materialize()
+    need_ids = set()
+    for row in cand_ds.take_all():
+        need_ids.add(row["doc_a"])
+        need_ids.add(row["doc_b"])
+    if not need_ids:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
-    need_ids = set(cand["doc_a"]) | set(cand["doc_b"])
     texts_df = ds.map_batches(
         lambda df: df[df[id_col].isin(need_ids)][[id_col, text_col]],
         batch_format="pandas").to_pandas()
-    lookup = dict(zip(texts_df[id_col], texts_df[text_col]))
-    keep = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        if jaccard(lookup.get(a, ""), lookup.get(b, "")) >= jaccard_threshold:
-            keep.append((str(a), str(b)))
+    lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        ok = [jaccard(lookup.get(a, ""), lookup.get(b, ""))
+              >= jaccard_threshold
+              for a, b in zip(df["doc_a"], df["doc_b"])]
+        return df[pd.Series(ok, index=df.index)]
+
+    verified = cand_ds.map_batches(verify,
+                                   batch_format="pandas").to_pandas()
+    keep = [(str(a), str(b)) for a, b in zip(verified["doc_a"],
+                                             verified["doc_b"])]
     reps = union_find(keep, key=lambda s: (len(s), s))  # numeric-safe order
     rows = sorted({(int(n), int(r)) for n, r in reps.items()} |
                   {(int(r), int(r)) for r in reps.values()})
