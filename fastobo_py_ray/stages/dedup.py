@@ -203,10 +203,11 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     cand_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm,
                                       bands, seed).materialize()
-    need_ids = set()
-    for row in cand_ds.take_all():
-        need_ids.add(row["doc_a"])
-        need_ids.add(row["doc_b"])
+    ids = cand_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": pd.unique(df[["doc_a", "doc_b"]].values.ravel())}),
+        batch_format="pandas").to_pandas()
+    need_ids = set(ids["id"])
     if not need_ids:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     texts_df = ds.map_batches(
