@@ -122,6 +122,31 @@ def test_text_extraction_invariant(ray_session):
     assert "Example Corp" not in t["text"][0].as_py()
 
 
+def test_real_ontology_index_and_emission():
+    """The full mention->triple path against the reference's own ms.obo
+    (2 936 terms, 2 815 surfaces): index build + automaton compile stay
+    sub-second, detection finds real instrument terms, and a parent-child
+    co-mention emits the is_a triple."""
+    from fastobo_py_ray.obo import load
+    from fastobo_py_ray.stages.canonicalize import union_find
+    from fastobo_py_ray.stages.mentions import build_index
+
+    onto = load("/root/reference/tests/data/ms.obo").ontology
+    idx = build_index(onto, union_find(onto.equivalence_edges()))
+    assert len(idx.surfaces) > 2500
+    idx.compile()
+    text = ("The Orbitrap mass analyzer acquired a selected ion "
+            "monitoring scan with collision-induced dissociation.")
+    m, _ = annotate_page(idx, "u", text)
+    found = {x[1] for x in m}
+    assert {"MS:1000484", "MS:1000205", "MS:1000133"} <= found
+    # co-mentioned is_a pair emits the edge (MS:1000001 is_a MS:1000548)
+    m2, t2 = annotate_page(
+        idx, "u", "The sample number is a kind of sample attribute.")
+    assert ("MS:1000001", "is_a", "MS:1000548") in {
+        (s, p, o) for s, p, o, *_ in t2}
+
+
 def test_distributed_union_find_matches_exact(ray_session):
     import random
 
