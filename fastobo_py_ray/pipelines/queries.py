@@ -526,6 +526,35 @@ FROM s
 """
 
 
+def q_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/validation split (the standard
+    training-data-pipeline assignment: stable under re-runs, resumes and
+    repartitioning because it depends only on the key, never on row
+    order or RNG state).  ~10% validation via the first md5 byte."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        hexes = [hashlib.md5(str(i).encode()).hexdigest()[:2]
+                 for i in df["doc_id"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "split": ["val" if h < "1a" else "train" for h in hexes]})
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_TRAIN_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()
@@ -794,6 +823,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_doc_stats": q_doc_stats,
         "q_quality": q_quality,
+        "q_train_split": q_train_split,
         "q_exact_dedup": q_exact_dedup,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
@@ -824,6 +854,7 @@ def oracles() -> Dict[str, str]:
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_doc_stats": Q_DOC_STATS_SQL,
         "q_quality": Q_QUALITY_SQL,
+        "q_train_split": Q_TRAIN_SPLIT_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
