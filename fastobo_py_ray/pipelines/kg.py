@@ -160,7 +160,8 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
 
 
 def materialize_adjacency(deduped_ds, out_dir: str,
-                          presorted: bool = False):
+                          presorted: bool = False,
+                          subj_buckets: int = 0):
     """S9 — sorted, partitioned parquet adjacency (graph.ipynb DiGraph
     semantics, ``/root/reference/docs/examples/graph.ipynb``).
 
@@ -169,9 +170,27 @@ def materialize_adjacency(deduped_ds, out_dir: str,
     so ``dedup_triples`` output is already globally range-ordered by
     (subj, pred, obj) — re-sorting would add a pure-overhead all-to-all.
     (Guarded by tests/test_kg_pipeline.py asserting sorted output.)
+
+    ``subj_buckets=P`` writes hive-partitioned output keyed by
+    ``subj_bucket = stable_hash(subj) % P`` (SURVEY §1.2 adjacency
+    layout): all edges of a subject land in one directory, so graph
+    consumers read a single bucket per entity and a resumable downstream
+    job can process bucket directories independently.
     """
     ds = deduped_ds if presorted else deduped_ds.sort(
         ["subj", "pred", "obj"])
+    if subj_buckets:
+        import zlib
+
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["subj_bucket"] = [zlib.crc32(s.encode()) % subj_buckets
+                                 for s in df["subj"]]
+            return df
+
+        ds.map_batches(bucket, batch_format="pandas") \
+            .write_parquet(out_dir, partition_cols=["subj_bucket"])
+        return
     ds.write_parquet(out_dir)
 
 

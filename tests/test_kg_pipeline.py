@@ -96,6 +96,34 @@ def test_adjacency_written_sorted(ray_session, tmp_path):
     assert {(s, p, o): 0 for s, p, o in keys}.keys() == GOLDEN_TRIPLES.keys()
 
 
+def test_adjacency_subj_bucket_partitioning(ray_session, tmp_path):
+    """subj_buckets=P writes hive-partitioned dirs; every subject's edges
+    live in exactly one bucket and the union equals the flat output."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import (annotate_pages,
+                                             materialize_adjacency,
+                                             prepare_index)
+
+    out_dir = str(tmp_path / "adj_bucketed")
+    index_ref = ray.put(prepare_index(MINI_OBO))
+    triples = annotate_pages(
+        rd.from_arrow(golden_pages_table()).repartition(3), index_ref,
+        emit="triples", batch_size=4)
+    materialize_adjacency(dedup_triples(triples), out_dir, presorted=True,
+                          subj_buckets=4)
+    assert any(d.startswith("subj_bucket=") for d in os.listdir(out_dir))
+    back = rd.read_parquet(out_dir).to_pandas()
+    got = {(r.subj, r.pred, r.obj): int(r.n_evidence)
+           for r in back.itertuples()}
+    assert got == GOLDEN_TRIPLES
+    per_subj = back.groupby("subj")["subj_bucket"].nunique()
+    assert (per_subj == 1).all()
+
+
 def test_kg_pipeline_invariance_across_partitioning(ray_session):
     """Results identical across partition counts and batch sizes
     (parallelism invariance, SURVEY.md §5)."""
