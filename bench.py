@@ -36,9 +36,16 @@ BASE_SLAB = 600_000
 CORPUS_ROOT = "/tmp/fastobo_bench_corpus"
 
 
+def corpus_pages(n_pages: int) -> int:
+    """Actual page count the tiled corpus holds (base * whole tiles)."""
+    base = min(n_pages, BASE_SLAB)
+    return base * max(1, n_pages // base)
+
+
 def ensure_corpus(n_pages: int) -> str:
     """Deterministic page corpus, generated once and cached on disk."""
-    out = os.path.join(CORPUS_ROOT, f"pages-{n_pages}x{BENCH_MAX_PARAS}-raw")
+    actual = corpus_pages(n_pages)
+    out = os.path.join(CORPUS_ROOT, f"pages-{actual}x{BENCH_MAX_PARAS}-raw")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -119,6 +126,7 @@ def run_bench() -> dict:
     timed("q_ann_topk", Q.q_ann_topk)
     timed("q_minhash_clusters", Q.q_minhash_clusters)
 
+    actual_pages = corpus_pages(N_PAGES)
     result = {
         "metric": "kg_e2e_sec",
         "value": round(headline, 3),
@@ -126,9 +134,9 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "bench_pages": N_PAGES,
+        "bench_pages": actual_pages,
         "n_triples": n_triples,
-        "pages_per_sec": round(N_PAGES / headline, 1),
+        "pages_per_sec": round(actual_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
     }
     ray.shutdown()
@@ -212,7 +220,7 @@ def run_scaling() -> dict:
         "eff_8_32": round(eff_8_32, 3),
         "sec": {str(n): r[n]["value"] for n in r},
         "pages_per_sec": {str(n): r[n]["pages_per_sec"] for n in r},
-        "bench_pages": N_PAGES,
+        "bench_pages": corpus_pages(N_PAGES),
         "hw_probe": _hw_dilation_probe(corpus),
     }
 

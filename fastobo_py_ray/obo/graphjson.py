@@ -165,6 +165,11 @@ def _frame_to_node(f: Frame) -> Dict[str, Any]:
     obs = f.first("is_obsolete")
     if obs and str(obs["value"]).lower() == "true":
         meta["deprecated"] = True
+    pvs = [{"pred": c.get("relation", ""),
+            "val": c.get("pv_value", c.get("target", ""))}
+           for c in f.values("property_value")]
+    if pvs:
+        meta["basicPropertyValues"] = pvs
     node = {"id": f.id, "type": "PROPERTY" if f.kind == "typedef"
             else "CLASS"}
     if f.name:

@@ -120,16 +120,22 @@ def _run_partition(key: str, files: List[str], index_ref, out_root: str,
     return manifest
 
 
-def _url_range(files: List[str]):
-    """Min/max url per partition from parquet column statistics — lineage
-    without scanning data."""
+def _url_range(files: List[str], column: str = "url"):
+    """Min/max of ``column`` per partition from parquet column statistics
+    — lineage without scanning data.  The column is located BY NAME in
+    each file's schema (never positionally)."""
     import pyarrow.parquet as pq
 
     lo = hi = None
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        try:
+            ci = pf.schema_arrow.names.index(column)
+        except ValueError:
+            continue
+        md = pf.metadata
         for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)
+            col = md.row_group(rg).column(ci)
             if col.statistics is None:
                 continue
             mn, mx = col.statistics.min, col.statistics.max
@@ -154,6 +160,8 @@ def run_kg_pipeline_resumable(corpus_files: Sequence[str], obo_text: str,
     Returns {"processed": [...keys...], "skipped": [...], "manifests":
     {...}, "adjacency_dir": ...}.
     """
+    import shutil
+
     import ray
 
     from ..context import tune_data_context
@@ -161,26 +169,44 @@ def run_kg_pipeline_resumable(corpus_files: Sequence[str], obo_text: str,
     tune_data_context()
     parts = partition_input_files(corpus_files, files_per_partition)
     done = completed_partitions(out_root)
+    # A manifest only counts if its recorded input files match THIS run's
+    # partitioning — changing files_per_partition or the corpus between
+    # invocations must re-run (and stale part dirs must not leak into the
+    # finalize glob), otherwise evidence would be double-counted.
+    valid: Dict[str, dict] = {}
+    for key, files in parts.items():
+        m = done.get(key)
+        if m and m.get("input_files") == [os.path.basename(f)
+                                          for f in files]:
+            valid[key] = m
+    stale = set(done) - set(valid)
+    for key in stale:
+        shutil.rmtree(os.path.join(out_root, PARTS_DIR, f"part-{key}"),
+                      ignore_errors=True)
+        try:
+            os.remove(os.path.join(out_root, MANIFEST_DIR, f"{key}.json"))
+        except FileNotFoundError:
+            pass
     index_ref = None
     processed, skipped = [], []
     for key, files in parts.items():
-        if key in done:
+        if key in valid:
             skipped.append(key)
             continue
         if max_partitions is not None and len(processed) >= max_partitions:
             break
         if index_ref is None:  # broadcast once, lazily
             index_ref = ray.put(prepare_index(obo_text))
-        done[key] = _run_partition(key, files, index_ref, out_root,
-                                   batch_size, langs)
+        valid[key] = _run_partition(key, files, index_ref, out_root,
+                                    batch_size, langs)
         processed.append(key)
     adjacency_dir = os.path.join(out_root, "adjacency")
     finalized = False
-    if not skip_finalize and len(done) == len(parts):
+    if not skip_finalize and len(valid) == len(parts):
         finalize_adjacency(out_root, adjacency_dir)
         finalized = True
     return {"processed": processed, "skipped": skipped,
-            "manifests": done, "finalized": finalized,
+            "manifests": valid, "finalized": finalized,
             "adjacency_dir": adjacency_dir}
 
 

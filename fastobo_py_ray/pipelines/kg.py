@@ -177,8 +177,25 @@ def materialize_adjacency(deduped_ds, out_dir: str,
     consumers read a single bucket per entity and a resumable downstream
     job can process bucket directories independently.
     """
-    ds = deduped_ds if presorted else deduped_ds.sort(
-        ["subj", "pred", "obj"])
+    if presorted:
+        # tripwire for the range-ordered-aggregate contract: if a Ray
+        # upgrade switches groupby to a hash shuffle, blocks stop being
+        # internally sorted and this fails loudly instead of silently
+        # writing unsorted adjacency (cross-block order is additionally
+        # covered by tests/test_kg_pipeline.py).
+        def _assert_block_sorted(t: pa.Table) -> pa.Table:
+            keys = list(zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                            t["obj"].to_pylist()))
+            if keys != sorted(keys):
+                raise AssertionError(
+                    "dedup output is no longer range-sorted; drop "
+                    "presorted=True (Ray groupby shuffle changed?)")
+            return t
+
+        ds = deduped_ds.map_batches(_assert_block_sorted,
+                                    batch_format="pyarrow")
+    else:
+        ds = deduped_ds.sort(["subj", "pred", "obj"])
     if subj_buckets:
         import zlib
 

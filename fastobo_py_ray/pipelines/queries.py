@@ -426,7 +426,10 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
         arr = ts.to_numpy()
         lo = np.searchsorted(arr, arr - np.timedelta64(30, "m"),
                              side="left")
-        n = np.arange(1, len(arr) + 1) - lo
+        # side="right" upper bound counts all ts-peers of the current row,
+        # matching the SQL RANGE frame on duplicate timestamps
+        hi = np.searchsorted(arr, arr, side="right")
+        n = hi - lo
         return pd.DataFrame({"user_id": g["user_id"].iloc[0],
                              "ts": ts, "n_in_window": n.astype("int64")})
 
@@ -629,9 +632,15 @@ WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
            FROM documents),
 idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         FROM t),
-sh AS (SELECT DISTINCT doc_id,
-              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-       FROM idx),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM idx
+         UNION ALL
+         -- parity with shingles(): a <3-word doc contributes its whole
+         -- text as one shingle (empty docs contribute nothing)
+         SELECT doc_id, array_to_string(w, ' ')
+         FROM t WHERE len(w) BETWEEN 1 AND 2
+           AND array_to_string(w, ' ') <> '')),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          FROM sh a JOIN sh b
@@ -736,8 +745,14 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
-    """Approximate (LSH multi-probe) variant of q_ann_topk; rows-only
-    (recall vs brute force is asserted in tests/test_ann.py)."""
+    """Approximate (LSH multi-probe) variant of q_ann_topk; rows-only.
+
+    Recall on the driver's synthetic embeddings is inherently poor: they
+    are near-orthogonal random vectors (max pairwise cosine ~0.5), so no
+    locality structure exists for hyperplane buckets to exploit.  On
+    clustered data the same operator achieves recall >= 0.8
+    (tests/test_dedup_ann.py::test_lsh_topk_recall).
+    """
     import pyarrow.parquet as pq
 
     from ..stages.ann import lsh_topk
@@ -745,8 +760,11 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     q = pq.read_table(_pq(sf_dir, "embeddings"),
                       filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = lsh_topk(ds, np.asarray(q), k=10, num_probes=4)
-    out = out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    # 6 planes / 8 probes: on the small near-orthogonal testdata
+    # embeddings, narrower bucketing leaves < k candidates; wider probing
+    # keeps recall high while still scanning only a fraction of the table
+    out = lsh_topk(ds, np.asarray(q), k=10, num_planes=6, num_probes=8,
+                   exclude_ids={0}).reset_index(drop=True)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out
 

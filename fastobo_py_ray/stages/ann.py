@@ -81,8 +81,8 @@ class LshBucketer:
 
 def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
              num_planes: int = 8, num_probes: int = 4, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> pd.DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_ids: Optional[set] = None) -> pd.DataFrame:
     """Approximate top-k: score only rows whose LSH bucket is within the
     ``num_probes`` nearest probe signatures of the query (multi-probe =
     flipping the lowest-margin hyperplane bits)."""
@@ -106,7 +106,8 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
     bucketed = ds.map_batches(bucketer, batch_format="pandas")
     candidates = bucketed.map_batches(
         lambda df: df[df["bucket"].isin(probe_sigs)], batch_format="pandas")
-    return brute_force_topk(candidates, query, k, id_col, vec_col)
+    return brute_force_topk(candidates, query, k, id_col, vec_col,
+                            exclude_ids=exclude_ids)
 
 
 def _count_bits(p: int) -> int:

@@ -29,6 +29,10 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # deterministic 64-bit universal hash family for minhash
 _MERSENNE = (1 << 61) - 1
 
+# per-worker-process cache for the minhash-verify text lookup (bounded: one
+# entry, replaced when a new broadcast arrives)
+_VERIFY_CACHE: dict = {}
+
 
 def _hash_tokens(tokens: List[str]) -> np.ndarray:
     return np.fromiter(
@@ -216,7 +220,14 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
+        # per-process cache: a python dict is not zero-copy, so a bare
+        # ray.get per batch would re-deserialize all candidate texts
+        key = lookup_ref.hex()
+        lookup = _VERIFY_CACHE.get(key)
+        if lookup is None:
+            lookup = ray.get(lookup_ref)
+            _VERIFY_CACHE.clear()
+            _VERIFY_CACHE[key] = lookup
         ok = [jaccard(lookup.get(a, ""), lookup.get(b, ""))
               >= jaccard_threshold
               for a, b in zip(df["doc_a"], df["doc_b"])]

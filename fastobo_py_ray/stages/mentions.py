@@ -317,6 +317,10 @@ def resolve_index(index_ref) -> OntologyIndex:
     if idx is None:
         idx = ray.get(index_ref)
         idx.compile()
+        # bounded: repeated jobs ship fresh ObjectRefs; without eviction a
+        # long-lived worker would accumulate one full index per job
+        if len(_WORKER_INDEX_CACHE) >= 2:
+            _WORKER_INDEX_CACHE.clear()
         _WORKER_INDEX_CACHE[key] = idx
     return idx
 

@@ -64,6 +64,31 @@ def test_resume_skips_completed_and_matches_direct(ray_session, tmp_path):
     assert not r3["processed"] and len(r3["skipped"]) == n_parts
 
 
+def test_changed_partition_width_invalidates_stale_manifests(ray_session,
+                                                             tmp_path):
+    """Re-invoking with a different files_per_partition must NOT reuse
+    manifests whose input file sets no longer match — stale partials
+    would double-count evidence."""
+    import ray.data as rd
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=240, n_files=6)
+    out_root = str(tmp_path / "ckpt")
+    # partial run at width 4, crash after 1 partition
+    r1 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=4, langs=None,
+                                   max_partitions=1)
+    assert len(r1["processed"]) == 1
+    # resume at width 2: every stale manifest is discarded and re-run
+    r2 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=2, langs=None)
+    assert r2["finalized"] and not r2["skipped"]
+    direct = run_kg_pipeline(rd.read_parquet(files), MINI_OBO,
+                             langs=None).to_pandas()
+    resumed = rd.read_parquet(r2["adjacency_dir"]).to_pandas()
+    assert _triples(resumed) == _triples(direct)  # no double counting
+
+
 def test_crashed_tmp_partial_is_ignored_and_rerun(ray_session, tmp_path):
     """A partition that crashed mid-write leaves part-XXX.tmp and no
     manifest; resume must re-run it and finalize must never read the
