@@ -77,11 +77,22 @@ def _scan_unquoted(s: str, targets: str) -> int:
 
 
 def strip_comment(line: str) -> Tuple[str, Optional[str]]:
-    """Split off a trailing ``! comment`` (unescaped, outside quotes)."""
-    idx = _scan_unquoted(line, "!")
-    if idx < 0:
-        return line, None
-    return line[:idx].rstrip(), line[idx + 1:].strip()
+    """Split off a trailing ``! comment`` (unescaped, outside quotes).
+
+    Only a ``!`` preceded by whitespace (or at line start) opens a
+    comment — a mid-token ``!`` is literal content, matching the
+    reference parser on ms.obo names like ``X!Tandem`` and regex values
+    like ``(?<=K)(?!P)``.
+    """
+    start = 0
+    while True:
+        idx = _scan_unquoted(line[start:], "!")
+        if idx < 0:
+            return line, None
+        idx += start
+        if idx == 0 or line[idx - 1] in " \t":
+            return line[:idx].rstrip(), line[idx + 1:].strip()
+        start = idx + 1
 
 
 def split_qualifiers(line: str) -> Tuple[str, List[Tuple[str, str]]]:
@@ -151,7 +162,7 @@ def tokenize_value(value: str) -> List[Tuple[str, str]]:
     i, n = 0, len(value)
     while i < n:
         c = value[i]
-        if c.isspace():
+        if c in " \t":  # OBO separators are ASCII; \xa0 etc. are content
             i += 1
             continue
         if c == '"':
@@ -187,7 +198,7 @@ def tokenize_value(value: str) -> List[Tuple[str, str]]:
         else:
             j, buf = i, []
             in_quote = False
-            while j < n and (in_quote or not value[j].isspace()):
+            while j < n and (in_quote or value[j] not in " \t"):
                 if value[j] == "\\" and j + 1 < n:
                     buf.append(value[j:j + 2]); j += 2
                     continue
@@ -202,7 +213,7 @@ def parse_xref_list(body: str) -> List[str]:
     (descriptions and modifiers dropped; ``src/py/xref.rs:169-173``)."""
     out = []
     for part in _split_top_level(body, ","):
-        part = part.strip()
+        part = part.strip(" \t")
         if not part:
             continue
         toks = tokenize_value(part)

@@ -91,6 +91,22 @@ def test_owl_ofn_sink():
         dumps_owl(onto, format="owx")
 
 
+def test_byte_exact_roundtrip_reference_corpora():
+    """The reference's roundtrip discipline (str(doc) reproduces the OBO
+    text, tests/common.py:157-159) holds BYTE-FOR-BYTE on both reference
+    corpora: every non-blank line of ms.obo and plana.obo is reproduced
+    at its position (incl. mid-token '!' names like X!Tandem and
+    non-breaking spaces inside xref ids)."""
+    from fastobo_py_ray.obo import dumps, load
+
+    for path in (MS_OBO, "/root/reference/tests/data/plana.obo"):
+        orig = [l for l in open(path).read().splitlines() if l.strip()]
+        r = load(path)
+        assert not r.errors
+        ours = [l for l in dumps(r.ontology).splitlines() if l.strip()]
+        assert ours == orig
+
+
 def test_plana_golden_counts_and_macros():
     """plana.obo goldens (reference's second corpus): 577 frames (495 Term
     + 82 Typedef), ';'-separated multi-entry genus-differentia macro at
