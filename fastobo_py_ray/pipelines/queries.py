@@ -655,6 +655,18 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
 """
 
 
+def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Bucketed (distributed) approximate variant of q_embedding_neardup;
+    rows-only (subset-of-exact + recall asserted in tests)."""
+    from ..stages.dedup import embedding_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_lsh(ds, threshold=0.4, num_planes=4)
+    for c in ("id_a", "id_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_near_dup
 
@@ -848,6 +860,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_fingerprint": q_fingerprint,

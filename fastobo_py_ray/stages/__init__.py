@@ -4,7 +4,8 @@ from .ann import LshBucketer, brute_force_topk, lsh_topk
 from .canonicalize import (apply_representatives_batch, compact_ids_batch,
                            connected_components, decompact_ids_batch,
                            representatives_from_labels, union_find)
-from .dedup import (MinHasher, embedding_near_dup, exact_dedup, jaccard,
+from .dedup import (MinHasher, embedding_near_dup,
+                    embedding_near_dup_lsh, exact_dedup, jaccard,
                     minhash_candidate_pairs, minhash_dedup,
                     minhash_signature, ngram_jaccard_pairs, shingles,
                     simhash64)
@@ -26,7 +27,7 @@ __all__ = [
     "decompact_ids_batch",
     "exact_dedup", "minhash_dedup", "minhash_candidate_pairs", "MinHasher",
     "minhash_signature", "simhash64", "jaccard", "shingles",
-    "ngram_jaccard_pairs", "embedding_near_dup",
+    "ngram_jaccard_pairs", "embedding_near_dup", "embedding_near_dup_lsh",
     "extract_text", "extract_text_batch",
     "isa_edges", "is_dag", "descendants", "ancestors", "descendants_ds",
     "OntologyIndex", "build_index", "detect", "link", "annotate_page",

@@ -308,6 +308,44 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_near_dup_lsh(ds, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9, num_planes: int = 6,
+                           seed: int = 42) -> pd.DataFrame:
+    """Scale path for cosine near-dup: random-hyperplane LSH bucketing
+    (one hash shuffle) then within-bucket pairwise cosine — O(sum b_i^2)
+    instead of O(N^2), fully distributed.  Approximate: pairs whose
+    vectors land in different buckets are missed (recall rises with fewer
+    planes / by unioning multiple seeds); exactness-checked against
+    :func:`embedding_near_dup` on clustered data in tests.
+    Returns (id_a, id_b, cos_sim >= threshold)."""
+    from .ann import LshBucketer, _as_matrix, _normalize
+
+    sample = ds.take(1)
+    if not sample:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+    dim = len(sample[0][vec_col])
+    bucketer = LshBucketer(dim, num_planes, seed, vec_col)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        m = _normalize(_as_matrix(g[vec_col]))
+        sims = np.round(m @ m.T, 6)
+        ia, ib = np.where(np.triu(sims, k=1) >= threshold)
+        ids = g[id_col].to_numpy()
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2,
+                             "cos_sim": sims[ia, ib]})
+
+    return ds.map_batches(bucketer, batch_format="pandas") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                        threshold: float = 0.95, block: int = 2048):
     """Near-duplicate pairs by cosine similarity.

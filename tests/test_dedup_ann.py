@@ -91,6 +91,24 @@ def test_embedding_near_dup_matches_brute(ray_session):
     assert got == expect and len(expect) > 0
 
 
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """Bucketed (distributed) near-dup recovers most of the exact pairs
+    on clustered vectors; everything it returns is a true pair."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import embedding_near_dup_lsh
+
+    vecs = _clustered_vectors(n=200)
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = embedding_near_dup(ds, threshold=0.99)
+    approx = embedding_near_dup_lsh(ds, threshold=0.99, num_planes=4)
+    e = {(int(a), int(b)) for a, b in zip(exact["id_a"], exact["id_b"])}
+    g = {(int(a), int(b)) for a, b in zip(approx["id_a"], approx["id_b"])}
+    assert g <= e                      # no false positives
+    assert len(g) / max(1, len(e)) >= 0.5, (len(g), len(e))
+
+
 def test_simhash_near_texts_close():
     a = simhash64("the quick brown fox jumps over the lazy dog")
     b = simhash64("the quick brown fox jumps over the lazy cat")
