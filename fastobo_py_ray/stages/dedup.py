@@ -245,7 +245,8 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3, threshold: float = 0.8):
+                        k: int = 3, threshold: float = 0.8,
+                        max_doc_freq: Optional[int] = None):
     """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
     inverted index (no LSH approximation):
 
@@ -254,9 +255,12 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     The only data shuffled is (shingle, doc_id) rows and fixed-width pair
     partials.  Skew note: a shingle shared by m docs emits O(m^2) pairs —
-    at corpus scale cap or salt hot shingles (stop-gram filtering), or use
-    :func:`minhash_candidate_pairs` (probabilistic) instead; this exact
-    operator is the oracle-checkable baseline.
+    ``max_doc_freq=M`` drops shingle groups larger than M (stop-gram
+    filtering, the corpus-scale path): intersections lose only ubiquitous
+    shingles, so reported jaccard is a lower bound and the result is a
+    SUBSET of the exact pairs (guarded by test); leave ``None`` for the
+    oracle-checkable exact baseline, or use
+    :func:`minhash_candidate_pairs` (probabilistic) instead.
     Returns pandas (doc_a, doc_b, jaccard >= threshold), ids ordered.
     """
     from ray.data.aggregate import Sum
@@ -279,6 +283,8 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc"].unique())
+        if max_doc_freq is not None and len(ids) > max_doc_freq:
+            ids = []  # stop-gram: too common to be evidence of near-dup
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype=g["doc"].dtype),
                                  "doc_b": pd.Series(dtype=g["doc"].dtype),

@@ -59,6 +59,24 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     assert got[(1, 2)] == 1.0
 
 
+def test_ngram_jaccard_max_doc_freq_is_subset(ray_session):
+    """The stop-gram cap yields a subset of the exact pairs (jaccard is a
+    lower bound when common shingles are dropped)."""
+    import ray.data as rd
+
+    texts = {i: "common words here plus item %d unique tail" % (i % 3)
+             for i in range(1, 9)}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    exact = ngram_jaccard_pairs(ds, threshold=0.5)
+    capped = ngram_jaccard_pairs(ds, threshold=0.5, max_doc_freq=3)
+    e = {(a, b) for a, b in zip(exact["doc_a"], exact["doc_b"])}
+    c = {(a, b) for a, b in zip(capped["doc_a"], capped["doc_b"])}
+    assert c <= e
+    # identical docs (same i%3 class) share everything incl. rare tails
+    assert len(c) > 0
+
+
 def test_lsh_topk_recall(ray_session):
     import ray.data as rd
 
