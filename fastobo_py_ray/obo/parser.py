@@ -197,8 +197,7 @@ def tokenize_value(value: str) -> List[Tuple[str, str]]:
             i = j + 1
         else:
             j, buf = i, []
-            in_quote = False
-            while j < n and (in_quote or value[j] not in " \t"):
+            while j < n and value[j] not in " \t":
                 if value[j] == "\\" and j + 1 < n:
                     buf.append(value[j:j + 2]); j += 2
                     continue

@@ -664,6 +664,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     out = embedding_near_dup_lsh(ds, threshold=0.4, num_planes=4)
     for c in ("id_a", "id_b"):
         out[c] = out[c].astype("int64")
+    out["cos_sim"] = out["cos_sim"].astype("float64")
     return out
 
 

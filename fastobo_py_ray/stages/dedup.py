@@ -314,38 +314,54 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         "cos_sim": pd.Series(dtype="float64")})
+
+
+def _cosine_pairs(ids: np.ndarray, normalized: np.ndarray,
+                  threshold: float) -> pd.DataFrame:
+    """Shared pair extraction (exact + LSH paths): 6-decimal-rounded sims
+    thresholded on the rounded value (oracle parity), ids ordered."""
+    sims = np.round(normalized @ normalized.T, 6)
+    ia, ib = np.where(np.triu(sims, k=1) >= threshold)
+    if len(ia) == 0:
+        return _empty_pairs()
+    a, b = ids[ia], ids[ib]
+    swap = a > b
+    return pd.DataFrame({"id_a": np.where(swap, b, a),
+                         "id_b": np.where(swap, a, b),
+                         "cos_sim": sims[ia, ib]})
+
+
 def embedding_near_dup_lsh(ds, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9, num_planes: int = 6,
-                           seed: int = 42) -> pd.DataFrame:
+                           seed: int = 42,
+                           dim: Optional[int] = None) -> pd.DataFrame:
     """Scale path for cosine near-dup: random-hyperplane LSH bucketing
     (one hash shuffle) then within-bucket pairwise cosine — O(sum b_i^2)
     instead of O(N^2), fully distributed.  Approximate: pairs whose
     vectors land in different buckets are missed (recall rises with fewer
     planes / by unioning multiple seeds); exactness-checked against
     :func:`embedding_near_dup` on clustered data in tests.
+    Pass ``dim`` to avoid the schema-sniffing partial execution.
     Returns (id_a, id_b, cos_sim >= threshold)."""
     from .ann import LshBucketer, _as_matrix, _normalize
 
-    sample = ds.take(1)
-    if not sample:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-    dim = len(sample[0][vec_col])
+    if dim is None:
+        sample = ds.take(1)
+        if not sample:
+            return _empty_pairs()
+        dim = len(sample[0][vec_col])
     bucketer = LshBucketer(dim, num_planes, seed, vec_col)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        m = _normalize(_as_matrix(g[vec_col]))
-        sims = np.round(m @ m.T, 6)
-        ia, ib = np.where(np.triu(sims, k=1) >= threshold)
-        ids = g[id_col].to_numpy()
-        a, b = ids[ia], ids[ib]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": a2, "id_b": b2,
-                             "cos_sim": sims[ia, ib]})
+            return _empty_pairs()
+        return _cosine_pairs(g[id_col].to_numpy(),
+                             _normalize(_as_matrix(g[vec_col])), threshold)
 
     return ds.map_batches(bucketer, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas") \
@@ -369,15 +385,5 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         mats.append(m)
     if not mats:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-    mat = np.vstack(mats)
-    # threshold on 6-decimal-rounded sims so float summation order can't
-    # flip membership at the boundary (oracle parity)
-    sims = np.round(mat @ mat.T, 6)
-    ia, ib = np.where(np.triu(sims, k=1) >= threshold)
-    out = pd.DataFrame({
-        "id_a": [ids[i] for i in ia], "id_b": [ids[j] for j in ib],
-        "cos_sim": sims[ia, ib]})
-    swap = out["id_a"] > out["id_b"]
-    out.loc[swap, ["id_a", "id_b"]] = out.loc[swap, ["id_b", "id_a"]].values
-    return out
+        return _empty_pairs()
+    return _cosine_pairs(np.asarray(ids), np.vstack(mats), threshold)
