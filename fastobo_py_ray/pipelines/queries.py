@@ -404,6 +404,9 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
             Sum("sum_value", alias_name="sum_value")).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
+    # dt.floor yields ns resolution; normalize to the parquet/DuckDB us so
+    # a value-hash over raw buffers sees identical bytes on both sides
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out
 
 
