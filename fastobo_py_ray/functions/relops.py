@@ -68,8 +68,16 @@ def hash_join(left, right, on: Union[str, List[str]],
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             # vectorized, process-stable row hash (fixed internal hash key,
-            # independent of PYTHONHASHSEED) — never a per-row Python loop
-            h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            # independent of PYTHONHASHSEED) — never a per-row Python loop.
+            # Numeric keys hash via float64 so int64 on one side and
+            # float64 on the other (e.g. a column NA-widened by an earlier
+            # hash_join) still land in the same bucket; a float collision
+            # only co-locates keys, the in-bucket merge stays exact.
+            kdf = df[keys].copy()
+            for c in keys:
+                if pd.api.types.is_numeric_dtype(kdf[c]):
+                    kdf[c] = kdf[c].astype("float64")
+            h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
             df["__bucket"] = (h % num_buckets).astype("int64")
             df["__side"] = side
             return df

@@ -299,24 +299,32 @@ LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Multi-way star join: all dimension sides broadcast, single pass over
-    lineitem, partial-combine then final groupby."""
+    """Star join with scale-tiered sides: TRUE dimensions (region, nation,
+    supplier — bounded or sub-linear in scale factor) are broadcast; the
+    tables that grow with the fact data (orders, customer, lineitem) are
+    joined with partitioned :func:`hash_join`s, so nothing fact-sized ever
+    lands on the driver or in an object-store broadcast.
+
+    Plan (two all-to-alls total):
+      1. ``orders ⋈ customer`` on custkey (hash_join, projection pushed
+         into the bucket task) -> (l_orderkey, c_nationkey);
+      2. ``lineitem`` map_batches: broadcast ASIA-supplier merge + revenue;
+      3. ``(2) ⋈ (1)`` on orderkey with the nation-equality filter AND the
+         per-bucket revenue group-by riding the join shuffle
+         (bucket_finalize — a bucket holds every row of its orderkeys, so
+         the partial group-by is exact), then a KB-scale final groupby.
+    """
     import ray
 
     from ray.data.aggregate import Sum
+
+    from ..functions.relops import hash_join
 
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     supplier = _read(sf_dir, "supplier",
                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    customer = _read(sf_dir, "customer",
-                     columns=["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey"]).to_pandas()
 
-    # driver-side pre-joins of the dimension tables (all vectorized pandas
-    # merges), broadcast once: supplier -> (s_suppkey, nation) restricted
-    # to ASIA; orders -> (o_orderkey, customer nation)
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat = nation.loc[nation["n_regionkey"].isin(asia),
                      ["n_nationkey", "n_name"]]
@@ -324,34 +332,51 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                          right_on="n_nationkey")[
         ["s_suppkey", "s_nationkey", "n_name"]].rename(
         columns={"s_suppkey": "l_suppkey"})
-    ord_nat = orders.merge(customer, left_on="o_custkey",
-                           right_on="c_custkey")[
-        ["o_orderkey", "c_nationkey"]].rename(
-        columns={"o_orderkey": "l_orderkey"})
-    refs = ray.put((sup, ord_nat))
+    sup_ref = ray.put(sup)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+    # materialized: the second hash_join reads this handle twice (schema +
+    # data); unmaterialized it would re-execute the whole first join
+    ord_nat = hash_join(
+        orders, customer, on="c_custkey", num_buckets=16,
+        # restore int64: NA-widening inside the join floats the carried key
+        bucket_finalize=lambda df: df[["o_orderkey", "c_nationkey"]]
+        .astype("int64").rename(
+            columns={"o_orderkey": "l_orderkey"})).materialize()
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                         "l_discount"])
 
-    class Star:
+    class AsiaSupplier:
         def __init__(self):
-            self.sup, self.ord_nat = ray.get(refs)
+            self.sup = ray.get(sup_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            d = df.merge(self.sup, on="l_suppkey") \
-                  .merge(self.ord_nat, on="l_orderkey")
-            d = d[d["s_nationkey"] == d["c_nationkey"]]
-            if d.empty:
-                return pd.DataFrame({"n_name": pd.Series(dtype="object"),
-                                     "revenue": pd.Series(dtype="float64")})
+            d = df.merge(self.sup, on="l_suppkey")
             rev = d["l_extendedprice"] * (1 - d["l_discount"])
-            return pd.DataFrame({"n_name": d["n_name"],
-                                 "revenue": rev}).groupby(
-                                     "n_name", as_index=False).sum()
+            return pd.DataFrame({"l_orderkey": d["l_orderkey"],
+                                 "s_nationkey": d["s_nationkey"],
+                                 "n_name": d["n_name"], "revenue": rev})
 
-    out = li.map_batches(Star, batch_format="pandas",
-                         concurrency=(1, 8)) \
+    li_asia = li.map_batches(AsiaSupplier, batch_format="pandas",
+                             concurrency=(1, 8))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["s_nationkey"] == df["c_nationkey"]]
+        if d.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "revenue": pd.Series(dtype="float64")})
+        return d.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    out = hash_join(li_asia, ord_nat, on="l_orderkey", num_buckets=16,
+                    bucket_finalize=finalize) \
         .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")) \
         .to_pandas()
     out["revenue"] = out["revenue"].round(4)
