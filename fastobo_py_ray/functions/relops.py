@@ -48,7 +48,9 @@ def broadcast_join(ds, small: pd.DataFrame, on: Union[str, List[str]],
 
 def hash_join(left, right, on: Union[str, List[str]],
               num_buckets: int = 16, how: str = "inner",
-              suffixes=("_l", "_r"), bucket_finalize=None):
+              suffixes=("_l", "_r"), bucket_finalize=None,
+              lcols: Optional[List[str]] = None,
+              rcols: Optional[List[str]] = None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Both sides are hash-bucketed on the key, unioned with a side tag, and
@@ -61,8 +63,19 @@ def hash_join(left, right, on: Union[str, List[str]],
     key-grouped aggregation and per-key top-k are exact here — use it to
     piggyback group-bys on the join shuffle instead of paying a second
     all-to-all (partition-aware aggregation).
+
+    Pass ``lcols``/``rcols`` (each side's column names) when known to skip
+    the ``schema()`` probes — on an unexecuted upstream a schema probe
+    runs part of the plan, and a second consumption re-executes it.
+    ``num_buckets`` is also the merge-stage parallelism knob: size it to
+    at least the cluster's core count (and raise it to salt hot keys).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if lcols is None:
+        lcols = [c for c in left.schema().names]
+    if rcols is None:
+        rcols = [c for c in right.schema().names]
+    all_cols = list(dict.fromkeys(lcols + rcols))
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,30 +93,16 @@ def hash_join(left, right, on: Union[str, List[str]],
             h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
             df["__bucket"] = (h % num_buckets).astype("int64")
             df["__side"] = side
-            return df
-        return fn
-
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
-
-    # union requires identical schemas: carry each side's columns, fill the
-    # other side's with NA via an outer concat inside the group instead --
-    # so keep sides separable by packing non-key columns per-row is costly;
-    # instead we union on a superset of columns.
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-
-    def widen(all_cols):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            # widen to the union schema in the same pass (union requires
+            # identical schemas; one map stage per side instead of two)
             for c in all_cols:
                 if c not in df.columns:
                     df[c] = pd.NA
             return df[all_cols + ["__bucket", "__side"]]
         return fn
 
-    all_cols = list(dict.fromkeys(lcols + rcols))
-    u = lt.map_batches(widen(all_cols), batch_format="pandas").union(
-        rt.map_batches(widen(all_cols), batch_format="pandas"))
+    u = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas"))
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == "l"][[c for c in lcols]]

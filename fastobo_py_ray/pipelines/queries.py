@@ -33,13 +33,27 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block=None):
+    """Pruned parquet read.  ``rows_per_block`` sizes the block count from
+    the file's row-count metadata so a small single-file table doesn't get
+    split into 2x-CPU micro-blocks (hundreds of ~10ms tasks whose
+    scheduling dominates); a multi-file corpus at scale keeps Ray's
+    default file-granular splitting (the override is per read_parquet
+    call, computed from THIS input's size, never a fixed constant)."""
     import ray.data as rd
 
     from ..context import tune_data_context
 
     tune_data_context()
-    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+    kwargs = {}
+    if rows_per_block is not None:
+        import math
+
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(_pq(sf_dir, table)).metadata.num_rows
+        kwargs["override_num_blocks"] = max(1, math.ceil(n / rows_per_block))
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +259,8 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
     b_ref = ray.put(building)
 
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   rows_per_block=50_000)
 
     def semi(df: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(b_ref)
@@ -256,7 +271,7 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
     orders_f = orders.map_batches(semi, batch_format="pandas")
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
-                        "l_shipdate"])
+                        "l_shipdate"], rows_per_block=25_000)
     li = li.map_batches(
         lambda df: df[df["l_shipdate"] > pd.Timestamp("1997-01-01")]
         .assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
@@ -315,15 +330,16 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
          the partial group-by is exact), then a KB-scale final groupby.
     """
     import ray
-
-    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq
 
     from ..functions.relops import hash_join
 
-    region = _read(sf_dir, "region").to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
-    supplier = _read(sf_dir, "supplier",
-                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    # true dimensions are KB-to-MB scale: local pyarrow reads (no Ray
+    # round-trip for tables that will be broadcast anyway)
+    region = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    supplier = pq.read_table(_pq(sf_dir, "supplier"),
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
 
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat = nation.loc[nation["n_regionkey"].isin(asia),
@@ -334,24 +350,24 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         columns={"s_suppkey": "l_suppkey"})
     sup_ref = ray.put(sup)
 
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey"]).map_batches(
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   rows_per_block=50_000).map_batches(
         lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
         batch_format="pandas")
     customer = _read(sf_dir, "customer",
-                     columns=["c_custkey", "c_nationkey"])
-    # materialized: the second hash_join reads this handle twice (schema +
-    # data); unmaterialized it would re-execute the whole first join
+                     columns=["c_custkey", "c_nationkey"],
+                     rows_per_block=50_000)
     ord_nat = hash_join(
-        orders, customer, on="c_custkey", num_buckets=16,
+        orders, customer, on="c_custkey", num_buckets=32,
+        lcols=["o_orderkey", "c_custkey"],
+        rcols=["c_custkey", "c_nationkey"],
         # restore int64: NA-widening inside the join floats the carried key
         bucket_finalize=lambda df: df[["o_orderkey", "c_nationkey"]]
-        .astype("int64").rename(
-            columns={"o_orderkey": "l_orderkey"})).materialize()
+        .astype("int64").rename(columns={"o_orderkey": "l_orderkey"}))
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                        "l_discount"])
+                        "l_discount"], rows_per_block=25_000)
 
     class AsiaSupplier:
         def __init__(self):
@@ -375,10 +391,16 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         return d.groupby("n_name", as_index=False).agg(
             revenue=("revenue", "sum"))
 
-    out = hash_join(li_asia, ord_nat, on="l_orderkey", num_buckets=16,
-                    bucket_finalize=finalize) \
-        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")) \
-        .to_pandas()
+    # bucket_finalize leaves <= |nations| rows per bucket, so the final
+    # reduce is over num_buckets * 5 rows — driver-side pandas, no third
+    # all-to-all
+    parts = hash_join(li_asia, ord_nat, on="l_orderkey", num_buckets=32,
+                      lcols=["l_orderkey", "s_nationkey", "n_name",
+                             "revenue"],
+                      rcols=["l_orderkey", "c_nationkey"],
+                      bucket_finalize=finalize).to_pandas()
+    out = parts.groupby("n_name", as_index=False).agg(
+        revenue=("revenue", "sum"))
     out["revenue"] = out["revenue"].round(4)
     return out
 
