@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Union
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -94,10 +95,13 @@ def hash_join(left, right, on: Union[str, List[str]],
             df["__bucket"] = (h % num_buckets).astype("int64")
             df["__side"] = side
             # widen to the union schema in the same pass (union requires
-            # identical schemas; one map stage per side instead of two)
+            # identical schemas; one map stage per side instead of two).
+            # np.nan (not pd.NA): NA-filling an int column must yield
+            # float64, never object — an object column of ints would hash
+            # differently from its int64 twin in a downstream hash_join.
             for c in all_cols:
                 if c not in df.columns:
-                    df[c] = pd.NA
+                    df[c] = np.nan
             return df[all_cols + ["__bucket", "__side"]]
         return fn
 

@@ -669,10 +669,14 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.8)
+    out = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
     for c in ("doc_a", "doc_b"):
         out[c] = out[c].astype("int64")
-    return out
+    return out.reset_index(drop=True)
 
 
 # word-3-gram shingling in SQL: tokenize on ' ' (the documents table is
@@ -778,7 +782,8 @@ def kg_triples_ckpt(sf_dir: str) -> pd.DataFrame:
 
 def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup(ds)
+    out = minhash_dedup(ds).to_pandas()
+    return out.sort_values(["doc_id", "cluster_rep"]).reset_index(drop=True)
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:

@@ -10,9 +10,10 @@
 
 Scale notes: every groupby here is a hash shuffle; signatures are computed
 per batch (vectorized numpy) so the shuffle moves fixed-width signatures,
-never the documents; candidate verification joins the text back only for
-candidate ids (semi-join via broadcast id set when the candidate set is
-small; bucketed hash join otherwise).
+never the documents; candidate verification joins the texts back with two
+partitioned hash joins of the (sparse) pair list against the corpus, and
+clustering is the distributed min-label propagation from
+:mod:`.canonicalize` — nothing corpus-sized is ever collected or broadcast.
 """
 
 from __future__ import annotations
@@ -23,15 +24,12 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 # deterministic 64-bit universal hash family for minhash
 _MERSENNE = (1 << 61) - 1
-
-# per-worker-process cache for the minhash-verify text lookup (bounded: one
-# entry, replaced when a new broadcast arrives)
-_VERIFY_CACHE: dict = {}
 
 
 def _hash_tokens(tokens: List[str]) -> np.ndarray:
@@ -152,10 +150,18 @@ class MinHasher:
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
-                            bands: int = 16, seed: int = 42):
+                            bands: int = 16, seed: int = 42,
+                            max_bucket_size: Optional[int] = None):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH
     banding: signature map_batches -> groupby(band_id, band_hash) ->
-    within-bucket pair explosion. One shuffle keyed on the band bucket."""
+    within-bucket pair explosion. One shuffle keyed on the band bucket.
+
+    ``max_bucket_size=M`` drops band buckets larger than M (degenerate
+    signatures — e.g. empty or boilerplate docs all hashing identically —
+    would otherwise emit O(m^2) pairs from a single hot bucket).  True
+    near-dup pairs still meet in their other ``bands-1`` buckets unless
+    those are degenerate too, so normal-corpus recall is preserved
+    (guarded by test)."""
 
     sigs = ds.map_batches(
         MinHasher, batch_format="pandas", concurrency=(1, 8),
@@ -164,15 +170,14 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
                                "seed": seed})
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
+        ids = np.array(sorted(set(group["doc_id"])))
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            ids = ids[:0]  # degenerate bucket: skip (see docstring)
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype=group["doc_id"].dtype),
                                  "doc_b": pd.Series(dtype=group["doc_id"].dtype)})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
@@ -188,60 +193,126 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
                .drop_columns(["__n"])
 
 
+def _len_key(v) -> str:
+    """Length-prefixed string encoding whose plain-string order equals the
+    numeric-safe (len(s), s) order used by ``union_find`` — so the
+    distributed min-label clustering picks the SAME representative as the
+    driver-side oracle ('9' < '10' for int ids)."""
+    s = str(v)
+    return f"{len(s):04d}{s}"
+
+
+def _len_key_inv(s: str) -> str:
+    return s[4:]
+
+
+def _arrow_type(t) -> pa.DataType:
+    """Dataset.schema() yields Arrow types for Arrow blocks but numpy
+    dtypes for pandas blocks — normalize to Arrow (object -> string)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()
+
+
 def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 64, bands: int = 16,
-                  jaccard_threshold: float = 0.8, seed: int = 42):
-    """Full near-dup pipeline: LSH candidates -> DISTRIBUTED Jaccard
-    verify (candidate Dataset x broadcast id->text lookup inside
-    map_batches — no driver-side pair loop) -> union-find over the
-    (small) verified edge set -> (doc_id, cluster_rep) assignments.
+                  jaccard_threshold: float = 0.8, seed: int = 42,
+                  max_bucket_size: Optional[int] = 1000,
+                  num_join_buckets: int = 32):
+    """Full near-dup pipeline, fully distributed — no document text ever
+    lands on the driver:
 
-    Scale note: the broadcast lookup holds only candidate docs' texts
-    (sparse by construction); if the candidate set ever outgrows the
-    object store, swap the broadcast for two :func:`hash_join` passes of
-    the pair list against the corpus.
+        LSH candidate pairs (banded signature shuffle, hot-bucket capped)
+        -> Jaccard verify via TWO :func:`hash_join` passes of the pair
+           list against the corpus (texts travel worker-to-worker only)
+        -> distributed :func:`connected_components_contract` (tree-reduce
+           of per-block union-finds; the shuffle-based min-label
+           propagation in :mod:`.canonicalize` is the fallback for node
+           sets beyond one worker's heap) over the verified edge set
+        -> Dataset of (id_col, cluster_rep): every member of a verified
+           near-dup cluster, representatives mapping to themselves.
+
+    The representative is the cluster's minimum id under the numeric-safe
+    (len, str) order — identical to the driver ``union_find`` oracle
+    (parity guarded by test).  Ids keep their original dtype (restored
+    from the input schema after the string-keyed clustering rounds).
     """
-    import ray
+    import pyarrow.compute as pc
+    import ray.data as rd
 
-    from .canonicalize import union_find
+    from ..functions.relops import hash_join
+    from .canonicalize import connected_components_contract
 
-    cand_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm,
-                                      bands, seed).materialize()
-    ids = cand_ds.map_batches(
-        lambda df: pd.DataFrame(
-            {"id": pd.unique(df[["doc_a", "doc_b"]].values.ravel())}),
-        batch_format="pandas").to_pandas()
-    need_ids = set(ids["id"])
-    if not need_ids:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
-    texts_df = ds.map_batches(
-        lambda df: df[df[id_col].isin(need_ids)][[id_col, text_col]],
-        batch_format="pandas").to_pandas()
-    lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+    schema = ds.schema()
+    id_type = _arrow_type(dict(zip(schema.names, schema.types))[id_col])
+
+    def _empty():
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "cluster_rep": pa.array([], type=id_type)}))
+
+    cand = minhash_candidate_pairs(
+        ds, id_col, text_col, num_perm, bands, seed,
+        max_bucket_size=max_bucket_size).materialize()
+    if cand.count() == 0:
+        return _empty()
+
+    docs_a = ds.map_batches(
+        lambda df: df[[id_col, text_col]].rename(
+            columns={id_col: "doc_a", text_col: "__text_a"}),
+        batch_format="pandas")
+    docs_b = ds.map_batches(
+        lambda df: df[[id_col, text_col]].rename(
+            columns={id_col: "doc_b", text_col: "__text_b"}),
+        batch_format="pandas")
+    with_a = hash_join(cand, docs_a, on="doc_a",
+                       num_buckets=num_join_buckets,
+                       lcols=["doc_a", "doc_b"],
+                       rcols=["doc_a", "__text_a"])
+    with_ab = hash_join(with_a, docs_b, on="doc_b",
+                        num_buckets=num_join_buckets,
+                        lcols=["doc_a", "doc_b", "__text_a"],
+                        rcols=["doc_b", "__text_b"])
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        # per-process cache: a python dict is not zero-copy, so a bare
-        # ray.get per batch would re-deserialize all candidate texts
-        key = lookup_ref.hex()
-        lookup = _VERIFY_CACHE.get(key)
-        if lookup is None:
-            lookup = ray.get(lookup_ref)
-            _VERIFY_CACHE.clear()
-            _VERIFY_CACHE[key] = lookup
-        ok = [jaccard(lookup.get(a, ""), lookup.get(b, ""))
-              >= jaccard_threshold
-              for a, b in zip(df["doc_a"], df["doc_b"])]
-        return df[pd.Series(ok, index=df.index)]
+        """Jaccard inside the worker; emit length-prefixed string edges
+        (the join's NA-widening may have floated an int id column — a
+        round-trip through the original dtype keeps '7', never '7.0')."""
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="string"),
+                                 "b": pd.Series(dtype="string")})
+        ok = np.fromiter(
+            (jaccard(a, b) >= jaccard_threshold
+             for a, b in zip(df["__text_a"], df["__text_b"])),
+            dtype=bool, count=len(df))
+        kept = df[ok]
+        pd_t = id_type.to_pandas_dtype()
+        return pd.DataFrame({
+            "a": pd.Series([_len_key(v) for v in
+                            kept["doc_a"].astype(pd_t)], dtype="string"),
+            "b": pd.Series([_len_key(v) for v in
+                            kept["doc_b"].astype(pd_t)], dtype="string")})
 
-    verified = cand_ds.map_batches(verify,
-                                   batch_format="pandas").to_pandas()
-    keep = [(str(a), str(b)) for a, b in zip(verified["doc_a"],
-                                             verified["doc_b"])]
-    reps = union_find(keep, key=lambda s: (len(s), s))  # numeric-safe order
-    rows = sorted({(int(n), int(r)) for n, r in reps.items()} |
-                  {(int(r), int(r)) for r in reps.values()})
-    return pd.DataFrame({id_col: [n for n, _ in rows],
-                         "cluster_rep": [r for _, r in rows]})
+    edges = with_ab.map_batches(verify, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return _empty()
+
+    # edges are _len_key-encoded, so plain string order IS the
+    # numeric-safe (len, str) representative order
+    labels = connected_components_contract(edges, "a", "b")
+
+    def decode(t: pa.Table) -> pa.Table:
+        node = pa.array([_len_key_inv(v) for v in t["node"].to_pylist()],
+                        type=pa.string())
+        lab = pa.array([_len_key_inv(v) for v in t["label"].to_pylist()],
+                       type=pa.string())
+        return pa.table({id_col: pc.cast(node, id_type),
+                         "cluster_rep": pc.cast(lab, id_type)})
+
+    return labels.map_batches(decode, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -250,64 +321,71 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """EXACT n-gram Jaccard near-dup pairs via a distributed shingle
     inverted index (no LSH approximation):
 
-        explode distinct (shingle, doc) -> groupby(shingle) pair counts ->
-        groupby(doc_a, doc_b) sum = |A∩B| -> join |A|,|B| -> filter.
+        explode distinct (shingle, doc, |doc shingles|) -> groupby(shingle)
+        pair partials -> groupby(doc_a, doc_b [, sizes]) sum = |A∩B| ->
+        vectorized jaccard filter.
 
-    The only data shuffled is (shingle, doc_id) rows and fixed-width pair
-    partials.  Skew note: a shingle shared by m docs emits O(m^2) pairs —
+    The per-doc shingle count ``n`` is attached at explode time and rides
+    the shuffles as two extra int columns (functionally dependent on the
+    doc id, so grouping on it is exact) — no driver-side size map, no
+    second pass over the corpus, and the result is a Dataset.
+
+    Skew note: a shingle shared by m docs emits O(m^2) pairs —
     ``max_doc_freq=M`` drops shingle groups larger than M (stop-gram
     filtering, the corpus-scale path): intersections lose only ubiquitous
     shingles, so reported jaccard is a lower bound and the result is a
     SUBSET of the exact pairs (guarded by test); leave ``None`` for the
     oracle-checkable exact baseline, or use
     :func:`minhash_candidate_pairs` (probabilistic) instead.
-    Returns pandas (doc_a, doc_b, jaccard >= threshold), ids ordered.
+    Returns a Dataset of (doc_a, doc_b, jaccard >= threshold), ids ordered.
     """
     from ray.data.aggregate import Sum
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rid, rsh = [], []
+        rid, rsh, rn = [], [], []
         for i, t in zip(df[id_col], df[text_col]):
-            for s in set(shingles(t, k)):
+            ss = set(shingles(t, k))
+            for s in ss:
                 rid.append(i)
                 rsh.append(s)
-        return pd.DataFrame({"shingle": rsh, "doc": rid})
+                rn.append(len(ss))
+        return pd.DataFrame({"shingle": rsh, "doc": rid,
+                             "n": pd.Series(rn, dtype="int64")})
 
     sh = ds.map_batches(explode, batch_format="pandas")
 
-    sizes = sh.map_batches(
-        lambda df: df.groupby("doc", as_index=False).size()
-        .rename(columns={"size": "n"}), batch_format="pandas") \
-        .groupby("doc").aggregate(Sum("n", alias_name="n")).to_pandas()
-    n_of = dict(zip(sizes["doc"], sizes["n"]))
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc"].unique())
-        if max_doc_freq is not None and len(ids) > max_doc_freq:
-            ids = []  # stop-gram: too common to be evidence of near-dup
-        if len(ids) < 2:
+        sub = g[["doc", "n"]].drop_duplicates("doc").sort_values("doc")
+        if max_doc_freq is not None and len(sub) > max_doc_freq:
+            sub = sub.iloc[:0]  # stop-gram: too common to evidence near-dup
+        if len(sub) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype=g["doc"].dtype),
                                  "doc_b": pd.Series(dtype=g["doc"].dtype),
+                                 "n_a": pd.Series(dtype="int64"),
+                                 "n_b": pd.Series(dtype="int64"),
                                  "inter": pd.Series(dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b,
-                             "inter": np.ones(len(a), dtype="int64")})
+        docs = sub["doc"].to_numpy()
+        ns = sub["n"].to_numpy()
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib],
+                             "n_a": ns[ia], "n_b": ns[ib],
+                             "inter": np.ones(len(ia), dtype="int64")})
 
     inter = sh.groupby("shingle").map_groups(pairs, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b"]).aggregate(
-            Sum("inter", alias_name="inter")).to_pandas()
-    if inter.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    na = inter["doc_a"].map(n_of)
-    nb = inter["doc_b"].map(n_of)
-    jac = (inter["inter"] / (na + nb - inter["inter"])).round(6)
-    out = inter.assign(jaccard=jac)
-    out = out[out["jaccard"] >= threshold]
-    return out[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
+        .groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
+            Sum("inter", alias_name="inter"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": df.get("doc_a", pd.Series(dtype="int64")),
+                                 "doc_b": df.get("doc_b", pd.Series(dtype="int64")),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = (df["inter"] / (df["n_a"] + df["n_b"] - df["inter"])).round(6)
+        out = df.assign(jaccard=jac)
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -369,16 +447,28 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id",
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                       threshold: float = 0.95, block: int = 2048):
-    """Near-duplicate pairs by cosine similarity.
+                       threshold: float = 0.95, block: int = 2048,
+                       max_rows: int = 100_000):
+    """Near-duplicate pairs by cosine similarity — EXACT O(N^2) BASELINE.
 
-    Baseline path: normalized signatures per batch, then an all-pairs
-    block-matmul driver consume over ``iter_batches`` (documented N^2
-    baseline; the IVF/LSH bucketed variant in :mod:`.ann` is the scale
-    path). Returns pandas (id_a, id_b, cos_sim>=threshold)."""
+    This is the oracle/verification path only: an all-pairs block-matmul
+    driver consume over ``iter_batches``.  The production-scale default is
+    :func:`embedding_near_dup_lsh` (one hash shuffle, O(sum b_i^2) within
+    buckets, fully distributed).  ``max_rows`` guards against accidentally
+    pointing the N^2 baseline at a corpus-scale table: the collect aborts
+    as soon as the cap is crossed, naming the scale path.
+    Returns pandas (id_a, id_b, cos_sim>=threshold)."""
     ids: List = []
     mats: List[np.ndarray] = []
+    n_seen = 0
     for batch in ds.iter_batches(batch_size=block, batch_format="pandas"):
+        n_seen += len(batch)
+        if n_seen > max_rows:
+            raise ValueError(
+                f"embedding_near_dup is the exact O(N^2) baseline and is "
+                f"capped at max_rows={max_rows} rows; use "
+                f"embedding_near_dup_lsh (distributed, bucketed) for "
+                f"larger corpora, or raise max_rows explicitly.")
         ids.extend(batch[id_col].tolist())
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch[vec_col]])

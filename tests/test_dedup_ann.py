@@ -44,7 +44,7 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     }
     ds = rd.from_pandas(pd.DataFrame(
         {"doc_id": list(texts), "text": list(texts.values())}))
-    out = ngram_jaccard_pairs(ds, threshold=0.5)
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
     got = {(a, b): j for a, b, j in
            zip(out["doc_a"], out["doc_b"], out["jaccard"])}
     # brute-force check against the pure jaccard()
@@ -68,8 +68,9 @@ def test_ngram_jaccard_max_doc_freq_is_subset(ray_session):
              for i in range(1, 9)}
     ds = rd.from_pandas(pd.DataFrame(
         {"doc_id": list(texts), "text": list(texts.values())}))
-    exact = ngram_jaccard_pairs(ds, threshold=0.3)
-    capped = ngram_jaccard_pairs(ds, threshold=0.3, max_doc_freq=3)
+    exact = ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+    capped = ngram_jaccard_pairs(ds, threshold=0.3,
+                                 max_doc_freq=3).to_pandas()
     e = {(a, b) for a, b in zip(exact["doc_a"], exact["doc_b"])}
     c = {(a, b) for a, b in zip(capped["doc_a"], capped["doc_b"])}
     assert c <= e
@@ -142,3 +143,101 @@ def test_shingles_edges():
     assert shingles("") == []
     assert shingles("one two") == ["one two"]
     assert shingles("a b c d") == ["a b c", "b c d"]
+
+
+def _neardup_corpus():
+    """Docs 1/2/3 near-dups (one cluster), 10/11 near-dups (rep ordering
+    must be numeric-safe: '10' > '9' as strings), 4/9 singles."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    return {
+        1: base,
+        2: base.replace("dog", "cat"),
+        3: base.replace("again and", "again or"),
+        4: "completely different words entirely here now for this one doc",
+        9: "another unrelated document with its very own distinct wording",
+        10: "shared tail words one two three four five six seven eight nine",
+        11: "shared tail words one two three four five six seven eight ten",
+    }
+
+
+def test_minhash_dedup_matches_driver_union_find(ray_session):
+    """Distributed verify (hash_join) + clustering (connected_components)
+    must equal the driver-side oracle: per-pair jaccard verify + exact
+    union_find with the numeric-safe (len, str) representative order."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import union_find
+    from fastobo_py_ray.stages.dedup import (minhash_candidate_pairs,
+                                             minhash_dedup)
+
+    texts = _neardup_corpus()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+
+    got = minhash_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    assert got["doc_id"].dtype.kind == "i"  # original dtype preserved
+
+    cand = minhash_candidate_pairs(ds).to_pandas()
+    edges = [(str(a), str(b)) for a, b in zip(cand["doc_a"], cand["doc_b"])
+             if jaccard(texts[a], texts[b]) >= 0.5]
+    reps = union_find(edges, key=lambda s: (len(s), s))
+    want = sorted({(int(n), int(r)) for n, r in reps.items()} |
+                  {(int(r), int(r)) for r in reps.values()})
+    assert sorted(zip(got["doc_id"], got["cluster_rep"])) == want
+    assert len(want) > 2  # the corpus really produced clusters
+
+
+def test_minhash_bucket_cap_bounds_pairs(ray_session):
+    """An adversarial corpus where every doc shares one degenerate band
+    bucket must not emit O(m^2) pairs once capped; the cap must leave
+    normal near-dup recall intact (true dups share multiple buckets)."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import minhash_candidate_pairs
+
+    # empty texts -> identical (sentinel) signatures -> one giant bucket
+    n = 40
+    adv = pd.DataFrame({"doc_id": range(n), "text": [""] * n})
+    ds = rd.from_pandas(adv)
+    uncapped = minhash_candidate_pairs(ds).to_pandas()
+    assert len(uncapped) == n * (n - 1) // 2
+    capped = minhash_candidate_pairs(ds, max_bucket_size=10).to_pandas()
+    assert len(capped) == 0
+
+    # normal corpus: the cap (well above real bucket sizes) changes nothing
+    texts = _neardup_corpus()
+    ds2 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    a = minhash_candidate_pairs(ds2).to_pandas()
+    b = minhash_candidate_pairs(ds2, max_bucket_size=1000).to_pandas()
+    assert sorted(zip(a["doc_a"], a["doc_b"])) == \
+        sorted(zip(b["doc_a"], b["doc_b"]))
+    assert len(a) > 0
+
+
+def test_minhash_dedup_string_ids(ray_session):
+    """Non-numeric ids flow through verify/clustering without casts."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import minhash_dedup
+
+    texts = _neardup_corpus()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [f"doc-{i}" for i in texts],
+         "text": list(texts.values())}))
+    got = minhash_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    assert got["doc_id"].dtype == object
+    assert all(isinstance(v, str) for v in got["doc_id"])
+    clusters = set(zip(got["doc_id"], got["cluster_rep"]))
+    assert ("doc-2", "doc-1") in clusters and ("doc-1", "doc-1") in clusters
+
+
+def test_embedding_near_dup_max_rows_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    vecs = _clustered_vectors(n=50)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(50), "embedding": [list(v) for v in vecs]}))
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup(ds, threshold=0.9, max_rows=10)

@@ -199,3 +199,36 @@ def test_distributed_union_find_matches_exact(ray_session):
     labels = connected_components(ds)
     dist = representatives_from_labels(labels)
     assert dist == exact
+
+
+def test_contract_cc_matches_exact_and_minlabel(ray_session):
+    """Tree-reduce DSU contraction == min-label propagation == driver
+    union_find on a graph with chains, stars, and singleton pairs."""
+    import random
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import (
+        connected_components_contract, representatives_from_labels,
+        union_find)
+
+    rng = random.Random(11)
+    nodes = [f"N:{i:04d}" for i in range(200)]
+    edges = []
+    for _ in range(220):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    chain = [f"C:{i:03d}" for i in range(17)]
+    edges += list(zip(chain, chain[1:]))
+    hub = "H:000"
+    edges += [(hub, f"S:{i:03d}") for i in range(25)]
+
+    exact = union_find(edges, key=lambda s: s)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges]).repartition(7)
+    labels = connected_components_contract(ds)
+    dist = representatives_from_labels(labels)
+    assert dist == exact
+    # every edge endpoint got a label row (roots included)
+    got_nodes = {r["node"] for r in labels.take_all()}
+    want_nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert got_nodes == want_nodes
