@@ -30,6 +30,8 @@ def _init_ray():
 
 
 def cmd_run(args) -> int:
+    import shutil
+
     import ray.data as rd
 
     from .pipelines.kg import run_kg_pipeline
@@ -37,9 +39,16 @@ def cmd_run(args) -> int:
     _init_ray()
     pages = rd.read_parquet(args.corpus)
     obo_text = open(args.obo).read()
-    run_kg_pipeline(pages, obo_text, out_dir=args.out,
+    # atomic output (mirrors the checkpoint path): write to .tmp, then
+    # swap — re-running into a non-empty --out must never leave old
+    # parquet beside new (a reader of the dir would mix both runs)
+    tmp = args.out.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    run_kg_pipeline(pages, obo_text, out_dir=tmp,
                     batch_size=args.batch_size,
                     langs=args.langs.split(",") if args.langs else None)
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.replace(tmp, args.out)
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"adjacency_dir": args.out, "n_triples": int(n)}))
     return 0

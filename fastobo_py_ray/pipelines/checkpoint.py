@@ -212,20 +212,40 @@ def run_kg_pipeline_resumable(corpus_files: Sequence[str], obo_text: str,
 
 def finalize_adjacency(out_root: str, adjacency_dir: str):
     """Stage B: global reduce over all partition partials -> sorted
-    partitioned adjacency parquet."""
+    partitioned adjacency parquet.
+
+    Only part dirs backed by a committed manifest participate: an orphan
+    part dir (its manifest write crashed, or it was committed under a
+    different files_per_partition) is deleted rather than globbed into
+    the reduce (double-counted evidence), and a manifest whose part dir
+    is missing fails loudly (silent under-count otherwise)."""
     import shutil
 
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
+    valid_keys = set(completed_partitions(out_root))
     parts_glob = os.path.join(out_root, PARTS_DIR)
     part_files = []
+    present = set()
     for d in sorted(os.listdir(parts_glob)):
-        if d.startswith("part-") and not d.endswith(".tmp"):
-            full = os.path.join(parts_glob, d)
-            part_files += [os.path.join(full, f)
-                           for f in sorted(os.listdir(full))
-                           if f.endswith(".parquet")]
+        if not d.startswith("part-"):
+            continue
+        full = os.path.join(parts_glob, d)
+        key = d[len("part-"):]
+        if d.endswith(".tmp") or key not in valid_keys:
+            shutil.rmtree(full, ignore_errors=True)  # orphan: no manifest
+            continue
+        present.add(key)
+        part_files += [os.path.join(full, f)
+                       for f in sorted(os.listdir(full))
+                       if f.endswith(".parquet")]
+    missing = valid_keys - present
+    if missing:
+        raise RuntimeError(
+            f"finalize_adjacency: manifests exist for partitions "
+            f"{sorted(missing)} but their part dirs are gone; delete the "
+            f"stale manifests and re-run to reprocess those partitions.")
     partials = rd.read_parquet(part_files)
     final = partials.groupby(["subj", "pred", "obj"]).aggregate(
         Sum("n_evidence", alias_name="n_evidence"),

@@ -95,11 +95,10 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
     base_bits = margins > 0
     order = np.argsort(np.abs(margins))  # flip least-confident planes first
     probe_sigs = set()
-    for p in range(num_probes):
+    for flips in _probe_flip_sets(order, num_probes):
         bits = base_bits.copy()
-        if p > 0:
-            for bit in order[:_count_bits(p)]:
-                bits[bit] = not bits[bit]
+        for bit in flips:
+            bits[bit] = not bits[bit]
         probe_sigs.add(int((bits.astype(np.uint64) <<
                             np.arange(len(bits), dtype=np.uint64)).sum()))
 
@@ -110,5 +109,17 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
                             exclude_ids=exclude_ids)
 
 
-def _count_bits(p: int) -> int:
-    return max(1, p.bit_length() - 1) if p else 0
+def _probe_flip_sets(order: np.ndarray, num_probes: int):
+    """Enumerate ``num_probes`` DISTINCT plane-flip combinations, cheapest
+    first: no flip, then single flips in ascending-margin order, then
+    pairs, triples, ... — every probe yields a unique bucket signature
+    (capped at the 2^planes distinct signatures that exist)."""
+    from itertools import combinations
+
+    count = 0
+    for r in range(len(order) + 1):
+        for combo in combinations(range(len(order)), r):
+            yield tuple(order[i] for i in combo)
+            count += 1
+            if count >= num_probes:
+                return

@@ -144,3 +144,40 @@ def test_partitioning_is_deterministic(tmp_path):
     b = partition_input_files(list(reversed(files)), 4)
     assert a == b
     assert [len(v) for v in a.values()] == [4, 4, 2]
+
+
+def test_orphan_part_dir_excluded_from_finalize(ray_session, tmp_path):
+    """A part dir committed via os.replace whose manifest write crashed
+    (or left over from a different files_per_partition) must not leak
+    into the global reduce; a manifest whose part dir vanished must fail
+    loudly instead of silently under-counting."""
+    import shutil
+
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.checkpoint import finalize_adjacency
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=200, n_files=4)
+    out_root = str(tmp_path / "ckpt")
+    res = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                    files_per_partition=2, langs=None)
+    assert res["finalized"]
+    clean = rd.read_parquet(res["adjacency_dir"]).to_pandas()
+
+    # orphan: duplicate an existing part dir under a key with no manifest
+    parts = os.path.join(out_root, "parts")
+    some = sorted(d for d in os.listdir(parts) if d.startswith("part-"))[0]
+    orphan = os.path.join(parts, "part-99999")
+    shutil.copytree(os.path.join(parts, some), orphan)
+    finalize_adjacency(out_root, res["adjacency_dir"])
+    refinal = rd.read_parquet(res["adjacency_dir"]).to_pandas()
+    assert _triples(refinal) == _triples(clean)  # no double counting
+    assert not os.path.isdir(orphan)             # orphan cleaned up
+
+    # manifest without part dir -> loud failure
+    victim = sorted(completed_partitions(out_root))[0]
+    shutil.rmtree(os.path.join(parts, f"part-{victim}"))
+    with pytest.raises(RuntimeError, match="part dirs are gone"):
+        finalize_adjacency(out_root, res["adjacency_dir"])

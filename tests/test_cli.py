@@ -45,3 +45,37 @@ def test_cli_run_resume_report(tmp_path):
     manifests = [json.loads(l) for l in report]
     assert len(manifests) == len(ck["processed"])
     assert all(m["n_pages"] > 0 and m["url_min"] for m in manifests)
+
+
+def test_cli_run_is_atomic_on_rerun(tmp_path):
+    """Re-running `run` into the same --out must not mix old and new
+    parquet files (old dir is swapped out atomically)."""
+    import json
+    import subprocess
+    import sys
+
+    from fastobo_py_ray.testing.corpus import MINI_OBO, write_pages_corpus
+
+    corpus = str(tmp_path / "pages")
+    write_pages_corpus(corpus, n_rows=120, n_files=2)
+    obo = tmp_path / "mini.obo"
+    obo.write_text(MINI_OBO)
+    out = str(tmp_path / "adj")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "fastobo_py_ray.cli", "run", "--corpus",
+         corpus, "--obo", str(obo), "--out", out, "--langs", ""],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    n1 = json.loads(r1.stdout.strip().splitlines()[-1])["n_triples"]
+    files1 = sorted(os.listdir(out))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "fastobo_py_ray.cli", "run", "--corpus",
+         corpus, "--obo", str(obo), "--out", out, "--langs", ""],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    n2 = json.loads(r2.stdout.strip().splitlines()[-1])["n_triples"]
+    assert n2 == n1
+    # no .tmp residue, and no accumulation of stale files
+    assert sorted(os.listdir(out)) and not os.path.isdir(out + ".tmp")
+    assert len(os.listdir(out)) == len(files1)

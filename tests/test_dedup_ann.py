@@ -241,3 +241,23 @@ def test_embedding_near_dup_max_rows_guard(ray_session):
         {"vec_id": range(50), "embedding": [list(v) for v in vecs]}))
     with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
         embedding_near_dup(ds, threshold=0.9, max_rows=10)
+
+
+def test_probe_flip_sets_distinct():
+    """num_probes requested -> num_probes DISTINCT signatures (the old
+    bit-count scheme collapsed 8 probes into 3 buckets)."""
+    from fastobo_py_ray.stages.ann import _probe_flip_sets
+
+    order = np.array([3, 0, 5, 1, 4, 2])
+    flips = list(_probe_flip_sets(order, 8))
+    assert len(flips) == 8
+    assert len(set(flips)) == 8
+    # applying each flip set to a base signature yields distinct buckets
+    base = np.array([True, False, True, True, False, False])
+    sigs = set()
+    for fs in flips:
+        bits = base.copy()
+        for b in fs:
+            bits[b] = not bits[b]
+        sigs.add(tuple(bits))
+    assert len(sigs) == 8
