@@ -131,13 +131,15 @@ def load_graph(path_or_file) -> Ontology:
     with open(path, "rb") as fh:
         raw = fh.read().decode("utf-8")
     if path.endswith((".yaml", ".yml")):
+        # PyYAML when available; otherwise the vendored block-YAML subset
+        # parser (obograph YAML documents use only that subset) — parity
+        # with the reference's native YAML support (src/py/mod.rs:300-301)
         try:
-            import yaml  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "YAML OBO graphs require PyYAML (not in this container); "
-                "convert to JSON") from exc
-        return _from_obj(yaml.safe_load(raw))
+            import yaml
+            return _from_obj(yaml.safe_load(raw))
+        except ImportError:
+            from . import miniyaml
+            return _from_obj(miniyaml.safe_load(raw))
     return loads_graph(raw)
 
 

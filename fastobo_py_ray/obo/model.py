@@ -107,12 +107,19 @@ class Ontology:
     # --------------------------------------------------------------- ontology_terms
     def terms_table(self) -> pa.Table:
         """Arrow ``ontology_terms`` table (SURVEY.md §1.2)."""
+        from .dates import to_timestamp_us
+
         rows: Dict[str, list] = {
             "term_id": [], "kind": [], "name": [], "namespace": [],
             "def": [], "is_obsolete": [], "replaced_by": [], "alt_ids": [],
-            "synonyms": [], "xrefs": [],
+            "synonyms": [], "xrefs": [], "creation_date": [],
         }
         for f in self.frames:
+            cd = f.first("creation_date")
+            # typed projection (src/date.rs:15-123): ISO text -> UTC
+            # instant; the exact raw text stays on the clause
+            rows["creation_date"].append(
+                to_timestamp_us(cd["value"]) if cd else None)
             rows["term_id"].append(f.id)
             rows["kind"].append(f.kind)
             rows["name"].append(f.name)
@@ -144,6 +151,7 @@ class Ontology:
             ("replaced_by", pa.list_(pa.string())),
             ("alt_ids", pa.list_(pa.string())),
             ("synonyms", syn_t), ("xrefs", xref_t),
+            ("creation_date", pa.timestamp("us")),
         ])
         return pa.table(rows, schema=schema)
 

@@ -2,10 +2,12 @@
 (``/root/reference/src/py/mod.rs:464-511``).
 
 The reference converts through horned-owl with formats ofn/owx/rdf; here
-the OWL *Functional-Style Syntax* (``format="ofn"``) emitter is
-implemented natively (deterministic, line-per-axiom), while ``owx`` and
-``rdf`` raise ``NotImplementedError`` (they need an XML/RDF stack that
-adds nothing to the engine's Ray-side value).
+``ofn`` (OWL Functional-Style Syntax) and ``owx`` (OWL/XML, stdlib
+``xml.etree``) are emitted natively from ONE structured axiom list — the
+two formats carry the identical axiom set by construction (guarded by a
+re-parse test on ms.obo).  ``rdf`` raises ``NotImplementedError`` (it
+needs an RDF/XML triple stack that adds nothing to the engine's Ray-side
+value).
 
 Mapping (OBO -> OWL per the OBO 1.4 / oboInOwl conventions):
 
@@ -20,6 +22,8 @@ Mapping (OBO -> OWL per the OBO 1.4 / oboInOwl conventions):
 
 from __future__ import annotations
 
+from typing import List, Tuple
+
 from . import ids as obo_ids
 from .model import Frame, Ontology
 
@@ -30,61 +34,211 @@ _PREFIXES = (
     'Prefix(xsd:=<http://www.w3.org/2001/XMLSchema#>)\n'
 )
 
+_RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_OWL_DEPRECATED = "http://www.w3.org/2002/07/owl#deprecated"
+_IAO_DEF = "http://purl.obolibrary.org/obo/IAO_0000115"
+_XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+
+# structured axiom kinds (shared by the ofn and owx renderers):
+#   ("decl",       is_class, iri)
+#   ("ann",        prop_iri, iri, literal, datatype_iri_or_None)
+#   ("sub",        is_class, iri, parent_iri)
+#   ("svf",        iri, relation_iri, target_iri)
+#   ("transitive", iri)
+Axiom = Tuple
+
 
 def _iri(ident: str) -> str:
     url = obo_ids.decompact(ident)
     if "://" in url:
-        return f"<{url}>"
+        return url
     # unprefixed relation idents (part_of) live in the ontology's namespace
-    return f"<http://purl.obolibrary.org/obo/{url}>"
+    return f"http://purl.obolibrary.org/obo/{url}"
 
 
 def _lit(s: str) -> str:
     return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
 
-def _frame_axioms(f: Frame) -> list:
+def frame_axioms(f: Frame) -> List[Axiom]:
+    """One entity frame -> its structured OWL axioms."""
     iri = _iri(f.id)
     cls = f.kind != "typedef"
-    out = [f"Declaration({'Class' if cls else 'ObjectProperty'}({iri}))"]
+    out: List[Axiom] = [("decl", cls, iri)]
     if f.name:
-        out.append("AnnotationAssertion(rdfs:label "
-                   f"{iri} {_lit(f.name)})")
+        out.append(("ann", _RDFS_LABEL, iri, f.name, None))
     d = f.first("def")
     if d is not None:
-        out.append("AnnotationAssertion(<http://purl.obolibrary.org/obo/"
-                   f"IAO_0000115> {iri} {_lit(d.get('text', d['value']))})")
+        out.append(("ann", _IAO_DEF, iri, d.get("text", d["value"]), None))
     obs = f.first("is_obsolete")
     if obs and str(obs["value"]).lower() == "true":
-        out.append(f"AnnotationAssertion(owl:deprecated {iri} "
-                   '"true"^^xsd:boolean)')
+        out.append(("ann", _OWL_DEPRECATED, iri, "true", _XSD_BOOLEAN))
     for c in f.clauses:
         if c["tag"] == "is_a":
-            ax = "SubClassOf" if cls else "SubObjectPropertyOf"
-            out.append(f"{ax}({iri} {_iri(c['value'])})")
+            out.append(("sub", cls, iri, _iri(c["value"])))
         elif c["tag"] == "relationship" and cls:
-            out.append(f"SubClassOf({iri} ObjectSomeValuesFrom("
-                       f"{_iri(c['relation'])} {_iri(c['target'])}))")
+            out.append(("svf", iri, _iri(c["relation"]),
+                        _iri(c["target"])))
         elif c["tag"] == "is_transitive" and not cls \
                 and str(c["value"]).lower() == "true":
-            out.append(f"TransitiveObjectProperty({iri})")
+            out.append(("transitive", iri))
     return out
 
 
-def dumps_owl(ontology: Ontology, format: str = "ofn") -> str:
-    """Ontology -> OWL text; only functional syntax is implemented."""
-    if format != "ofn":
-        raise NotImplementedError(
-            f"dump_owl format {format!r}: only 'ofn' (functional syntax) "
-            "is implemented; 'owx'/'rdf' need an XML/RDF stack "
-            "(reference: src/py/mod.rs:464-511)")
-    oid = ontology.header.ontology or "ontology"
-    lines = [_PREFIXES,
-             f"Ontology(<http://purl.obolibrary.org/obo/{oid}.owl>"]
+def ontology_axioms(ontology: Ontology) -> List[Axiom]:
+    out: List[Axiom] = []
     for f in ontology.frames:
-        lines.extend(_frame_axioms(f))
-    lines.append(")")
-    return "\n".join(lines) + "\n"
+        out.extend(frame_axioms(f))
+    return out
+
+
+# --------------------------------------------------------------------------
+# ofn (functional syntax)
+# --------------------------------------------------------------------------
+
+def _ofn_ann_prop(prop: str) -> str:
+    if prop == _RDFS_LABEL:
+        return "rdfs:label"
+    if prop == _OWL_DEPRECATED:
+        return "owl:deprecated"
+    return f"<{prop}>"
+
+
+def _render_ofn(ax: Axiom) -> str:
+    kind = ax[0]
+    if kind == "decl":
+        _, cls, iri = ax
+        return f"Declaration({'Class' if cls else 'ObjectProperty'}(<{iri}>))"
+    if kind == "ann":
+        _, prop, iri, text, dtype = ax
+        lit = _lit(text) + ("^^xsd:boolean" if dtype == _XSD_BOOLEAN else "")
+        return f"AnnotationAssertion({_ofn_ann_prop(prop)} <{iri}> {lit})"
+    if kind == "sub":
+        _, cls, iri, parent = ax
+        op = "SubClassOf" if cls else "SubObjectPropertyOf"
+        return f"{op}(<{iri}> <{parent}>)"
+    if kind == "svf":
+        _, iri, rel, tgt = ax
+        return (f"SubClassOf(<{iri}> ObjectSomeValuesFrom("
+                f"<{rel}> <{tgt}>))")
+    if kind == "transitive":
+        return f"TransitiveObjectProperty(<{ax[1]}>)"
+    raise ValueError(f"unknown axiom kind {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# owx (OWL/XML, stdlib ElementTree)
+# --------------------------------------------------------------------------
+
+_OWL_NS = "http://www.w3.org/2002/07/owl#"
+
+
+def _render_owx(axioms: List[Axiom], ontology_iri: str) -> str:
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("Ontology", {
+        "xmlns": _OWL_NS,
+        "ontologyIRI": ontology_iri,
+    })
+
+    def sub(parent, tag, attrib=None, text=None):
+        e = ET.SubElement(parent, tag, attrib or {})
+        if text is not None:
+            e.text = text
+        return e
+
+    def entity(parent, cls: bool, iri: str):
+        sub(parent, "Class" if cls else "ObjectProperty", {"IRI": iri})
+
+    for ax in axioms:
+        kind = ax[0]
+        if kind == "decl":
+            _, cls, iri = ax
+            entity(sub(root, "Declaration"), cls, iri)
+        elif kind == "ann":
+            _, prop, iri, text, dtype = ax
+            e = sub(root, "AnnotationAssertion")
+            sub(e, "AnnotationProperty", {"IRI": prop})
+            sub(e, "IRI", text=iri)
+            attrib = {"datatypeIRI": dtype} if dtype else {}
+            sub(e, "Literal", attrib, text=text)
+        elif kind == "sub":
+            _, cls, iri, parent = ax
+            e = sub(root, "SubClassOf" if cls else "SubObjectPropertyOf")
+            entity(e, cls, iri)
+            entity(e, cls, parent)
+        elif kind == "svf":
+            _, iri, rel, tgt = ax
+            e = sub(root, "SubClassOf")
+            entity(e, True, iri)
+            svf = sub(e, "ObjectSomeValuesFrom")
+            entity(svf, False, rel)
+            entity(svf, True, tgt)
+        elif kind == "transitive":
+            entity(sub(root, "TransitiveObjectProperty"), False, ax[1])
+        else:
+            raise ValueError(f"unknown axiom kind {kind!r}")
+
+    ET.indent(root)
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            + ET.tostring(root, encoding="unicode") + "\n")
+
+
+def parse_owx_axioms(text: str) -> List[Axiom]:
+    """Re-parse an owx document back into structured axioms (the owx
+    side of the ofn/owx equivalence test)."""
+    import xml.etree.ElementTree as ET
+
+    def strip(t):  # drop the default-namespace prefix ElementTree adds
+        return t.split("}", 1)[-1]
+
+    root = ET.fromstring(text)
+    out: List[Axiom] = []
+    for e in root:
+        tag = strip(e.tag)
+        kids = [(strip(k.tag), k) for k in e]
+        if tag == "Declaration":
+            ktag, k = kids[0]
+            out.append(("decl", ktag == "Class", k.get("IRI")))
+        elif tag == "AnnotationAssertion":
+            prop = kids[0][1].get("IRI")
+            iri = kids[1][1].text
+            lit = kids[2][1]
+            out.append(("ann", prop, iri, lit.text or "",
+                        lit.get("datatypeIRI")))
+        elif tag in ("SubClassOf", "SubObjectPropertyOf"):
+            if len(kids) == 2 and kids[1][0] == "ObjectSomeValuesFrom":
+                svf = [(strip(k.tag), k) for k in kids[1][1]]
+                out.append(("svf", kids[0][1].get("IRI"),
+                            svf[0][1].get("IRI"), svf[1][1].get("IRI")))
+            else:
+                out.append(("sub", tag == "SubClassOf",
+                            kids[0][1].get("IRI"), kids[1][1].get("IRI")))
+        elif tag == "TransitiveObjectProperty":
+            out.append(("transitive", kids[0][1].get("IRI")))
+    return out
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def dumps_owl(ontology: Ontology, format: str = "ofn") -> str:
+    """Ontology -> OWL text (``ofn`` or ``owx``; same axiom set)."""
+    oid = ontology.header.ontology or "ontology"
+    ontology_iri = f"http://purl.obolibrary.org/obo/{oid}.owl"
+    axioms = ontology_axioms(ontology)
+    if format == "ofn":
+        lines = [_PREFIXES, f"Ontology(<{ontology_iri}>"]
+        lines.extend(_render_ofn(ax) for ax in axioms)
+        lines.append(")")
+        return "\n".join(lines) + "\n"
+    if format == "owx":
+        return _render_owx(axioms, ontology_iri)
+    raise NotImplementedError(
+        f"dump_owl format {format!r}: 'ofn' and 'owx' are implemented; "
+        "'rdf' needs an RDF/XML triple stack "
+        "(reference: src/py/mod.rs:464-511)")
 
 
 def dump_owl(ontology: Ontology, file, format: str = "ofn") -> None:

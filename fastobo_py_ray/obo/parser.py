@@ -42,10 +42,21 @@ FRAME_HEADS = {"[Term]": "term", "[Typedef]": "typedef",
 
 @dataclass
 class ParseError:
+    """One dead-letter row.  ``error_code`` mirrors the reference error
+    taxonomy (``src/error.rs:38-187`` / ``src/py/exceptions.rs:29-163``):
+
+    * ``syntax``            — PySyntaxError (malformed line/stanza)
+    * ``missing_clause``    — MissingClauseError (required clause absent)
+    * ``duplicate_clauses`` — DuplicateClausesError (max-cardinality-1
+      clause appears more than once in a frame)
+    * ``single_clause``     — SingleClauseError (clause requiring >= 2
+      entries — intersection_of / union_of — appears exactly once)
+    """
     path: str
     line_no: int
     line: str
     message: str
+    error_code: str = "syntax"
 
 
 @dataclass
@@ -468,6 +479,77 @@ def loads(text: str, path: str = "<str>") -> ParseResult:
         current.clauses.append(parse_clause(tag, value, qualifiers, comment))
 
     return ParseResult(Ontology(header, frames), errors)
+
+
+# max-cardinality-1 clause tags per the OBO 1.4 spec (the set fastobo's
+# CardinalityError::DuplicateClauses guards; term + typedef frames)
+_CARD_ONE_TAGS = frozenset({
+    "name", "def", "comment", "namespace", "is_anonymous", "is_obsolete",
+    "created_by", "creation_date", "domain", "range", "is_cyclic",
+    "is_reflexive", "is_symmetric", "is_asymmetric", "is_anti_symmetric",
+    "is_transitive", "is_functional", "is_inverse_functional",
+    "is_metadata_tag", "is_class_level",
+})
+
+# clause tags requiring >= 2 entries when present (SingleClause)
+_CARD_TWO_TAGS = frozenset({"intersection_of", "union_of"})
+
+
+def validate_cardinality(ontology: Ontology,
+                         path: str = "<str>") -> List[ParseError]:
+    """Frame-level cardinality checks as dead-letter rows (the engine
+    projection of the reference's CardinalityError raises,
+    ``src/error.rs:140-160``): the reference surfaces these lazily on
+    attribute access / OWL conversion; here they are a validation scan a
+    pipeline can run over parsed frames and route to a dead-letter sink.
+
+    Emits one coded :class:`ParseError` per violation; ``line`` carries
+    the offending frame id (matching the ``id`` payload of the reference
+    exception classes, ``src/py/exceptions.rs:44-137``)."""
+    out: List[ParseError] = []
+    # header: `ontology` is required for OWL emission — the reference
+    # raises MissingClauseError("ontology", "header") from dump_owl
+    # (src/error.rs:166-180 via fastobo_owl::Error::Cardinality)
+    if not ontology.header.ontology:
+        out.append(ParseError(path, 0, "header",
+                              "missing clause 'ontology' in header frame",
+                              error_code="missing_clause"))
+    for f in ontology.frames:
+        if not f.id:
+            out.append(ParseError(path, 0, f"[{f.kind}]",
+                                  f"missing clause 'id' in {f.kind} frame",
+                                  error_code="missing_clause"))
+        counts: Dict[str, int] = {}
+        for c in f.clauses:
+            counts[c["tag"]] = counts.get(c["tag"], 0) + 1
+        for tag, n in sorted(counts.items()):
+            if n > 1 and tag in _CARD_ONE_TAGS:
+                out.append(ParseError(
+                    path, 0, f.id,
+                    f"duplicate clauses '{tag}' in frame {f.id!r}",
+                    error_code="duplicate_clauses"))
+            if n == 1 and tag in _CARD_TWO_TAGS:
+                out.append(ParseError(
+                    path, 0, f.id,
+                    f"clause '{tag}' appears only once in frame {f.id!r} "
+                    f"(at least two expected)",
+                    error_code="single_clause"))
+    return out
+
+
+def dead_letter_table(errors: List[ParseError]):
+    """Dead-letter rows as an Arrow table (path, line_no, line, message,
+    error_code) — the sink-able form of the op-17 error taxonomy."""
+    import pyarrow as pa
+
+    return pa.table({
+        "path": pa.array([e.path for e in errors], pa.string()),
+        "line_no": pa.array([e.line_no for e in errors], pa.int64()),
+        "line": pa.array([e.line for e in errors], pa.string()),
+        "message": pa.array([e.message for e in errors], pa.string()),
+        "error_code": pa.array([e.error_code for e in errors],
+                               pa.string()),
+    })
 
 
 def load(path: str) -> ParseResult:

@@ -88,7 +88,7 @@ def test_owl_ofn_sink():
     assert "ObjectSomeValuesFrom" in owl        # relationship
     assert "TransitiveObjectProperty" in owl    # typedef flag
     with pytest.raises(NotImplementedError):
-        dumps_owl(onto, format="owx")
+        dumps_owl(onto, format="rdf")
 
 
 def test_byte_exact_roundtrip_reference_corpora():
@@ -155,3 +155,157 @@ def test_streaming_frame_source_golden_count(ray_session):
     # matches the driver-side whole-doc parse
     whole = loads(open(MS_OBO).read()).ontology
     assert df["term_id"].tolist() == [f.id for f in whole.frames]
+
+
+def test_owx_matches_ofn_axiom_set_on_ms():
+    """dump_owl('owx') carries the identical axiom set as 'ofn' on the
+    full ms.obo corpus (reference formats: src/py/mod.rs:464-511)."""
+    from fastobo_py_ray.obo.owl import (dumps_owl, ontology_axioms,
+                                        parse_owx_axioms)
+    from fastobo_py_ray.obo.parser import load
+
+    onto = load("/root/reference/tests/data/ms.obo").ontology
+    want = ontology_axioms(onto)
+    assert len(want) > 5000  # ms.obo is a real corpus, not a toy
+
+    owx = dumps_owl(onto, format="owx")
+    got = parse_owx_axioms(owx)
+    assert got == want  # order AND content identical
+
+    ofn = dumps_owl(onto, format="ofn")
+    # every axiom renders to exactly one ofn line inside Ontology(...)
+    body = ofn.splitlines()
+    assert len([l for l in body if l.startswith(
+        ("Declaration(", "AnnotationAssertion(", "SubClassOf(",
+         "SubObjectPropertyOf(", "TransitiveObjectProperty("))]) == len(want)
+
+    import pytest
+    with pytest.raises(NotImplementedError, match="rdf"):
+        dumps_owl(onto, format="rdf")
+
+
+def test_typed_date_conversions():
+    """Mirrors the reference date round-trips: header `date:` naive OBO
+    format (tests/test_header.py:144-146), creation_date ISO forms
+    (tests/common.py:167-193), and the timestamp[us] column projection
+    (src/date.rs:15-123)."""
+    import datetime as dt
+
+    from fastobo_py_ray.obo.dates import (format_creation_date,
+                                          format_obo_datetime,
+                                          parse_creation_date,
+                                          parse_obo_datetime,
+                                          to_timestamp_us)
+
+    # header date: dd:MM:yyyy HH:mm <-> naive datetime
+    then = dt.datetime(2019, 4, 8, 16, 51)
+    assert parse_obo_datetime("08:04:2019 16:51") == then
+    assert format_obo_datetime(then) == "08:04:2019 16:51"
+
+    # creation_date: bare date / naive datetime / UTC-aware ('Z', not
+    # '+00:00') — str() reproduces the input text exactly
+    for text, val in [
+        ("2021-01-23", dt.date(2021, 1, 23)),
+        ("2021-01-23T12:00:00", dt.datetime(2021, 1, 23, 12, 0)),
+        ("2021-02-15T12:30:00Z",
+         dt.datetime(2021, 2, 15, 12, 30, tzinfo=dt.timezone.utc)),
+        ("2021-02-15T12:30:00+02:00",
+         dt.datetime(2021, 2, 15, 12, 30, tzinfo=dt.timezone(
+             dt.timedelta(hours=2)))),
+    ]:
+        assert parse_creation_date(text) == val
+        assert format_creation_date(val) == text
+
+    # columnar projection: aware -> UTC instant, date -> midnight
+    assert to_timestamp_us("2021-02-15T12:30:00+02:00") == \
+        dt.datetime(2021, 2, 15, 10, 30)
+    assert to_timestamp_us("2021-01-23") == dt.datetime(2021, 1, 23)
+    assert to_timestamp_us("08:04:2019 16:51") == then
+    assert to_timestamp_us("garbage") is None and to_timestamp_us(None) is None
+
+
+def test_terms_table_creation_date_column():
+    import datetime as dt
+
+    import pyarrow as pa
+
+    doc = "\n".join([
+        "format-version: 1.2", "ontology: tst", "",
+        "[Term]", "id: T:1", "creation_date: 2021-02-15T12:30:00Z", "",
+        "[Term]", "id: T:2",
+    ])
+    t = loads(doc).ontology.terms_table()
+    col = t["creation_date"]
+    assert t.schema.field("creation_date").type == pa.timestamp("us")
+    assert col[0].as_py() == dt.datetime(2021, 2, 15, 12, 30)
+    assert col[1].as_py() is None
+
+
+def test_load_graph_yaml_fixture(tmp_path):
+    """YAML obographs load without PyYAML (vendored subset parser);
+    reference accepts YAML natively (src/py/mod.rs:300-301)."""
+    y = tmp_path / "g.yaml"
+    y.write_text("\n".join([
+        "graphs:",
+        "  - id: http://purl.obolibrary.org/obo/tst.owl",
+        "    nodes:",
+        "      - id: TST:0000001",
+        "        lbl: alpha factor   # trailing comment",
+        "        type: CLASS",
+        "        meta:",
+        "          deprecated: false",
+        "          synonyms:",
+        "            - pred: hasExactSynonym",
+        "              val: \"alpha\"",
+        "      - id: TST:0000002",
+        "        type: CLASS",
+        "    edges:",
+        "      - sub: TST:0000001",
+        "        pred: is_a",
+        "        obj: TST:0000002",
+    ]))
+    onto = load_graph(str(y))
+    by_id = onto.frame_by_id()
+    assert by_id["TST:0000001"].name == "alpha factor"
+    assert by_id["TST:0000001"].values("is_a")[0]["value"] == "TST:0000002"
+    syn = by_id["TST:0000001"].values("synonym")[0]
+    assert (syn["text"], syn["scope"]) == ("alpha", "EXACT")
+
+
+def test_miniyaml_roundtrips_json_equivalent():
+    """The vendored YAML subset agrees with json.loads on an obograph
+    document rendered both ways, and rejects unsupported constructs."""
+    from fastobo_py_ray.obo.graphjson import dumps_graph
+    from fastobo_py_ray.obo.miniyaml import safe_load
+
+    onto = loads(MINI_OBO).ontology
+    doc = json.loads(dumps_graph(onto))
+
+    def to_yaml(obj, indent=0):
+        pad = "  " * indent
+        if isinstance(obj, dict):
+            lines = []
+            for k, v in obj.items():
+                if isinstance(v, (dict, list)) and v:
+                    lines.append(f"{pad}{k}:")
+                    lines.append(to_yaml(v, indent + 1))
+                else:
+                    lines.append(f"{pad}{k}: {json.dumps(v)}")
+            return "\n".join(lines)
+        if isinstance(obj, list):
+            lines = []
+            for v in obj:
+                if isinstance(v, (dict, list)) and v:
+                    lines.append(f"{pad}-")
+                    lines.append(to_yaml(v, indent + 1))
+                else:
+                    lines.append(f"{pad}- {json.dumps(v)}")
+            return "\n".join(lines)
+        return f"{pad}{json.dumps(obj)}"
+
+    assert safe_load(to_yaml(doc)) == doc
+
+    with pytest.raises(ValueError):
+        safe_load("a: &anchor 1")
+    with pytest.raises(ValueError):
+        safe_load("a: |\n  block scalar")

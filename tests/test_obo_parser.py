@@ -124,3 +124,56 @@ def test_edges_and_equivalences():
     assert ("TST:0000002", "TST:0009002") in eq
     assert ("TST:0000010", "TST:0000001") in eq
     assert ("TST:0000001", "ALT:9000001") in eq
+
+
+def test_error_taxonomy_codes():
+    """Each reference error class (src/py/exceptions.rs:29-163 /
+    src/error.rs:38-187) maps to a coded dead-letter row:
+    PySyntaxError -> syntax, MissingClauseError -> missing_clause,
+    DuplicateClausesError -> duplicate_clauses, SingleClauseError ->
+    single_clause."""
+    from fastobo_py_ray.obo.parser import (dead_letter_table, loads,
+                                           validate_cardinality)
+
+    doc = "\n".join([
+        "format-version: 1.2",          # no ontology: -> missing_clause
+        "not a clause line",            # -> syntax
+        "",
+        "[Term]",
+        "id: T:1",
+        "name: first",
+        "name: second",                 # -> duplicate_clauses (name x2)
+        "intersection_of: T:9",         # -> single_clause (only one)
+        "",
+        "[Term]",
+        "id: T:2",
+        "union_of: T:1",
+        "union_of: T:3",                # two union_of entries: fine
+    ])
+    res = loads(doc, path="mini.obo")
+    syntax = [e for e in res.errors]
+    assert [e.error_code for e in syntax] == ["syntax"]
+    assert "tag: value" in syntax[0].message
+
+    card = validate_cardinality(res.ontology, path="mini.obo")
+    codes = sorted((e.error_code, e.line) for e in card)
+    assert codes == [("duplicate_clauses", "T:1"),
+                     ("missing_clause", "header"),
+                     ("single_clause", "T:1")]
+
+    t = dead_letter_table(res.errors + card)
+    assert t.column_names == ["path", "line_no", "line", "message",
+                              "error_code"]
+    assert t.num_rows == 4
+    assert set(t["error_code"].to_pylist()) == {
+        "syntax", "missing_clause", "duplicate_clauses", "single_clause"}
+
+
+def test_reference_corpora_pass_cardinality_validation():
+    """ms.obo parses with zero cardinality violations (parity: the
+    reference loads it without raising)."""
+    from fastobo_py_ray.obo.parser import load, validate_cardinality
+
+    res = load("/root/reference/tests/data/ms.obo")
+    assert res.errors == []
+    assert validate_cardinality(res.ontology) == []
