@@ -62,16 +62,14 @@ def extract_text_batch(batch: pa.Table,
     """
     if html_col not in batch.column_names:
         return batch
-    html_arr = batch[html_col]
+    # one bulk to_pylist per column (a per-element .as_py() loop pays an
+    # Arrow scalar-wrapper allocation per cell)
+    htmls = batch[html_col].to_pylist()
     have_text = text_col in batch.column_names
-    text_arr = batch[text_col] if have_text else None
-    out = []
-    for i in range(batch.num_rows):
-        if have_text and text_arr[i].is_valid and text_arr[i].as_py():
-            out.append(text_arr[i].as_py())
-            continue
-        h = html_arr[i].as_py()
-        out.append(extract_text(h) if h is not None else "")
+    texts = batch[text_col].to_pylist() if have_text \
+        else [None] * batch.num_rows
+    out = [t if t else (extract_text(h) if h is not None else "")
+           for t, h in zip(texts, htmls)]
     col = pa.array(out, type=pa.string())
     if have_text:
         idx = batch.column_names.index(text_col)

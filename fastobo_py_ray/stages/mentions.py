@@ -325,6 +325,105 @@ def resolve_index(index_ref) -> OntologyIndex:
     return idx
 
 
+def annotate_batch_fused(index: OntologyIndex, urls, texts,
+                         emit: str = "triples", canonicalize: bool = True):
+    """Whole-batch annotate: ONE automaton scan over all page texts.
+
+    The batch's texts are joined with a ``\\x00`` separator (a non-word
+    char no dictionary surface can contain, so ``\\b`` behaves exactly
+    like start/end-of-page and no match can span pages) and scanned with
+    a single ``finditer``.  Match positions map back to pages with a
+    monotone page pointer (finditer yields matches in order — O(1)
+    amortized, cheaper than a searchsorted per match).  Linking context
+    windows are computed on the PER-PAGE text, never the concatenation,
+    so outputs are byte-identical to :func:`annotate_page`
+    (parity pytest-guarded).
+
+    MEASURED NON-WIN on this workload: 5-12% slower than the per-page
+    loop at both 2-paragraph and 24-paragraph pages (regex scanning is
+    already C-speed either way; Python match processing dominates and is
+    identical, so the concat + global-offset bookkeeping is pure
+    overhead).  The per-page path therefore stays the engine default;
+    this operator remains for corpora of very many near-empty pages,
+    where per-page call setup would actually dominate.
+
+    Returns (mentions, triples) tuple lists shaped like
+    :func:`annotate_page`'s outputs, batch-concatenated in page order.
+    """
+    want_m = emit != "triples"
+    want_t = emit != "mentions"
+    surfaces = index.surfaces
+    reps = index.representatives
+    weights = SCOPE_WEIGHTS
+    edges_by_subj = index.edges_by_subj
+
+    parts: List[str] = []
+    starts: List[int] = []   # offset of each kept page in the concat
+    page_of: List[int] = []  # kept-part index -> batch row index
+    pos = 0
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        parts.append(t)
+        starts.append(pos)
+        page_of.append(i)
+        pos += len(t) + 1
+    mentions: List[tuple] = []
+    triples: List[tuple] = []
+    if not parts:
+        return mentions, triples
+    big = "\x00".join(parts)
+
+    seen: Dict[str, Tuple[str, int, int, float]] = {}
+    cur = -1  # current kept-part index
+
+    def flush(part_i: int) -> None:
+        if not want_t or not seen:
+            return
+        url = urls[page_of[part_i]]
+        for s in seen:
+            for pred, obj in edges_by_subj.get(s, ()):
+                if obj in seen:
+                    ssurf, sb, se, ssc = seen[s]
+                    osurf, ob, oe, osc = seen[obj]
+                    triples.append((s, pred, obj, url,
+                                    round(min(ssc, osc), 6),
+                                    {"begin": sb, "end": se,
+                                     "surface_subj": ssurf,
+                                     "surface_obj": osurf}))
+
+    n_parts = len(starts)
+    for m in index.compile().finditer(big):
+        surface = m.group(0)
+        cands = surfaces.get(surface.lower())
+        if not cands:
+            continue
+        gpos = m.start()
+        while cur + 1 < n_parts and gpos >= starts[cur + 1]:
+            if cur >= 0:
+                flush(cur)
+                seen = {}
+            cur += 1
+        begin = gpos - starts[cur]
+        end = m.end() - starts[cur]
+        if len(cands) == 1:
+            tid, scope = cands[0]
+            score = weights.get(scope, 0.5)
+        else:
+            tid, scope, score = link(index, texts[page_of[cur]], begin, end,
+                                     cands)
+        can = (reps.get(tid, tid) if canonicalize else tid)
+        if want_m:
+            mentions.append((urls[page_of[cur]], tid, can, surface, begin,
+                             end, scope, score))
+        prev = seen.get(can)
+        if prev is None or score > prev[3]:
+            seen[can] = (surface, begin, end, score)
+    if cur >= 0:
+        flush(cur)
+    return mentions, triples
+
+
 def _annotate_table(index: OntologyIndex, batch: pa.Table, emit: str,
                     url_col: str, text_col: str,
                     canonicalize: bool) -> pa.Table:

@@ -232,3 +232,36 @@ def test_contract_cc_matches_exact_and_minlabel(ray_session):
     got_nodes = {r["node"] for r in labels.take_all()}
     want_nodes = {a for a, _ in edges} | {b for _, b in edges}
     assert got_nodes == want_nodes
+
+
+def test_fused_batch_annotate_matches_per_page():
+    """annotate_batch_fused is byte-identical to the per-page
+    annotate_page reference on a golden corpus batch (incl. ambiguous
+    mentions whose link() window would bleed across page boundaries if
+    the fused path used the concatenated text)."""
+    from fastobo_py_ray.obo import loads as obo_loads
+    from fastobo_py_ray.stages.mentions import (annotate_batch_fused,
+                                                annotate_page, build_index)
+    from fastobo_py_ray.testing.corpus import MINI_OBO, synth_pages_table
+
+    index = build_index(obo_loads(MINI_OBO).ontology)
+    t = synth_pages_table(64, seed=5, max_paras=4)
+    urls = t["url"].to_pylist()
+    texts = t["text"].to_pylist()
+    texts[3] = ""          # empty page in the middle
+
+    for emit in ("both", "triples", "mentions"):
+        want_m, want_t = [], []
+        for u, t in zip(urls, texts):
+            if not t:
+                continue
+            m, tr = annotate_page(index, u, t,
+                                  want_mentions=(emit != "triples"))
+            want_m.extend(m)
+            want_t.extend(tr)
+        got_m, got_t = annotate_batch_fused(index, urls, texts, emit=emit)
+        if emit != "triples":
+            assert got_m == want_m
+        if emit != "mentions":
+            assert got_t == want_t
+    assert want_m and want_t  # the corpus really exercises both outputs
