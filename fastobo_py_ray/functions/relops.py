@@ -87,12 +87,7 @@ def hash_join(left, right, on: Union[str, List[str]],
             # float64 on the other (e.g. a column NA-widened by an earlier
             # hash_join) still land in the same bucket; a float collision
             # only co-locates keys, the in-bucket merge stays exact.
-            kdf = df[keys].copy()
-            for c in keys:
-                if pd.api.types.is_numeric_dtype(kdf[c]):
-                    kdf[c] = kdf[c].astype("float64")
-            h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
-            df["__bucket"] = (h % num_buckets).astype("int64")
+            df["__bucket"] = _bucket_ids(df, keys, num_buckets)
             df["__side"] = side
             # widen to the union schema in the same pass (union requires
             # identical schemas; one map stage per side instead of two).
@@ -120,6 +115,67 @@ def hash_join(left, right, on: Union[str, List[str]],
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")
+
+
+def _bucket_ids(df: pd.DataFrame, keys: List[str],
+                num_buckets: int) -> np.ndarray:
+    """Stable hash-bucket id per row (same numeric-widening rule as
+    :func:`hash_join` so int64/float64 twins of a key co-locate)."""
+    kdf = df[keys].copy()
+    for c in keys:
+        if pd.api.types.is_numeric_dtype(kdf[c]):
+            kdf[c] = kdf[c].astype("float64")
+    h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+    return (h % num_buckets).astype("int64")
+
+
+def grouped_map(ds, keys: Union[str, List[str]], bucket_fn,
+                num_buckets: int = 64):
+    """High-cardinality groupby-apply: coarse hash-bucket shuffle, then a
+    C-speed pandas groupby inside each bucket task.
+
+    Ray Data's sort-based ``groupby(keys)`` pays a fixed Python cost per
+    distinct group (group-boundary slicing + per-group callable dispatch,
+    ~0.1 ms/group measured on this box) — ruinous when the key is
+    high-cardinality (content hashes, shingles, LSH buckets: 10^4..10^9
+    groups). This helper keeps the exchange to ``num_buckets`` coarse
+    groups and hands each task the FULL frame of its bucket; because a
+    bucket holds every row of its keys, any per-key computation done
+    inside ``bucket_fn`` (``df.groupby(keys).agg``, dedup, pair
+    explosion) is globally exact.
+
+    ``bucket_fn(df) -> df`` receives one bucket's rows (``__bucket``
+    already dropped) and does its own in-task pandas groupby over
+    ``keys``. ``num_buckets`` is the parallelism/skew knob — size it to
+    the cluster's core count; per-key skew inside a bucket is bounded by
+    the hottest single key, same as any hash exchange.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_ids(df, keys, num_buckets)
+        return df
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(df.drop(columns="__bucket"))
+
+    return ds.map_batches(tag, batch_format="pandas") \
+             .groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+def grouped_agg(ds, keys: Union[str, List[str]],
+                num_buckets: int = 64, **named_aggs):
+    """:func:`grouped_map` convenience for named aggregations:
+    ``grouped_agg(ds, "k", out=("col", "sum"))`` ==
+    ``SELECT k, sum(col) AS out GROUP BY k`` with no per-group Python.
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys_l, as_index=False, sort=False).agg(**named_aggs)
+
+    return grouped_map(ds, keys_l, agg, num_buckets=num_buckets)
 
 
 def lookup_map(ds_or_df, key: str, value: str) -> Dict:

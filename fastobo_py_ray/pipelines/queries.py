@@ -85,12 +85,14 @@ def kg_mentions(sf_dir: str) -> pd.DataFrame:
                                  "size": "n_mentions"})
 
     partial = ments.map_batches(count, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from ..functions.relops import grouped_agg
 
-    out = partial.groupby(["doc_id", "term_id"]).aggregate(
-        Sum("n_mentions", alias_name="n_mentions")).to_pandas()
+    # (doc_id, term_id) is corpus-cardinality — coarse-bucket exchange +
+    # in-task pandas sum, not Ray's per-group sort-groupby
+    out = grouped_agg(partial, ["doc_id", "term_id"],
+                      n_mentions=("n_mentions", "sum")).to_pandas()
     out["n_mentions"] = out["n_mentions"].astype("int64")
-    return out
+    return out.sort_values(["doc_id", "term_id"]).reset_index(drop=True)
 
 
 def kg_mentions_sql() -> str:
@@ -483,8 +485,15 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"user_id": g["user_id"].iloc[0],
                              "ts": ts, "n_in_window": n.astype("int64")})
 
-    out = ds.groupby("user_id").map_groups(
-        window, batch_format="pandas").to_pandas()
+    from ..functions.relops import grouped_map
+
+    # user_id is corpus-cardinality: coarse-bucket exchange, per-user
+    # two-pointer at pandas speed inside the bucket task
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False,
+                          group_keys=False).apply(window)
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
     out["n_in_window"] = out["n_in_window"].astype("int64")
     return out
 
@@ -510,8 +519,13 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
                              "n_sessions": [int(gaps.sum()) + 1]})
 
-    out = ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").to_pandas()
+    from ..functions.relops import grouped_map
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False,
+                          group_keys=False).apply(sessions)
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return out
 

@@ -33,10 +33,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_tokens(tokens: List[str]) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big") & ((1 << 61) - 1) for t in tokens),
-        dtype=np.uint64, count=len(tokens))
+    """Vectorized, process-stable 61-bit hash of a token/shingle list
+    (pandas siphash with a fixed key — one C call for the whole array,
+    never a per-string Python hash loop)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object),
+                           hash_key="fastobomray-mh00")
+    return h & np.uint64(_MERSENNE)
 
 
 def shingles(text: str, k: int = 3) -> List[str]:
@@ -62,6 +66,56 @@ def minhash_signature(text: str, num_perm: int, params) -> np.ndarray:
     # (a * h + b) mod p, min over shingles — vectorized outer product
     vals = (np.multiply.outer(hs, a) + b) % _MERSENNE
     return vals.min(axis=0)
+
+
+_SIG_CHUNK_SHINGLES = 1 << 19  # caps the (shingles x num_perm) scratch
+
+
+def _signatures_segmented(hs: np.ndarray, offsets: np.ndarray,
+                          num_perm: int, params) -> np.ndarray:
+    """Per-doc minhash signatures over a concatenated shingle-hash array
+    (``hs[offsets[i]:offsets[i+1]]`` = doc i). Identical results to
+    :func:`minhash_signature` per doc (parity guarded by test); empty
+    docs get the sentinel all-``_MERSENNE`` signature. Processed in doc
+    chunks so the (shingles x num_perm) scratch stays bounded."""
+    a, b = params
+    n = len(offsets) - 1
+    sigs = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    lo_doc = 0
+    while lo_doc < n:
+        hi_doc = lo_doc
+        while (hi_doc < n and
+               offsets[hi_doc + 1] - offsets[lo_doc] <= _SIG_CHUNK_SHINGLES):
+            hi_doc += 1
+        hi_doc = max(hi_doc, lo_doc + 1)  # never stall on one huge doc
+        seg = hs[offsets[lo_doc]:offsets[hi_doc]]
+        if len(seg):
+            vals = (np.multiply.outer(seg, a) + b) % _MERSENNE
+            starts = offsets[lo_doc:hi_doc] - offsets[lo_doc]
+            nonempty = np.diff(offsets[lo_doc:hi_doc + 1]) > 0
+            if nonempty.any():
+                mins = np.minimum.reduceat(vals, starts[nonempty], axis=0)
+                sigs[lo_doc:hi_doc][nonempty] = mins
+        lo_doc = hi_doc
+    return sigs
+
+
+def _band_hashes(sigs: np.ndarray, bands: int, rows_per_band: int
+                 ) -> np.ndarray:
+    """(n_docs, num_perm) signatures -> (n_docs, bands) uint64 band keys:
+    vectorized FNV-1a fold over each band's rows (equal band key <=>
+    equal band chunk up to negligible 64-bit collision odds)."""
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    basis = np.uint64(14695981039346656037)
+    for bi in range(bands):
+        acc = np.full(n, basis, dtype=np.uint64)
+        chunk = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+        for j in range(rows_per_band):
+            acc = (acc ^ chunk[:, j]) * prime
+        out[:, bi] = acc
+    return out
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -103,8 +157,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     exchange. Returns (hash groups) Dataset with columns
     (content_md5, doc_id, n_copies).
     """
-    from ray.data.aggregate import Count, Min, Sum
-
+    from ..functions.relops import grouped_agg
     from .textstats import content_hash_batch
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -113,9 +166,13 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             doc_id=(id_col, "min"), n_copies=(id_col, "size"))
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("content_md5").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Sum("n_copies", alias_name="n_copies"))
+    # content_md5 is ~one group per distinct document — far too many for
+    # Ray's sort-groupby (per-group Python cost); one coarse hash-bucket
+    # exchange + in-task pandas agg instead (exact: a bucket holds every
+    # partial of its hashes).
+    return grouped_agg(partials, "content_md5",
+                       doc_id=("doc_id", "min"),
+                       n_copies=("n_copies", "sum"))
 
 
 # ---------------------------------------------------------------------------
@@ -134,27 +191,41 @@ class MinHasher:
         self.params = _minhash_params(num_perm, seed)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        """doc rows -> exploded (band_id, band_hash, doc_id) rows."""
-        out_band, out_hash, out_id = [], [], []
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = minhash_signature(text, self.num_perm, self.params)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(doc_id)
-        return pd.DataFrame({"band_id": out_band, "band_hash": out_hash,
-                             "doc_id": out_id})
+        """doc rows -> exploded (band_id, band_hash, doc_id) rows.
+
+        Whole-batch vectorized: one C-speed hash call over every shingle
+        in the batch, one (shingles x num_perm) affine transform with
+        segmented per-doc minima, one FNV fold per band — the only
+        per-doc Python is shingle construction."""
+        texts = df[self.text_col].tolist()
+        sh: List[str] = []
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            s = shingles(t)
+            sh.extend(s)
+            offsets[i + 1] = len(sh)
+        sigs = _signatures_segmented(_hash_tokens(sh), offsets,
+                                     self.num_perm, self.params)
+        bh = _band_hashes(sigs, self.bands, self.rows_per_band)
+        n = len(texts)
+        return pd.DataFrame({
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "band_hash": bh.ravel(),
+            "doc_id": np.repeat(df[self.id_col].to_numpy(), self.bands)})
 
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, seed: int = 42,
-                            max_bucket_size: Optional[int] = None):
+                            max_bucket_size: Optional[int] = None,
+                            num_buckets: int = 64):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH
-    banding: signature map_batches -> groupby(band_id, band_hash) ->
-    within-bucket pair explosion. One shuffle keyed on the band bucket.
+    banding: signature map_batches -> coarse hash-bucket exchange on
+    (band_id, band_hash) -> within-band-bucket pair explosion. Band
+    buckets are one group per distinct band signature (~docs x bands of
+    them), so this rides :func:`grouped_map` rather than Ray's
+    sort-groupby; ``num_buckets`` coarse groups move, the per-signature
+    loop runs in-task at pandas speed.
 
     ``max_bucket_size=M`` drops band buckets larger than M (degenerate
     signatures — e.g. empty or boilerplate docs all hashing identically —
@@ -162,35 +233,42 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
     near-dup pairs still meet in their other ``bands-1`` buckets unless
     those are degenerate too, so normal-corpus recall is preserved
     (guarded by test)."""
+    from ..functions.relops import grouped_map
 
+    # task-based, not an actor pool: the hasher's state is two tiny
+    # numpy permutation arrays, cheaper to ship in the task closure than
+    # to pay actor-pool startup (the actor form is for stages whose
+    # __init__ builds real state — model, trie, compiled index)
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 8),
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
-                               "num_perm": num_perm, "bands": bands,
-                               "seed": seed})
+        MinHasher(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                  bands=bands, seed=seed),
+        batch_format="pandas")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.array(sorted(set(group["doc_id"])))
-        if max_bucket_size is not None and len(ids) > max_bucket_size:
-            ids = ids[:0]  # degenerate bucket: skip (see docstring)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=group["doc_id"].dtype),
-                                 "doc_b": pd.Series(dtype=group["doc_id"].dtype)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if max_bucket_size is not None and len(ids) > max_bucket_size:
+                continue  # degenerate bucket: skip (see docstring)
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
+        return pd.concat(out, ignore_index=True)
 
-    cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = grouped_map(sigs, ["band_id", "band_hash"], bucket_pairs,
+                       num_buckets=num_buckets)
 
-    # pair dedup: per-batch drop_duplicates combiner, then a grouped Count
-    # (cheaper than a second map_groups shuffle; the count is discarded)
-    from ray.data.aggregate import Count
+    # cross-band duplicate pairs: per-batch combiner, then one coarse
+    # exchange keyed on the pair (all copies of a pair co-locate)
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return cand.map_batches(lambda df: df.drop_duplicates(),
-                            batch_format="pandas") \
-               .groupby(["doc_a", "doc_b"]) \
-               .aggregate(Count(alias_name="__n")) \
-               .drop_columns(["__n"])
+    return grouped_map(cand.map_batches(dd, batch_format="pandas"),
+                       ["doc_a", "doc_b"], dd, num_buckets=num_buckets)
 
 
 def _len_key(v) -> str:
@@ -328,7 +406,12 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     The per-doc shingle count ``n`` is attached at explode time and rides
     the shuffles as two extra int columns (functionally dependent on the
     doc id, so grouping on it is exact) — no driver-side size map, no
-    second pass over the corpus, and the result is a Dataset.
+    second pass over the corpus, and the result is a Dataset.  Both
+    exchanges are coarse hash-bucket shuffles (:func:`grouped_map`) —
+    the shingle key has ~corpus-size x doc-length cardinality, which
+    Ray's sort-groupby handles at a fixed Python cost per group; inside
+    a bucket the pair partials come from one C-speed self-merge on the
+    shingle column, pre-summed per pair before the second exchange.
 
     Skew note: a shingle shared by m docs emits O(m^2) pairs —
     ``max_doc_freq=M`` drops shingle groups larger than M (stop-gram
@@ -339,7 +422,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     :func:`minhash_candidate_pairs` (probabilistic) instead.
     Returns a Dataset of (doc_a, doc_b, jaccard >= threshold), ids ordered.
     """
-    from ray.data.aggregate import Sum
+    from ..functions.relops import grouped_agg, grouped_map
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rid, rsh, rn = [], [], []
@@ -354,26 +437,29 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     sh = ds.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g[["doc", "n"]].drop_duplicates("doc").sort_values("doc")
-        if max_doc_freq is not None and len(sub) > max_doc_freq:
-            sub = sub.iloc[:0]  # stop-gram: too common to evidence near-dup
-        if len(sub) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=g["doc"].dtype),
-                                 "doc_b": pd.Series(dtype=g["doc"].dtype),
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (shingle, doc) by construction; a self-merge
+        # on shingle explodes each shingle group's doc pairs in C, then
+        # an in-task pre-sum collapses them to one partial per pair
+        sub = df
+        if max_doc_freq is not None:
+            cnt = sub.groupby("shingle", sort=False)["doc"].transform("size")
+            sub = sub[cnt <= max_doc_freq]  # stop-gram: too common
+        m = sub.merge(sub, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        if m.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc"].dtype),
+                                 "doc_b": pd.Series(dtype=df["doc"].dtype),
                                  "n_a": pd.Series(dtype="int64"),
                                  "n_b": pd.Series(dtype="int64"),
                                  "inter": pd.Series(dtype="int64")})
-        docs = sub["doc"].to_numpy()
-        ns = sub["n"].to_numpy()
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib],
-                             "n_a": ns[ia], "n_b": ns[ib],
-                             "inter": np.ones(len(ia), dtype="int64")})
+        g = m.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False,
+                      sort=False).size().rename(columns={"size": "inter"})
+        return g.astype({"inter": "int64"})
 
-    inter = sh.groupby("shingle").map_groups(pairs, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
-            Sum("inter", alias_name="inter"))
+    inter = grouped_agg(
+        grouped_map(sh, "shingle", bucket_pairs),
+        ["doc_a", "doc_b", "n_a", "n_b"], inter=("inter", "sum"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

@@ -99,3 +99,51 @@ def test_actor_pool_annotator_matches_task_path(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_grouped_map_matches_pandas_groupby(ray_session):
+    """grouped_map over a high-cardinality key == pandas groupby-apply
+    (a bucket holds every row of its keys, so per-key work is exact)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import grouped_agg, grouped_map
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"key": [f"k{int(i)}" for i in rng.randint(0, 500, 2000)],
+                       "v": rng.randint(0, 100, 2000)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    got = grouped_map(
+        ds, "key",
+        lambda b: b.groupby("key", as_index=False)["v"].max(),
+        num_buckets=16).to_pandas()
+    want = df.groupby("key", as_index=False)["v"].max()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+
+    got2 = grouped_agg(ds, "key", num_buckets=16,
+                       total=("v", "sum"), n=("v", "size")).to_pandas()
+    want2 = df.groupby("key", as_index=False).agg(
+        total=("v", "sum"), n=("v", "size"))
+    pd.testing.assert_frame_equal(_norm(got2), _norm(want2),
+                                  check_dtype=False)
+
+
+def test_grouped_map_mixed_numeric_dtype_key(ray_session):
+    """int64 keys in one block, float64 in another, still co-locate."""
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import grouped_agg
+
+    a = pd.DataFrame({"key": pd.Series([1, 2, 3], dtype="int64"),
+                      "v": [1, 1, 1]})
+    b = pd.DataFrame({"key": pd.Series([1.0, 3.0], dtype="float64"),
+                      "v": [10, 10]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    got = grouped_agg(ds, "key", num_buckets=8,
+                      total=("v", "sum")).to_pandas()
+    got["key"] = got["key"].astype("float64")
+    want = pd.DataFrame({"key": [1.0, 2.0, 3.0], "total": [11, 1, 11]})
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
