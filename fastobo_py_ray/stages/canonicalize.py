@@ -14,8 +14,10 @@ Two implementations with identical results:
 * :func:`connected_components` — distributed min-label propagation over a
   Ray ``Dataset`` of edges, for corpus-scale identity graphs (e.g. LSH
   near-dup clusters over 10^12 documents). Each round is
-  ``union -> groupby(node).map_groups -> groupby(node).min`` — an
-  all-to-all hash shuffle keyed on the node id. Skew notes: per-batch
+  ``union -> grouped_map(node,salt) propagate -> grouped_agg(node) min``
+  — coarse hash-bucket exchanges (node cardinality never touches Ray's
+  per-group sort-groupby machinery; in-bucket work is vectorized pandas
+  groupby/merge, no per-node Python). Skew notes: per-batch
   combiners pre-reduce (node, label) pairs to per-batch minima before each
   shuffle, so a head entity with millions of edges contributes at most one
   row per upstream block per round; converges in O(graph diameter) rounds
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -64,13 +67,28 @@ def union_find(edges: Iterable[Tuple[str, str]],
 # distributed connected components (min-label propagation)
 # ---------------------------------------------------------------------------
 
+def _group_min_str(df: pd.DataFrame, keys: List[str],
+                   col: str) -> pd.DataFrame:
+    """``df.groupby(keys)[col].min()`` with the min computed on sorted
+    factor codes: pandas' per-group min over object/string columns is a
+    Python-level fallback (~30x slower, measured 18s vs 0.3s on 600k
+    rows); int-code min stays in C and maps back exactly."""
+    if df.empty:
+        return df.loc[:, keys + [col]]
+    codes, uniq = pd.factorize(df[col], sort=True)
+    out = df.assign(__code=codes).groupby(
+        keys, as_index=False, sort=False)["__code"].min()
+    out[col] = np.asarray(uniq).take(out.pop("__code").to_numpy())
+    return out
+
+
 def _batch_min_label(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch combiner: keep the minimum label per node (skew defusal —
     runs before each shuffle so hot nodes shrink to one row per block)."""
     if df.empty:
         return pd.DataFrame({"node": pd.Series(dtype="string"),
                              "label": pd.Series(dtype="string")})
-    out = df.groupby("node", as_index=False)["label"].min()
+    out = _group_min_str(df, ["node"], "label")
     return out.astype({"node": "string", "label": "string"})
 
 
@@ -113,6 +131,7 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
     import zlib
 
     from ..context import tune_data_context
+    from ..functions.relops import grouped_map
 
     tune_data_context()
     salt = max(1, salt)
@@ -129,12 +148,19 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
     # the upstream task count, which is often dozens of near-empty blocks
     # whose per-block overhead then taxes every propagation round)
     import math
+
+    import ray
+
     num_label_blocks = max(1, min(adj.num_blocks(),
                                   math.ceil(adj.count() / 65536)))
+    # exchange width: label blocks may be few (small graphs), but the
+    # coarse-bucket exchanges should still spread over the cluster's cores
+    num_buckets = max(num_label_blocks,
+                      int(ray.cluster_resources().get("CPU", 8)))
     labels = adj.map_batches(
         lambda df: pd.DataFrame({
-            "node": df["node"], "label": df["node"]})
-        .groupby("node", as_index=False).min()
+            "node": df["node"].drop_duplicates(),
+            }).assign(label=lambda x: x["node"])
         .astype({"node": "string", "label": "string"}),
         batch_format="pandas")
 
@@ -146,17 +172,24 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
         parts = lab.map_batches(h, batch_format="pandas").to_pandas()
         return int(parts["c"].sum())
 
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        own = group.loc[group["nbr"] == "", "label"]
-        if own.empty:  # defensive: edge rows for a node with no label row
-            return pd.DataFrame({"node": pd.Series(dtype="string"),
-                                 "label": pd.Series(dtype="string")})
-        m = own.min()
-        nbrs = group.loc[group["nbr"] != "", "nbr"]
-        out_nodes = [group["node"].iloc[0]] + list(nbrs)
+    def propagate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """One coarse bucket's (node,salt) groups, fully vectorized:
+        per-lane min own label (C groupby), then a merge fans it out to
+        the lane's neighbors (edge rows whose node has no label row are
+        dropped by the inner merge, as in the per-group original)."""
+        own = df[df["nbr"] == ""]
+        own_min = _group_min_str(own, ["node", "salt"], "label")
+        adj_r = df[df["nbr"] != ""]
+        sent = adj_r.merge(own_min[["node", "salt", "label"]],
+                           on=["node", "salt"], how="inner",
+                           suffixes=("_drop", ""))
+        out = pd.concat(
+            [own_min[["node", "label"]],
+             sent[["nbr", "label"]].rename(columns={"nbr": "node"})],
+            ignore_index=True)
         return pd.DataFrame({
-            "node": pd.Series(out_nodes, dtype="string"),
-            "label": pd.Series([m] * len(out_nodes), dtype="string")})
+            "node": out["node"].astype("string"),
+            "label": out["label"].astype("string")})
 
     def replicate_labels(df: pd.DataFrame) -> pd.DataFrame:
         """One label row per (node, salt lane)."""
@@ -187,16 +220,21 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
                                      "is_ask": [False] * len(df)}),
             batch_format="pandas")
 
-        def resolve(g: pd.DataFrame) -> pd.DataFrame:
-            vals = g.loc[~g["is_ask"], "val"]
-            # key has no label row -> it is already a root label
-            target = vals.min() if not vals.empty else g["key"].iloc[0]
-            nodes = g.loc[g["is_ask"], "node"]
-            return pd.DataFrame({"node": nodes,
-                                 "label": [target] * len(nodes)})
+        def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized: answers give key -> val (one row per node from
+            the label reduce; min() collapses defensively), a left merge
+            resolves asks; a key with no label row is already a root."""
+            ask = df[df["is_ask"]]
+            ans = _group_min_str(df[~df["is_ask"]], ["key"], "val")
+            m = ask.merge(ans, on="key", how="left",
+                          suffixes=("_drop", ""))
+            lab = m["val"].where(m["val"].notna() & (m["val"] != ""),
+                                 m["key"])
+            return pd.DataFrame({"node": m["node"].astype("string"),
+                                 "label": lab.astype("string")})
 
-        return asks.union(answers).groupby("key").map_groups(
-            resolve, batch_format="pandas")
+        return grouped_map(asks.union(answers), "key", resolve_bucket,
+                           num_buckets=num_buckets)
 
     prev = checksum(labels)
     for _ in range(max_rounds):
@@ -206,16 +244,14 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
             lambda df: _lab_frame(df["node"], [None] * len(df),
                                   df["salt"], df["nbr"]),
             batch_format="pandas")
-        msgs = lab_rows.union(adj_rows).groupby(["node", "salt"]) \
-            .map_groups(propagate, batch_format="pandas")
+        msgs = grouped_map(lab_rows.union(adj_rows), ["node", "salt"],
+                           propagate_bucket, num_buckets=num_buckets)
         # materialize: pointer_double reads `merged` twice (asks+answers);
         # an unmaterialized handle would re-execute the whole round twice
-        merged = msgs.map_batches(_batch_min_label, batch_format="pandas") \
-                     .groupby("node").map_groups(
-                         lambda df: pd.DataFrame(
-                             {"node": [df["node"].iloc[0]],
-                              "label": [df["label"].min()]}),
-                         batch_format="pandas").materialize()
+        merged = grouped_map(
+            msgs.map_batches(_batch_min_label, batch_format="pandas"),
+            "node", lambda df: _group_min_str(df, ["node"], "label"),
+            num_buckets=num_buckets).materialize()
         # resolve() emits exactly one row per node, so no extra reduce.
         # repartition caps the block count: union+sort inherit the SUM of
         # input block counts, so without the coalesce labels blocks double
