@@ -182,7 +182,19 @@ def _frame_to_node(f: Frame) -> Dict[str, Any]:
 
 
 def dumps_graph(ontology: Ontology) -> str:
-    """Ontology -> OBO Graph JSON string (mirrors fastobo.dump_graph)."""
+    """Ontology -> OBO Graph JSON string (mirrors fastobo.dump_graph).
+
+    Example (roundtrips through :func:`loads_graph`):
+        >>> from .parser import loads
+        >>> r = loads("format-version: 1.2\\n\\n"
+        ...           "[Term]\\nid: MS:1\\nname: one\\nis_a: MS:2\\n\\n"
+        ...           "[Term]\\nid: MS:2\\nname: two\\n")
+        >>> back = loads_graph(dumps_graph(r.ontology))
+        >>> [(f.id, f.name) for f in back.frames]
+        [('MS:1', 'one'), ('MS:2', 'two')]
+        >>> back.frames[0].first("is_a")["value"]
+        'MS:2'
+    """
     nodes = [_frame_to_node(f) for f in ontology.frames]
     edges = []
     for f in ontology.frames:

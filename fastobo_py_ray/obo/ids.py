@@ -94,6 +94,14 @@ def parse(s: str) -> Tuple[str, str, str]:
     (``src/py/id.rs:53-63``): URL first, then prefixed on an unescaped
     colon, otherwise unprefixed. For URL / unprefixed idents prefix is ""
     and local is the whole (unescaped) string.
+
+    Example (mirrors the ``src/py/id.rs:46-51`` doctest):
+        >>> parse("MS:1000031")
+        ('prefixed', 'MS', '1000031')
+        >>> parse("part_of")
+        ('unprefixed', '', 'part_of')
+        >>> parse("http://purl.obolibrary.org/obo/IAO_0000231")
+        ('url', '', 'http://purl.obolibrary.org/obo/IAO_0000231')
     """
     if _URL_RE.match(s):
         return (KIND_URL, "", s)
@@ -109,6 +117,16 @@ def is_valid(s: str) -> bool:
     (``src/py/id.rs:85-93``): a string is a valid ident iff it is a URL, a
     prefixed ident, or an unprefixed ident with no raw whitespace and no
     unescaped reserved characters.
+
+    Example (mirrors the ``src/py/id.rs:77-84`` doctest):
+        >>> is_valid("MS:1000031")
+        True
+        >>> is_valid("https://purl.obolibrary.org/obo/MS_1000031")
+        True
+        >>> is_valid("related_to")
+        True
+        >>> is_valid("definitely not an identifier")
+        False
     """
     if not s:
         return False
@@ -168,6 +186,15 @@ def compact(s: str, idspaces: Optional[Dict[str, str]] = None) -> str:
     default. Mirrors ``OboDoc.compact_ids`` (``src/py/doc.rs:241-248``).
 
     Non-URL identifiers are returned unchanged (idempotent).
+
+    Example (the ``src/py/doc.rs:219-248`` CHEBI purl doctest):
+        >>> compact("http://purl.obolibrary.org/obo/CHEBI_27958")
+        'CHEBI:27958'
+        >>> compact("CHEBI:27958")
+        'CHEBI:27958'
+        >>> compact("http://example.com/x/27958",
+        ...         idspaces={"EX": "http://example.com/x/"})
+        'EX:27958'
     """
     if "://" not in s:
         return s
@@ -187,7 +214,16 @@ def compact(s: str, idspaces: Optional[Dict[str, str]] = None) -> str:
 
 def decompact(s: str, idspaces: Optional[Dict[str, str]] = None) -> str:
     """CURIE -> URL; inverse of :func:`compact`
-    (``OboDoc.decompact_ids``, ``src/py/doc.rs:278-285``)."""
+    (``OboDoc.decompact_ids``, ``src/py/doc.rs:278-285``).
+
+    Example:
+        >>> decompact("CHEBI:27958")
+        'http://purl.obolibrary.org/obo/CHEBI_27958'
+        >>> decompact("EX:27958", idspaces={"EX": "http://example.com/x/"})
+        'http://example.com/x/27958'
+        >>> decompact(compact("http://purl.obolibrary.org/obo/MS_1000031"))
+        'http://purl.obolibrary.org/obo/MS_1000031'
+    """
     kind, prefix, local = parse(s)
     if kind != KIND_PREFIXED:
         return s

@@ -37,6 +37,17 @@ def equivalent_idspaces(header: "HeaderMeta") -> Set[str]:
 
 
 def expand_treat_xrefs(ontology: "Ontology") -> Iterable[Edge]:
+    """Expand header ``treat-xrefs-as-*`` macros into typed edges
+    (``src/py/header/clause.rs:1212-1286`` semantics).
+
+    Example:
+        >>> from .parser import loads
+        >>> r = loads("format-version: 1.2\\n"
+        ...           "treat-xrefs-as-is_a: CHEBI\\n\\n"
+        ...           "[Term]\\nid: MS:1\\nxref: CHEBI:27958\\n")
+        >>> list(expand_treat_xrefs(r.ontology))
+        [('MS:1', 'is_a', 'CHEBI:27958', 'xref_macro')]
+    """
     macros = ontology.header.treat_xrefs
     if not macros:
         return []

@@ -70,6 +70,20 @@ class HeaderMeta:
 
 @dataclass
 class Frame:
+    """One OBO stanza as (kind, id, raw clause dicts).
+
+    Example (``raw_tag``/``raw_value`` projection semantics,
+    ``src/py/term/clause.rs`` getters):
+        >>> f = Frame(kind="term", id="MS:1000031",
+        ...           clauses=[{"tag": "name", "value": "instrument model"},
+        ...                    {"tag": "synonym", "value": "vendor model"}])
+        >>> f.first("name")["value"]
+        'instrument model'
+        >>> [c["tag"] for c in f.values("synonym")]
+        ['synonym']
+        >>> f.name
+        'instrument model'
+    """
     kind: str  # "term" | "typedef" | "instance" (src/py/doc.rs:47-53)
     id: str
     clauses: List[Clause] = field(default_factory=list)

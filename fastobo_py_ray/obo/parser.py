@@ -435,7 +435,18 @@ def split_tag_value(line: str) -> Optional[Tuple[str, str]]:
 
 def loads(text: str, path: str = "<str>") -> ParseResult:
     """Parse an OBO document string (mirrors ``fastobo.loads``,
-    ``src/py/mod.rs:280-296``: header first, then entity frames)."""
+    ``src/py/mod.rs:280-296``: header first, then entity frames).
+
+    Example (mirrors the ``fastobo.loads`` doctest in
+    ``src/py/mod.rs``):
+        >>> r = loads("format-version: 1.2\\n\\n"
+        ...           "[Term]\\nid: MS:1000031\\nname: instrument model\\n")
+        >>> len(r.ontology.frames), r.errors
+        (1, [])
+        >>> f = r.ontology.frames[0]
+        >>> f.kind, f.id, f.name
+        ('term', 'MS:1000031', 'instrument model')
+    """
     header = HeaderMeta()
     frames: List[Frame] = []
     errors: List[ParseError] = []

@@ -74,7 +74,15 @@ def frame_to_text(frame: Frame) -> str:
 
 def dumps(ontology: Ontology) -> str:
     """Serialize a whole document (header, blank line, frames separated by
-    blank lines, trailing newline) — the reference's ``str(doc)`` layout."""
+    blank lines, trailing newline) — the reference's ``str(doc)`` layout.
+
+    Example (parse -> serialize roundtrip is byte-stable):
+        >>> from .parser import loads
+        >>> text = ("format-version: 1.2\\n\\n"
+        ...         "[Term]\\nid: MS:1000031\\nname: instrument model\\n")
+        >>> dumps(loads(text).ontology) == text
+        True
+    """
     parts = [header_to_text(ontology.header)]
     parts.extend(frame_to_text(f) for f in ontology.frames)
     return "\n\n".join(p for p in parts if p) + "\n"
