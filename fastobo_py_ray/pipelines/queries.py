@@ -905,6 +905,106 @@ def f_to_pandas(ds, fn) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: decontamination, sampling, repetition, packing
+# ---------------------------------------------------------------------------
+
+_DECONTAM_K = 5
+_BENCH_MOD = 97  # deterministic "held-out benchmark": doc_id % 97 == 0
+
+
+def q_decontam(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination scan: flag training documents sharing
+    any 5-gram with the (small, broadcast) benchmark slice."""
+    from ..stages.traindata import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = ds.map_batches(
+        lambda df: df[df["doc_id"] % _BENCH_MOD == 0],
+        batch_format="pandas")
+    corpus = ds.map_batches(
+        lambda df: df[df["doc_id"] % _BENCH_MOD != 0],
+        batch_format="pandas")
+    out = decontaminate(corpus, bench, k=_DECONTAM_K).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DECONTAM_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + {_DECONTAM_K - 1}), ' ') AS g
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {_DECONTAM_K - 1}))
+                AS i) t
+  WHERE len(w) >= {_DECONTAM_K}
+),
+bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (SELECT DISTINCT g.doc_id, g.g FROM grams g
+         JOIN bgrams b USING (g) WHERE g.doc_id % {_BENCH_MOD} <> 0)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 0) d
+LEFT JOIN (SELECT doc_id, count(*) AS n_hits FROM hits
+           GROUP BY doc_id) h USING (doc_id)
+"""
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20-per-language sample (md5 order)."""
+    from ..stages.traindata import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, group_col="lang", n=20,
+                            id_col="doc_id").to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+Q_STRATIFIED_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style word-repetition quality signals per document."""
+    from ..stages.traindata import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_REPETITION_SQL = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+agg AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct,
+               sum(c) AS n_words FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_words::BIGINT AS n_words, n_distinct::BIGINT AS n_distinct,
+       round(top_c::DOUBLE / n_words, 6) AS top_word_frac,
+       round(n_distinct::DOUBLE / n_words, 6) AS distinct_frac
+FROM agg
+"""
+
+
+def q_seq_packing(sf_dir: str) -> pd.DataFrame:
+    """Greedy first-fit-decreasing sequence packing (budget 256 tokens);
+    rows-only (the pack assignment is an algorithmic artifact with no
+    SQL equivalent) — invariants are pytest-checked: every doc packed
+    exactly once, no pack over budget unless a single doc exceeds it."""
+    from ..stages.traindata import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_sequences(ds, budget=256).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -937,6 +1037,10 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_langid": q_langid,
         "q_media_features": q_media_features,
         "q_qa_ontology": q_qa_ontology,
+        "q_decontam": q_decontam,
+        "q_stratified_sample": q_stratified_sample,
+        "q_repetition": q_repetition,
+        "q_seq_packing": q_seq_packing,
     }
 
 
@@ -961,6 +1065,12 @@ def oracles() -> Dict[str, str]:
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+        "q_decontam": Q_DECONTAM_SQL,
+        "q_stratified_sample": Q_STRATIFIED_SQL,
+        "q_repetition": Q_REPETITION_SQL,
+        # q_seq_packing is rows-only: the greedy pack assignment is an
+        # algorithmic artifact (invariants pytest-checked), not a SQL
+        # relation.
         # q_minhash_clusters / q_simhash / q_fingerprint / q_langid /
         # q_ann_lsh (approximate) / q_media_features / q_qa_ontology are
         # intentionally omitted: stateful hashing / heuristics /

@@ -1,0 +1,265 @@
+"""Training-data curation operators beyond the dedup/textstats suites:
+benchmark decontamination, stratified sampling, repetition statistics,
+and sequence packing (driver brief "operations a large-scale
+training-data pipeline would need").
+
+Scale shapes:
+
+* decontamination — the benchmark side is eval-scale (MBs, not corpus
+  scale) so its n-gram set is collected once and broadcast with
+  ``ray.put``; the corpus side is one stateless vectorized
+  ``map_batches`` membership scan (numpy ``isin`` against the sorted
+  benchmark gram-hash array). No shuffle at all.
+* stratified sampling — per-batch partial top-n per stratum, then one
+  coarse exchange over the (bounded) stratum key to finalize: the
+  all-to-all moves at most ``n x |strata|`` pre-reduced rows.
+* repetition stats — stateless vectorized ``map_batches`` (explode +
+  C-speed groupby inside the batch), no shuffle.
+* sequence packing — one coarse hash-bucket exchange, greedy first-fit
+  -decreasing inside each bucket; packing quality needs only
+  bucket-local optimality (training packs, not bin-packing proofs), so
+  buckets never coordinate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _space_grams(text: str, k: int) -> List[str]:
+    """Contiguous k-grams over simple space-split tokens (kept exactly
+    equal to the SQL oracle's ``string_split(text, ' ')`` semantics —
+    NOT the ``\\w+`` shingles used by minhash)."""
+    w = (text or "").split(" ")
+    if len(w) < k:
+        return []
+    return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+
+
+def benchmark_gram_set(ds, text_col: str = "text", k: int = 5
+                       ) -> "set[str]":
+    """Distinct k-grams of a (small, eval-benchmark-sized) Dataset,
+    collected to the driver for broadcast. Corpus-scale inputs must NOT
+    go through here — this is the deliberately-small side of the
+    decontamination join."""
+    grams: set = set()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out: set = set()
+        for t in df[text_col]:
+            out.update(_space_grams(t, k))
+        return pd.DataFrame({"g": sorted(out)})
+
+    for batch in ds.map_batches(explode, batch_format="pandas") \
+                   .iter_batches(batch_format="pandas"):
+        grams.update(batch["g"])
+    return grams
+
+
+class Decontaminator:
+    """Actor-pool stage: flags documents sharing any k-gram with a
+    broadcast benchmark gram set (training-eval contamination scan).
+
+    The gram set is fetched from the object store and hashed to a sorted
+    uint64 array ONCE per actor (``__init__``); each batch then runs one
+    vectorized ``searchsorted`` membership test. Emits
+    (id_col, n_hits, contaminated) where ``n_hits`` counts the DISTINCT
+    contaminated grams of the document.
+    """
+
+    def __init__(self, bench_ref, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 5):
+        import ray
+
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+        grams = ray.get(bench_ref) if not isinstance(bench_ref, (set,
+                                                                 frozenset)) \
+            else bench_ref
+        self._bench = np.sort(_hash_grams(sorted(grams)))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_hits = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df[self.text_col]):
+            if len(self._bench) == 0:
+                break
+            gs = set(_space_grams(t, self.k))
+            if not gs:
+                continue
+            h = _hash_grams(sorted(gs))
+            idx = np.searchsorted(self._bench, h)
+            idx[idx == len(self._bench)] = 0
+            n_hits[i] = int((self._bench[idx] == h).sum())
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "n_hits": n_hits,
+            "contaminated": (n_hits > 0).astype(np.int64)})
+
+
+def _hash_grams(grams: List[str]) -> np.ndarray:
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(grams, dtype=object),
+                              hash_key="fastobomray-dc00")
+
+
+def decontaminate(ds, bench_ds, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 5, concurrency=(1, 8)):
+    """Corpus Dataset + benchmark Dataset -> (id, n_hits, contaminated).
+
+    64-bit gram hashes on both sides: collision odds for a corpus of G
+    grams against a benchmark of B grams are ~G*B/2^64 (negligible at
+    eval-benchmark B). The scan is shuffle-free — the benchmark set is
+    the broadcast small side."""
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, k))
+    return ds.map_batches(
+        Decontaminator, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "id_col": id_col,
+                               "text_col": text_col, "k": k})
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def _md5_hex(vals) -> List[str]:
+    return [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
+
+
+def stratified_sample(ds, group_col: str = "lang", n: int = 50,
+                      id_col: str = "doc_id"):
+    """Deterministic n-per-stratum sample: order within each stratum by
+    ``md5(str(id))`` (uniform, resume-stable, identical to the SQL
+    ``row_number() OVER (... ORDER BY md5(...))`` oracle) and keep the
+    first n.
+
+    Per-batch partial top-n per stratum first, so the exchange moves at
+    most ``n x strata-per-batch`` rows; the finalize is a coarse
+    :func:`~..functions.relops.grouped_map` over the stratum key."""
+    from ..functions.relops import grouped_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[group_col, id_col]].copy()
+        sub["__h"] = _md5_hex(sub[id_col])
+        sub = sub.sort_values(["__h", id_col])
+        return sub.groupby(group_col, sort=False, group_keys=False) \
+                  .head(n)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.sort_values(["__h", id_col])
+        out = sub.groupby(group_col, sort=False, group_keys=False).head(n)
+        return out.drop(columns="__h")
+
+    return grouped_map(ds.map_batches(partial, batch_format="pandas"),
+                       group_col, finalize, num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(df: pd.DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> pd.DataFrame:
+    """Per-document word-repetition signals, fully vectorized inside the
+    batch (explode -> C groupby; no per-doc Python):
+
+    * ``n_words`` — space-split token count,
+    * ``n_distinct`` — distinct words,
+    * ``top_word_frac`` — most frequent word's share (high = repetitive
+      boilerplate, the Gopher repetition filter signal),
+    * ``distinct_frac`` — type/token ratio.
+    """
+    words = df[text_col].fillna("").str.split(" ")
+    ex = pd.DataFrame({id_col: df[id_col].to_numpy()}) \
+        .assign(__w=list(words)).explode("__w")
+    cnt = ex.groupby([id_col, "__w"], sort=False, as_index=False).size()
+    agg = cnt.groupby(id_col, sort=False, as_index=False).agg(
+        top_c=("size", "max"), n_distinct=("size", "size"),
+        n_words=("size", "sum"))
+    return pd.DataFrame({
+        id_col: agg[id_col],
+        "n_words": agg["n_words"].astype("int64"),
+        "n_distinct": agg["n_distinct"].astype("int64"),
+        "top_word_frac": (agg["top_c"] / agg["n_words"]).round(6),
+        "distinct_frac": (agg["n_distinct"] / agg["n_words"]).round(6)})
+
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda df: repetition_stats_batch(df, id_col, text_col),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
+                   budget: int = 256, num_buckets: int = 32):
+    """Greedy sequence packing for training batches: assign each document
+    to a pack such that a pack's total token count stays <= ``budget``
+    (a document longer than the budget gets a pack of its own).
+
+    Documents are hash-bucketed by id (deterministic, resume-stable),
+    and each bucket packs its own documents first-fit-decreasing —
+    bucket-local packing is the scale shape: packing efficiency only
+    needs enough documents per bucket to mix lengths, never global
+    coordination. Returns (id_col, n_tokens, pack_id) with
+    ``pack_id = "<bucket>-<seq>"`` unique across buckets.
+    """
+    from ..functions.relops import grouped_map
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[text_col].fillna("").str.split(" ").str.len()
+        out = df[[id_col]].copy()
+        out["n_tokens"] = n.astype("int64")
+        out["__pb"] = (pd.util.hash_pandas_object(
+            df[id_col], index=False).to_numpy() % num_buckets
+        ).astype("int64")
+        return out
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pb, g in df.groupby("__pb", sort=False):
+            g = g.sort_values(["n_tokens", id_col],
+                              ascending=[False, True])
+            open_room: List[int] = []   # remaining room per open pack
+            assign = np.empty(len(g), dtype=np.int64)
+            # first-fit-decreasing over a bounded window of the most
+            # recently opened packs: an unbounded scan is O(packs) per
+            # doc (quadratic in the bucket); the window keeps it linear
+            # and only costs a little fill efficiency
+            window = 64
+            for i, t in enumerate(g["n_tokens"].to_numpy()):
+                placed = False
+                lo = max(0, len(open_room) - window)
+                for p in range(lo, len(open_room)):
+                    if t <= open_room[p]:
+                        open_room[p] -= t
+                        assign[i] = p
+                        placed = True
+                        break
+                if not placed:
+                    open_room.append(max(0, budget - t))
+                    assign[i] = len(open_room) - 1
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "pack_id": [f"{pb}-{a}" for a in assign]}))
+        if not out:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "pack_id": pd.Series(dtype="object")})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_map(ds.map_batches(tokens, batch_format="pandas"),
+                       "__pb", pack_bucket, num_buckets=num_buckets)

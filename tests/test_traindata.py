@@ -1,0 +1,119 @@
+"""Training-data curation operators: decontamination, stratified
+sampling, repetition stats, sequence packing (invariants + oracles the
+driver's SQL gate can't express)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(5, 60)))
+             for _ in range(n)]
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+def test_decontaminate_flags_exact_and_only_real_overlap(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import (_space_grams,
+                                                 decontaminate)
+
+    df = _docs()
+    bench = df[df.doc_id % 11 == 0]
+    corpus = df[df.doc_id % 11 != 0]
+    out = decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench),
+                        k=5).to_pandas().set_index("doc_id")
+
+    bgrams = set()
+    for t in bench.text:
+        bgrams.update(_space_grams(t, 5))
+    for _, row in corpus.iterrows():
+        want = len(set(_space_grams(row.text, 5)) & bgrams)
+        assert out.loc[row.doc_id, "n_hits"] == want
+        assert out.loc[row.doc_id, "contaminated"] == int(want > 0)
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import decontaminate
+
+    df = _docs(50)
+    out = decontaminate(rd.from_pandas(df),
+                        rd.from_pandas(df.iloc[:0]), k=5).to_pandas()
+    assert (out["n_hits"] == 0).all() and (out["contaminated"] == 0).all()
+
+
+def test_stratified_sample_deterministic_and_sized(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import stratified_sample
+
+    df = _docs(300)
+    df["lang"] = [["en", "de", "fr"][i % 3] for i in range(len(df))]
+    ds = rd.from_pandas(df).repartition(8)
+    out = stratified_sample(ds, group_col="lang", n=10,
+                            id_col="doc_id").to_pandas()
+    assert (out.groupby("lang").size() == 10).all()
+    # oracle: pandas n-smallest md5 per group
+    df["__h"] = [hashlib.md5(str(v).encode()).hexdigest()
+                 for v in df.doc_id]
+    want = df.sort_values(["__h", "doc_id"]).groupby("lang").head(10)
+    assert set(zip(out.lang, out.doc_id)) == set(zip(want.lang,
+                                                     want.doc_id))
+    # rerun is identical (resume-stable)
+    out2 = stratified_sample(ds, group_col="lang", n=10,
+                             id_col="doc_id").to_pandas()
+    assert set(map(tuple, out.values)) == set(map(tuple, out2.values))
+
+
+def test_repetition_stats_match_pandas_oracle(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import repetition_stats
+
+    df = _docs(80)
+    out = repetition_stats(rd.from_pandas(df)).to_pandas() \
+        .set_index("doc_id")
+    for _, row in df.iterrows():
+        words = row.text.split(" ")
+        vc = pd.Series(words).value_counts()
+        assert out.loc[row.doc_id, "n_words"] == len(words)
+        assert out.loc[row.doc_id, "n_distinct"] == len(vc)
+        assert out.loc[row.doc_id, "top_word_frac"] == pytest.approx(
+            round(vc.iloc[0] / len(words), 6))
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import pack_sequences
+
+    df = _docs(250)
+    # add a doc longer than the budget: must get its own pack
+    df.loc[0, "text"] = " ".join(["x"] * 300)
+    budget = 100
+    ds = rd.from_pandas(df).repartition(8)
+    out = pack_sequences(ds, budget=budget, num_buckets=8).to_pandas()
+
+    # every doc packed exactly once
+    assert sorted(out.doc_id) == sorted(df.doc_id)
+    # token counts are the space-split lengths
+    want_tokens = df.set_index("doc_id").text.str.split(" ").str.len()
+    got_tokens = out.set_index("doc_id").n_tokens
+    assert (got_tokens == want_tokens.loc[got_tokens.index]).all()
+    # no pack over budget unless it is a single over-long doc
+    sizes = out.groupby("pack_id").agg(tot=("n_tokens", "sum"),
+                                       n=("n_tokens", "size"))
+    over = sizes[sizes.tot > budget]
+    assert (over.n == 1).all()
+    # determinism across a different partitioning
+    out2 = pack_sequences(rd.from_pandas(df).repartition(3),
+                          budget=budget, num_buckets=8).to_pandas()
+    m = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (m.pack_id_a == m.pack_id_b).all()
