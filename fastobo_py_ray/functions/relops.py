@@ -117,6 +117,59 @@ def hash_join(left, right, on: Union[str, List[str]],
                                             batch_format="pandas")
 
 
+def asof_join(left, right, on: str, by: str,
+              direction: str = "backward", num_buckets: int = 32,
+              lcols: Optional[List[str]] = None,
+              rcols: Optional[List[str]] = None,
+              suffixes=("", "_r")):
+    """Distributed as-of join (the time-series join Ray Data lacks): for
+    each left row, the nearest right row by ``on`` (backward = most
+    recent right.on <= left.on) within the same ``by`` partition key.
+
+    Shape: both sides hash-bucket on ``by`` (ONE exchange, same tagging
+    as :func:`hash_join`); inside a bucket — which holds every row of
+    its ``by`` keys, so the match is globally exact — both sides sort by
+    ``on`` and run C-speed ``pandas.merge_asof(..., by=by)``.
+    Partitioning assumption: per-``by``-key row count fits a task (same
+    bound as any keyed exchange); ``num_buckets`` is the skew knob.
+    Left rows with no match keep NaN/NaT right columns (left join).
+    """
+    if lcols is None:
+        lcols = [c for c in left.schema().names]
+    if rcols is None:
+        rcols = [c for c in right.schema().names]
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str, cols: List[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__bucket"] = _bucket_ids(df, [by], num_buckets)
+            df["__side"] = side
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = np.nan
+            return df[all_cols + ["__bucket", "__side"]]
+        return fn
+
+    u = left.map_batches(tag("l", lcols), batch_format="pandas").union(
+        right.map_batches(tag("r", rcols), batch_format="pandas"))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"][lcols].sort_values(on)
+        r = df[df["__side"] == "r"][rcols].sort_values(on)
+        # dtype restore: the union's NaN-widening can float the right
+        # side's on/by columns when a bucket is single-sided
+        for c in (on, by):
+            if c in r.columns and r[c].dtype != l[c].dtype:
+                r[c] = r[c].astype(l[c].dtype)
+        out = pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                            suffixes=suffixes)
+        return out
+
+    return u.groupby("__bucket").map_groups(merge_bucket,
+                                            batch_format="pandas")
+
+
 def _bucket_ids(df: pd.DataFrame, keys: List[str],
                 num_buckets: int) -> np.ndarray:
     """Stable hash-bucket id per row (same numeric-widening rule as

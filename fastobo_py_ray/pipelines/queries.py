@@ -992,6 +992,60 @@ FROM agg
 """
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (time-series op Ray Data lacks): for every click event,
+    the most recent prior-or-equal purchase value by the same user.
+    One hash exchange on user_id; C-speed merge_asof inside buckets."""
+    from ..functions.relops import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+    clicks = ev.map_batches(
+        lambda df: df[df["event_type"] == "click"][
+            ["event_id", "user_id", "ts"]],
+        batch_format="pandas")
+    purch = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][
+            ["user_id", "ts", "value"]],
+        batch_format="pandas")
+    out = asof_join(clicks, purch, on="ts", by="user_id",
+                    lcols=["event_id", "user_id", "ts"],
+                    rcols=["user_id", "ts", "value"]).to_pandas()
+    out["last_purchase_value"] = out.pop("value").fillna(-1.0).round(2)
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts,
+       round(coalesce(p.value, -1.0), 2) AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k (k-means inverted lists, nprobe=4 of 16);
+    rows-only — recall vs the exact oracle is pytest-gated."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk
+
+    q = pq.read_table(_pq(sf_dir, "embeddings"),
+                      filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, np.asarray(q), k=10, nlist=16, nprobe=4,
+                   exclude_ids={0})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
 def q_seq_packing(sf_dir: str) -> pd.DataFrame:
     """Greedy first-fit-decreasing sequence packing (budget 256 tokens);
     rows-only (the pack assignment is an algorithmic artifact with no
@@ -1041,6 +1095,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_repetition": q_repetition,
         "q_seq_packing": q_seq_packing,
+        "q_asof_join": q_asof_join,
+        "q_ann_ivf": q_ann_ivf,
     }
 
 
@@ -1068,6 +1124,9 @@ def oracles() -> Dict[str, str]:
         "q_decontam": Q_DECONTAM_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,
         "q_repetition": Q_REPETITION_SQL,
+        "q_asof_join": Q_ASOF_SQL,
+        # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
+        # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
         # algorithmic artifact (invariants pytest-checked), not a SQL
         # relation.

@@ -123,3 +123,80 @@ def _probe_flip_sets(order: np.ndarray, num_probes: int):
             count += 1
             if count >= num_probes:
                 return
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Spherical k-means over a (normalized) sample -> (nlist, dim)
+    unit centroids. Deterministic: seeded init, fixed iteration count.
+    Runs on the driver over a BOUNDED sample (IVF training is
+    sample-based by construction; the full corpus never comes here)."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, train_sample: int = 4096, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: Optional[np.ndarray] = None,
+             exclude_ids: Optional[set] = None) -> pd.DataFrame:
+    """Approximate cosine top-k via an inverted-file index: vectors are
+    assigned to their nearest of ``nlist`` k-means centroids, the query
+    probes only its ``nprobe`` nearest lists.
+
+    Scale shape: train on a bounded sample (driver k-means), broadcast
+    the (nlist x dim) centroid matrix once with ``ray.put``, then ONE
+    stateless ``map_batches`` pass does assign + probe-filter + partial
+    top-k per block — no shuffle; the driver merges blocks x k rows.
+    ``nprobe == nlist`` degenerates to the exact brute-force result
+    (guarded by test). Pass ``centroids`` to reuse a trained index
+    across queries."""
+    import ray
+
+    if centroids is None:
+        sample = ds.limit(train_sample).to_pandas()
+        centroids = kmeans_centroids(_as_matrix(sample[vec_col]), nlist,
+                                     seed=seed)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    probe_lists = set(np.argsort(-(q @ centroids.T).ravel())[:nprobe]
+                      .tolist())
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        df = df[~df[id_col].isin(excl)]
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        m = _normalize(_as_matrix(df[vec_col]))
+        lists = (m @ cent.T).argmax(axis=1)
+        in_probe = np.isin(lists, list(probe_lists))
+        if not in_probe.any():
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        sims = (m[in_probe] @ qm.T).ravel()
+        ids = df[id_col].to_numpy()[in_probe]
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pd.DataFrame({id_col: ids[top],
+                             "cos_sim": np.round(sims[top], 6)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["cos_sim", id_col], ascending=[False, True], kind="mergesort")
+    return partials.head(k).reset_index(drop=True)

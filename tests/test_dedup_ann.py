@@ -261,3 +261,29 @@ def test_probe_flip_sets_distinct():
             bits[b] = not bits[b]
         sigs.add(tuple(bits))
     assert len(sigs) == 8
+
+
+def test_ivf_topk_recall_and_exact_degeneration(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(5)
+    # clustered vectors (IVF's favorable and intended regime)
+    centers = rng.normal(size=(8, 32)) * 3
+    vecs = np.vstack([centers[i % 8] + rng.normal(size=32) * 0.3
+                      for i in range(400)])
+    df = pd.DataFrame({"vec_id": range(400),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    q = vecs[3] + rng.normal(size=32) * 0.1
+
+    exact = brute_force_topk(ds, q, k=10)
+    approx = ivf_topk(ds, q, k=10, nlist=8, nprobe=2, seed=7)
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.8, recall
+
+    # nprobe == nlist scans every list -> exact parity
+    full = ivf_topk(ds, q, k=10, nlist=8, nprobe=8, seed=7)
+    pd.testing.assert_frame_equal(full, exact)

@@ -147,3 +147,36 @@ def test_grouped_map_mixed_numeric_dtype_key(ray_session):
     want = pd.DataFrame({"key": [1.0, 2.0, 3.0], "total": [11, 1, 11]})
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import asof_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "event_id": range(300),
+        "user_id": rng.randint(0, 20, 300),
+        "ts": pd.to_datetime("2024-01-01") +
+        pd.to_timedelta(rng.randint(0, 10**6, 300), unit="s")})
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 25, 150),   # some users have no rows
+        "ts": pd.to_datetime("2024-01-01") +
+        pd.to_timedelta(rng.randint(0, 10**6, 150), unit="s"),
+        "value": rng.rand(150).round(3)})
+
+    got = asof_join(rd.from_pandas(left).repartition(6),
+                    rd.from_pandas(right).repartition(4),
+                    on="ts", by="user_id",
+                    lcols=["event_id", "user_id", "ts"],
+                    rcols=["user_id", "ts", "value"]).to_pandas()
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="user_id", direction="backward")
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["event_id", "user_id", "ts",
+                                       "value"]], 
+                                  want[["event_id", "user_id", "ts",
+                                        "value"]], check_dtype=False)
