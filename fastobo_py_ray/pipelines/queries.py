@@ -729,7 +729,8 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_near_dup_lsh
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = embedding_near_dup_lsh(ds, threshold=0.4, num_planes=4)
+    out = embedding_near_dup_lsh(ds, threshold=0.4, num_planes=4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     for c in ("id_a", "id_b"):
         out[c] = out[c].astype("int64")
     out["cos_sim"] = out["cos_sim"].astype("float64")

@@ -218,7 +218,8 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, seed: int = 42,
                             max_bucket_size: Optional[int] = None,
-                            num_buckets: int = 64):
+                            num_buckets: int = 64,
+                            dedup_pairs: bool = True):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH
     banding: signature map_batches -> coarse hash-bucket exchange on
     (band_id, band_hash) -> within-band-bucket pair explosion. Band
@@ -262,13 +263,18 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
     cand = grouped_map(sigs, ["band_id", "band_hash"], bucket_pairs,
                        num_buckets=num_buckets)
 
-    # cross-band duplicate pairs: per-batch combiner, then one coarse
-    # exchange keyed on the pair (all copies of a pair co-locate)
+    # cross-band duplicate pairs: per-batch combiner, then (unless the
+    # caller piggybacks the global dedup on a downstream keyed exchange,
+    # as minhash_dedup does on its verify join) one coarse exchange
+    # keyed on the pair, where all copies of a pair co-locate
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return grouped_map(cand.map_batches(dd, batch_format="pandas"),
-                       ["doc_a", "doc_b"], dd, num_buckets=num_buckets)
+    cand = cand.map_batches(dd, batch_format="pandas")
+    if not dedup_pairs:
+        return cand
+    return grouped_map(cand, ["doc_a", "doc_b"], dd,
+                       num_buckets=num_buckets)
 
 
 def _len_key(v) -> str:
@@ -332,9 +338,12 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: pa.array([], type=id_type),
             "cluster_rep": pa.array([], type=id_type)}))
 
+    # dedup_pairs=False: the global pair dedup rides the first verify
+    # join's bucket_finalize (pairs co-locate by doc_a there) instead of
+    # paying its own exchange
     cand = minhash_candidate_pairs(
         ds, id_col, text_col, num_perm, bands, seed,
-        max_bucket_size=max_bucket_size).materialize()
+        max_bucket_size=max_bucket_size, dedup_pairs=False).materialize()
     if cand.count() == 0:
         return _empty()
 
@@ -349,7 +358,9 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     with_a = hash_join(cand, docs_a, on="doc_a",
                        num_buckets=num_join_buckets,
                        lcols=["doc_a", "doc_b"],
-                       rcols=["doc_a", "__text_a"])
+                       rcols=["doc_a", "__text_a"],
+                       bucket_finalize=lambda df: df.drop_duplicates(
+                           subset=["doc_a", "doc_b"]))
     with_ab = hash_join(with_a, docs_b, on="doc_b",
                         num_buckets=num_join_buckets,
                         lcols=["doc_a", "doc_b", "__text_a"],
@@ -511,7 +522,9 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id",
     planes / by unioning multiple seeds); exactness-checked against
     :func:`embedding_near_dup` on clustered data in tests.
     Pass ``dim`` to avoid the schema-sniffing partial execution.
-    Returns (id_a, id_b, cos_sim >= threshold)."""
+    Returns a DATASET of (id_a, id_b, cos_sim >= threshold) — the pair
+    list is corpus-scale on a near-dup-heavy corpus and must never be
+    collected to the driver by the operator itself."""
     from .ann import LshBucketer, _as_matrix, _normalize
 
     if dim is None:
@@ -527,9 +540,14 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id",
         return _cosine_pairs(g[id_col].to_numpy(),
                              _normalize(_as_matrix(g[vec_col])), threshold)
 
-    return ds.map_batches(bucketer, batch_format="pandas") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
-        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    from ..functions.relops import grouped_map
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = [pairs(g) for _, g in df.groupby("bucket", sort=False)]
+        return pd.concat(out, ignore_index=True) if out else _empty_pairs()
+
+    return grouped_map(ds.map_batches(bucketer, batch_format="pandas"),
+                       "bucket", bucket_pairs)
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",

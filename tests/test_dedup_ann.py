@@ -123,7 +123,8 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
     ds = rd.from_pandas(df).repartition(4)
     exact = embedding_near_dup(ds, threshold=0.99)
-    approx = embedding_near_dup_lsh(ds, threshold=0.99, num_planes=4)
+    approx = embedding_near_dup_lsh(ds, threshold=0.99,
+                                    num_planes=4).to_pandas()
     e = {(int(a), int(b)) for a, b in zip(exact["id_a"], exact["id_b"])}
     g = {(int(a), int(b)) for a, b in zip(approx["id_a"], approx["id_b"])}
     assert g <= e                      # no false positives
