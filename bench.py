@@ -125,6 +125,8 @@ def run_bench() -> dict:
     timed("q_exact_dedup", Q.q_exact_dedup)
     timed("q_ann_topk", Q.q_ann_topk)
     timed("q_minhash_clusters", Q.q_minhash_clusters)
+    timed("q_asof_join", Q.q_asof_join)
+    timed("q_decontam", Q.q_decontam)
 
     actual_pages = corpus_pages(N_PAGES)
     result = {

@@ -75,7 +75,8 @@ def ancestors(edges: Iterable[Edge], node: str) -> Set[str]:
 
 def descendants_ds(edges_ds, roots: Sequence[str],
                    child_col: str = "subj", parent_col: str = "obj",
-                   max_depth: int = 64) -> Set[str]:
+                   max_depth: int = 64,
+                   max_frontier: int = 5_000_000) -> Set[str]:
     """Distributed transitive descendants over an adjacency Dataset.
 
     Per round: broadcast the current frontier (``ray.put`` — small, the
@@ -104,12 +105,22 @@ def descendants_ds(edges_ds, roots: Sequence[str],
             fr = ray.get(f_ref)
             mask = pc.is_in(t["parent"],
                             value_set=pa.array(sorted(fr), pa.string()))
-            return t.filter(mask).select(["child"])
+            # per-batch distinct so the driver collect is bounded by
+            # distinct children, never by edge multiplicity
+            return pa.table({"child": pc.unique(t.filter(mask)["child"])})
 
         kids = edges.map_batches(expand, batch_format="pyarrow")
         new = {r["child"] for r in kids.take_all()} - seen - set(roots)
         if not new:
             break
         seen |= new
+        if len(seen) > max_frontier:
+            raise ValueError(
+                f"descendants_ds frontier exceeded max_frontier="
+                f"{max_frontier} ({len(seen)} nodes): this driver-unioned "
+                f"expansion targets broadcast-sized closures (ontology "
+                f"subtrees); for corpus-scale reachability use the "
+                f"distributed connected_components / pointer-doubling "
+                f"path in stages.canonicalize instead.")
         frontier = new
     return seen
