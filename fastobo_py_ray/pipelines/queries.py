@@ -993,6 +993,40 @@ FROM agg
 """
 
 
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group continuous quantiles of event values: one coarse
+    exchange on the (low-cardinality) group key, np.percentile inside
+    the bucket (linear interpolation == SQL quantile_cont). Exactness
+    needs the whole group in one task — the corpus-scale path for huge
+    groups is an approximate sketch (t-digest), not implemented; this
+    is the exact baseline."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.percentile(g["value"].to_numpy(), [25, 50, 90, 99])
+            rows.append({"event_type": et,
+                         "p25": round(v[0], 6), "p50": round(v[1], 6),
+                         "p90": round(v[2], 6), "p99": round(v[3], 6)})
+        return pd.DataFrame(rows)
+
+    out = grouped_map(ds, "event_type", bucket, num_buckets=8).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join (time-series op Ray Data lacks): for every click event,
     the most recent prior-or-equal purchase value by the same user.
@@ -1098,6 +1132,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_seq_packing": q_seq_packing,
         "q_asof_join": q_asof_join,
         "q_ann_ivf": q_ann_ivf,
+        "q_quantiles": q_quantiles,
     }
 
 
@@ -1126,6 +1161,7 @@ def oracles() -> Dict[str, str]:
         "q_stratified_sample": Q_STRATIFIED_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_asof_join": Q_ASOF_SQL,
+        "q_quantiles": Q_QUANTILES_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an

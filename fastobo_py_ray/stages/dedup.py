@@ -347,37 +347,49 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     if cand.count() == 0:
         return _empty()
 
-    docs_a = ds.map_batches(
-        lambda df: df[[id_col, text_col]].rename(
-            columns={id_col: "doc_a", text_col: "__text_a"}),
-        batch_format="pandas")
-    docs_b = ds.map_batches(
-        lambda df: df[[id_col, text_col]].rename(
-            columns={id_col: "doc_b", text_col: "__text_b"}),
-        batch_format="pandas")
-    with_a = hash_join(cand, docs_a, on="doc_a",
-                       num_buckets=num_join_buckets,
-                       lcols=["doc_a", "doc_b"],
-                       rcols=["doc_a", "__text_a"],
-                       bucket_finalize=lambda df: df.drop_duplicates(
-                           subset=["doc_a", "doc_b"]))
-    with_ab = hash_join(with_a, docs_b, on="doc_b",
-                        num_buckets=num_join_buckets,
-                        lcols=["doc_a", "doc_b", "__text_a"],
-                        rcols=["doc_b", "__text_b"])
+    # texts attach in ONE corpus join: each pair explodes to two
+    # (pair, side) rows keyed by its member doc, the corpus is joined
+    # once on doc_id, and the pair re-assembles in the verify exchange.
+    # (Two per-side joins would stream the whole corpus text through the
+    # exchange twice; this moves it once plus the sparse pair texts.)
+    def to_long(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "doc_a": np.concatenate([df["doc_a"].to_numpy()] * 2),
+            "doc_b": np.concatenate([df["doc_b"].to_numpy()] * 2),
+            "side": ["a"] * n + ["b"] * n,
+            "doc_id": np.concatenate([df["doc_a"].to_numpy(),
+                                      df["doc_b"].to_numpy()])})
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        """Jaccard inside the worker; emit length-prefixed string edges
-        (the join's NA-widening may have floated an int id column — a
-        round-trip through the original dtype keeps '7', never '7.0')."""
-        if df.empty:
-            return pd.DataFrame({"a": pd.Series(dtype="string"),
-                                 "b": pd.Series(dtype="string")})
+    docs = ds.map_batches(
+        lambda df: df[[id_col, text_col]].rename(
+            columns={id_col: "doc_id", text_col: "__text"}),
+        batch_format="pandas")
+    joined = hash_join(cand.map_batches(to_long, batch_format="pandas"),
+                       docs, on="doc_id",
+                       num_buckets=num_join_buckets,
+                       lcols=["doc_a", "doc_b", "side", "doc_id"],
+                       rcols=["doc_id", "__text"])
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Re-pair sides, dedup cross-band pair copies (exact here: all
+        copies of a pair co-locate), Jaccard in the worker; emit
+        length-prefixed string edges (the join's NA-widening may have
+        floated an int id column — a round-trip through the original
+        dtype keeps '7', never '7.0')."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="string"),
+                              "b": pd.Series(dtype="string")})
+        df = df.drop_duplicates(subset=["doc_a", "doc_b", "side"])
+        a = df[df["side"] == "a"][["doc_a", "doc_b", "__text"]]
+        b = df[df["side"] == "b"][["doc_a", "doc_b", "__text"]]
+        m = a.merge(b, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
         ok = np.fromiter(
-            (jaccard(a, b) >= jaccard_threshold
-             for a, b in zip(df["__text_a"], df["__text_b"])),
-            dtype=bool, count=len(df))
-        kept = df[ok]
+            (jaccard(x, y) >= jaccard_threshold
+             for x, y in zip(m["__text_a"], m["__text_b"])),
+            dtype=bool, count=len(m))
+        kept = m[ok]
         pd_t = id_type.to_pandas_dtype()
         return pd.DataFrame({
             "a": pd.Series([_len_key(v) for v in
@@ -385,7 +397,10 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             "b": pd.Series([_len_key(v) for v in
                             kept["doc_b"].astype(pd_t)], dtype="string")})
 
-    edges = with_ab.map_batches(verify, batch_format="pandas").materialize()
+    from ..functions.relops import grouped_map
+
+    edges = grouped_map(joined, ["doc_a", "doc_b"], verify_bucket,
+                        num_buckets=num_join_buckets).materialize()
     if edges.count() == 0:
         return _empty()
 
