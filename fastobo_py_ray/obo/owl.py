@@ -2,12 +2,11 @@
 (``/root/reference/src/py/mod.rs:464-511``).
 
 The reference converts through horned-owl with formats ofn/owx/rdf; here
-``ofn`` (OWL Functional-Style Syntax) and ``owx`` (OWL/XML, stdlib
-``xml.etree``) are emitted natively from ONE structured axiom list — the
-two formats carry the identical axiom set by construction (guarded by a
-re-parse test on ms.obo).  ``rdf`` raises ``NotImplementedError`` (it
-needs an RDF/XML triple stack that adds nothing to the engine's Ray-side
-value).
+all three — ``ofn`` (OWL Functional-Style Syntax), ``owx`` (OWL/XML) and
+``rdf`` (RDF/XML per the OWL 2 RDF mapping), the XML ones via stdlib
+``xml.etree`` — are emitted natively from ONE structured axiom list, so
+the formats carry the identical axiom set by construction (guarded by
+re-parse tests on ms.obo).
 
 Mapping (OBO -> OWL per the OBO 1.4 / oboInOwl conventions):
 
@@ -220,11 +219,138 @@ def parse_owx_axioms(text: str) -> List[Axiom]:
 
 
 # --------------------------------------------------------------------------
+# rdf (RDF/XML, OWL 2 RDF mapping, stdlib ElementTree)
+# --------------------------------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+_OWL_TRANSITIVE = _OWL_NS + "TransitiveProperty"
+
+
+def _split_iri(iri: str):
+    """IRI -> (namespace, NCName local) at the last '#' or '/'."""
+    for sep in ("#", "/"):
+        i = iri.rfind(sep)
+        if 0 <= i < len(iri) - 1:
+            return iri[:i + 1], iri[i + 1:]
+    return iri, ""
+
+
+def _render_rdf(axioms: List[Axiom], ontology_iri: str) -> str:
+    """Structured axioms -> RDF/XML per the OWL 2 RDF mapping: one typed
+    node per declared entity carrying its annotation, subclass,
+    existential-restriction and transitivity triples."""
+    import xml.etree.ElementTree as ET
+
+    for pfx, ns in (("rdf", _RDF_NS), ("rdfs", _RDFS_NS),
+                    ("owl", _OWL_NS),
+                    ("obo", "http://purl.obolibrary.org/obo/")):
+        ET.register_namespace(pfx, ns)
+
+    root = ET.Element(f"{{{_RDF_NS}}}RDF")
+    ET.SubElement(root, f"{{{_OWL_NS}}}Ontology",
+                  {f"{{{_RDF_NS}}}about": ontology_iri})
+
+    # group per subject so each entity renders as one typed node
+    order: List[str] = []
+    ent: dict = {}
+    for ax in axioms:
+        if ax[0] == "decl":
+            _, cls, iri = ax
+            if iri not in ent:
+                order.append(iri)
+                ent[iri] = {"cls": cls, "rest": []}
+            ent[iri]["cls"] = cls
+    for ax in axioms:
+        if ax[0] == "decl":
+            continue
+        iri = ax[2] if ax[0] in ("ann", "sub") else ax[1]
+        if iri not in ent:  # annotation on an undeclared id: typed node
+            order.append(iri)
+            ent[iri] = {"cls": True, "rest": []}
+        ent[iri]["rest"].append(ax)
+
+    for iri in order:
+        e = ent[iri]
+        node = ET.SubElement(
+            root, f"{{{_OWL_NS}}}{'Class' if e['cls'] else 'ObjectProperty'}",
+            {f"{{{_RDF_NS}}}about": iri})
+        for ax in e["rest"]:
+            if ax[0] == "ann":
+                _, prop, _iri_, text, dtype = ax
+                ns, local = _split_iri(prop)
+                a = ET.SubElement(node, f"{{{ns}}}{local}")
+                a.text = text
+                if dtype:
+                    a.set(f"{{{_RDF_NS}}}datatype", dtype)
+            elif ax[0] == "sub":
+                _, cls, _iri_, parent = ax
+                tag = "subClassOf" if cls else "subPropertyOf"
+                ET.SubElement(node, f"{{{_RDFS_NS}}}{tag}",
+                              {f"{{{_RDF_NS}}}resource": parent})
+            elif ax[0] == "svf":
+                _, _iri_, rel, tgt = ax
+                sc = ET.SubElement(node, f"{{{_RDFS_NS}}}subClassOf")
+                r = ET.SubElement(sc, f"{{{_OWL_NS}}}Restriction")
+                ET.SubElement(r, f"{{{_OWL_NS}}}onProperty",
+                              {f"{{{_RDF_NS}}}resource": rel})
+                ET.SubElement(r, f"{{{_OWL_NS}}}someValuesFrom",
+                              {f"{{{_RDF_NS}}}resource": tgt})
+            elif ax[0] == "transitive":
+                ET.SubElement(node, f"{{{_RDF_NS}}}type",
+                              {f"{{{_RDF_NS}}}resource": _OWL_TRANSITIVE})
+
+    ET.indent(root)
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            + ET.tostring(root, encoding="unicode") + "\n")
+
+
+def parse_rdf_axioms(text: str) -> List[Axiom]:
+    """Re-parse RDF/XML back into structured axioms (the rdf side of the
+    three-format axiom-set equivalence test)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    out: List[Axiom] = []
+    for node in root:
+        if node.tag == f"{{{_OWL_NS}}}Ontology":
+            continue
+        cls = node.tag == f"{{{_OWL_NS}}}Class"
+        iri = node.get(f"{{{_RDF_NS}}}about")
+        out.append(("decl", cls, iri))
+        for child in node:
+            if child.tag == f"{{{_RDFS_NS}}}subClassOf" or \
+                    child.tag == f"{{{_RDFS_NS}}}subPropertyOf":
+                res = child.get(f"{{{_RDF_NS}}}resource")
+                if res is not None:
+                    out.append(("sub", cls, iri, res))
+                else:  # nested owl:Restriction = existential
+                    r = child[0]
+                    rel = r.find(f"{{{_OWL_NS}}}onProperty") \
+                        .get(f"{{{_RDF_NS}}}resource")
+                    tgt = r.find(f"{{{_OWL_NS}}}someValuesFrom") \
+                        .get(f"{{{_RDF_NS}}}resource")
+                    out.append(("svf", iri, rel, tgt))
+            elif child.tag == f"{{{_RDF_NS}}}type":
+                if child.get(f"{{{_RDF_NS}}}resource") == _OWL_TRANSITIVE:
+                    out.append(("transitive", iri))
+            else:
+                ns = child.tag.rsplit("}", 1)
+                prop = ns[0][1:] + ns[1]
+                out.append(("ann", prop, iri, child.text or "",
+                            child.get(f"{{{_RDF_NS}}}datatype")))
+    return out
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
 def dumps_owl(ontology: Ontology, format: str = "ofn") -> str:
-    """Ontology -> OWL text (``ofn`` or ``owx``; same axiom set)."""
+    """Ontology -> OWL text (``ofn``, ``owx`` or ``rdf`` — the
+    reference's three formats, ``src/py/mod.rs:464-511``; all three
+    carry the identical structured axiom set by construction, guarded
+    by re-parse tests on ms.obo)."""
     oid = ontology.header.ontology or "ontology"
     ontology_iri = f"http://purl.obolibrary.org/obo/{oid}.owl"
     axioms = ontology_axioms(ontology)
@@ -235,9 +361,10 @@ def dumps_owl(ontology: Ontology, format: str = "ofn") -> str:
         return "\n".join(lines) + "\n"
     if format == "owx":
         return _render_owx(axioms, ontology_iri)
-    raise NotImplementedError(
-        f"dump_owl format {format!r}: 'ofn' and 'owx' are implemented; "
-        "'rdf' needs an RDF/XML triple stack "
+    if format == "rdf":
+        return _render_rdf(axioms, ontology_iri)
+    raise ValueError(
+        f"dump_owl format {format!r}: expected 'ofn', 'owx' or 'rdf' "
         "(reference: src/py/mod.rs:464-511)")
 
 

@@ -87,8 +87,8 @@ def test_owl_ofn_sink():
         'obo/TST_0000001> "alpha factor")' in owl
     assert "ObjectSomeValuesFrom" in owl        # relationship
     assert "TransitiveObjectProperty" in owl    # typedef flag
-    with pytest.raises(NotImplementedError):
-        dumps_owl(onto, format="rdf")
+    # rdf is the third reference format, now implemented natively
+    assert "owl:Class" in dumps_owl(onto, format="rdf")
 
 
 def test_byte_exact_roundtrip_reference_corpora():
@@ -180,8 +180,8 @@ def test_owx_matches_ofn_axiom_set_on_ms():
          "SubObjectPropertyOf(", "TransitiveObjectProperty("))]) == len(want)
 
     import pytest
-    with pytest.raises(NotImplementedError, match="rdf"):
-        dumps_owl(onto, format="rdf")
+    with pytest.raises(ValueError, match="ofn"):
+        dumps_owl(onto, format="ttl")
 
 
 def test_typed_date_conversions():
@@ -309,3 +309,27 @@ def test_miniyaml_roundtrips_json_equivalent():
         safe_load("a: &anchor 1")
     with pytest.raises(ValueError):
         safe_load("a: |\n  block scalar")
+
+
+def test_rdf_matches_ofn_axiom_set_on_ms():
+    """dump_owl('rdf') (RDF/XML, OWL 2 RDF mapping) carries the identical
+    axiom SET as 'ofn'/'owx' on the full ms.obo corpus — the reference's
+    third format (src/py/mod.rs:464-511)."""
+    from fastobo_py_ray.obo.owl import (dumps_owl, ontology_axioms,
+                                        parse_rdf_axioms)
+    from fastobo_py_ray.obo.parser import load
+
+    onto = load("/root/reference/tests/data/ms.obo").ontology
+    want = ontology_axioms(onto)
+
+    rdf = dumps_owl(onto, format="rdf")
+    assert rdf.startswith('<?xml')
+    got = parse_rdf_axioms(rdf)
+    # RDF/XML groups triples per subject node, so order differs; the
+    # axiom SET (with multiplicity) must be identical
+    from collections import Counter
+    assert Counter(got) == Counter(want)
+
+    import pytest
+    with pytest.raises(ValueError, match="ofn"):
+        dumps_owl(onto, format="ttl")
