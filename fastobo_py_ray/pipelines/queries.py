@@ -998,8 +998,8 @@ def q_quantiles(sf_dir: str) -> pd.DataFrame:
     exchange on the (low-cardinality) group key, np.percentile inside
     the bucket (linear interpolation == SQL quantile_cont). Exactness
     needs the whole group in one task — the corpus-scale path for huge
-    groups is an approximate sketch (t-digest), not implemented; this
-    is the exact baseline."""
+    groups is the mergeable centroid sketch (:func:`q_quantiles_approx`,
+    ``stages/sketch.py``); this is the exact baseline."""
     from ..functions.relops import grouped_map
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
@@ -1025,6 +1025,19 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+
+
+def q_quantiles_approx(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-centroid quantile sketch per event type — the
+    corpus-scale sibling of :func:`q_quantiles` (group rows never
+    gather in one task; the exchange moves <=256 centroids per batch x
+    group). Rows-only: approximate by design; the <=2% rank-error
+    bound vs exact is pytest-gated."""
+    from ..stages.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles(ds, "value", [0.25, 0.5, 0.9, 0.99],
+                            by="event_type")
 
 
 def q_asof_join(sf_dir: str) -> pd.DataFrame:
@@ -1133,6 +1146,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_ann_ivf": q_ann_ivf,
         "q_quantiles": q_quantiles,
+        "q_quantiles_approx": q_quantiles_approx,
     }
 
 
