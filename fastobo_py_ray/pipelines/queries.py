@@ -488,10 +488,13 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
     from ..functions.relops import grouped_map
 
     # user_id is corpus-cardinality: coarse-bucket exchange, per-user
-    # two-pointer at pandas speed inside the bucket task
+    # two-pointer at pandas speed inside the bucket task (explicit
+    # group iteration — groupby.apply's grouping-column semantics
+    # change across pandas majors)
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", sort=False,
-                          group_keys=False).apply(window)
+        return pd.concat([window(g) for _, g in
+                          df.groupby("user_id", sort=False)],
+                         ignore_index=True)
 
     out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
     out["n_in_window"] = out["n_in_window"].astype("int64")
@@ -522,8 +525,9 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     from ..functions.relops import grouped_map
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", sort=False,
-                          group_keys=False).apply(sessions)
+        return pd.concat([sessions(g) for _, g in
+                          df.groupby("user_id", sort=False)],
+                         ignore_index=True)
 
     out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -918,7 +922,12 @@ def q_decontam(sf_dir: str) -> pd.DataFrame:
     any 5-gram with the (small, broadcast) benchmark slice."""
     from ..stages.traindata import decontaminate
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # materialized once: both the benchmark slice and the corpus scan
+    # branch off this handle (a lazy handle would re-read the parquet
+    # per branch). At real scale the benchmark is a SEPARATE small
+    # table and the corpus side streams off storage unmaterialized.
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text"]).materialize()
     bench = ds.map_batches(
         lambda df: df[df["doc_id"] % _BENCH_MOD == 0],
         batch_format="pandas")

@@ -171,32 +171,18 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
         centroids = kmeans_centroids(_as_matrix(sample[vec_col]), nlist,
                                      seed=seed)
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
-    probe_lists = set(np.argsort(-(q @ centroids.T).ravel())[:nprobe]
-                      .tolist())
+    probe_lists = np.sort(np.argsort(-(q @ centroids.T).ravel())[:nprobe])
     cent_ref = ray.put(centroids)
-    q_ref = ray.put(q)
-    excl = exclude_ids or set()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_filter(df: pd.DataFrame) -> pd.DataFrame:
         cent = ray.get(cent_ref)
-        qm = ray.get(q_ref)
-        df = df[~df[id_col].isin(excl)]
         if df.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "cos_sim": pd.Series(dtype="float64")})
-        m = _normalize(_as_matrix(df[vec_col]))
-        lists = (m @ cent.T).argmax(axis=1)
-        in_probe = np.isin(lists, list(probe_lists))
-        if not in_probe.any():
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "cos_sim": pd.Series(dtype="float64")})
-        sims = (m[in_probe] @ qm.T).ravel()
-        ids = df[id_col].to_numpy()[in_probe]
-        top = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame({id_col: ids[top],
-                             "cos_sim": np.round(sims[top], 6)})
+            return df
+        lists = (_normalize(_as_matrix(df[vec_col])) @ cent.T).argmax(axis=1)
+        return df[np.isin(lists, probe_lists)]
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    partials = partials.sort_values(
-        ["cos_sim", id_col], ascending=[False, True], kind="mergesort")
-    return partials.head(k).reset_index(drop=True)
+    # candidates then the shared exact scorer (same shape as lsh_topk:
+    # exact-parity when nprobe == nlist falls out by construction)
+    candidates = ds.map_batches(probe_filter, batch_format="pandas")
+    return brute_force_topk(candidates, query, k, id_col, vec_col,
+                            exclude_ids=exclude_ids)

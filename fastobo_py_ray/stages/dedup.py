@@ -157,22 +157,34 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     exchange. Returns (hash groups) Dataset with columns
     (content_md5, doc_id, n_copies).
     """
-    from ..functions.relops import grouped_agg
+    from ..functions.relops import group_min, grouped_map
     from .textstats import content_hash_batch
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = content_hash_batch(df, text_col)
-        return df.groupby("content_md5", as_index=False).agg(
-            doc_id=(id_col, "min"), n_copies=(id_col, "size"))
+        if id_col != "doc_id":
+            df = df.rename(columns={id_col: "doc_id"})
+        counts = df.groupby("content_md5", as_index=False,
+                            sort=False).size().rename(
+            columns={"size": "n_copies"})
+        mins = group_min(df, ["content_md5"], "doc_id")
+        return mins.merge(counts, on="content_md5")[
+            ["content_md5", "doc_id", "n_copies"]]
 
-    partials = ds.map_batches(partial, batch_format="pandas")
     # content_md5 is ~one group per distinct document — far too many for
     # Ray's sort-groupby (per-group Python cost); one coarse hash-bucket
     # exchange + in-task pandas agg instead (exact: a bucket holds every
-    # partial of its hashes).
-    return grouped_agg(partials, "content_md5",
-                       doc_id=("doc_id", "min"),
-                       n_copies=("n_copies", "sum"))
+    # partial of its hashes). group_min keeps string doc ids off
+    # pandas' per-group object-min fallback.
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sums = df.groupby("content_md5", as_index=False,
+                          sort=False)["n_copies"].sum()
+        mins = group_min(df, ["content_md5"], "doc_id")
+        return mins.merge(sums, on="content_md5")[
+            ["content_md5", "doc_id", "n_copies"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, "content_md5", final)
 
 
 # ---------------------------------------------------------------------------

@@ -68,11 +68,12 @@ class Decontaminator:
     """Actor-pool stage: flags documents sharing any k-gram with a
     broadcast benchmark gram set (training-eval contamination scan).
 
-    The gram set is fetched from the object store and hashed to a sorted
-    uint64 array ONCE per actor (``__init__``); each batch then runs one
-    vectorized ``searchsorted`` membership test. Emits
-    (id_col, n_hits, contaminated) where ``n_hits`` counts the DISTINCT
-    contaminated grams of the document.
+    The benchmark arrives as a pre-hashed, pre-sorted uint64 array
+    (built once on the driver — 8 bytes/gram in the object store, no
+    per-actor re-hash) and is fetched once per actor (``__init__``);
+    each batch then runs one vectorized ``searchsorted`` membership
+    test. Emits (id_col, n_hits, contaminated) where ``n_hits`` counts
+    the DISTINCT contaminated grams of the document.
     """
 
     def __init__(self, bench_ref, id_col: str = "doc_id",
@@ -80,10 +81,10 @@ class Decontaminator:
         import ray
 
         self.id_col, self.text_col, self.k = id_col, text_col, k
-        grams = ray.get(bench_ref) if not isinstance(bench_ref, (set,
-                                                                 frozenset)) \
+        bench = ray.get(bench_ref) if not isinstance(bench_ref,
+                                                     np.ndarray) \
             else bench_ref
-        self._bench = np.sort(_hash_grams(sorted(grams)))
+        self._bench = np.asarray(bench, dtype=np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n_hits = np.zeros(len(df), dtype=np.int64)
@@ -120,7 +121,8 @@ def decontaminate(ds, bench_ds, id_col: str = "doc_id",
     the broadcast small side."""
     import ray
 
-    bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, k))
+    bench_ref = ray.put(np.sort(_hash_grams(
+        sorted(benchmark_gram_set(bench_ds, text_col, k)))))
     return ds.map_batches(
         Decontaminator, batch_format="pandas", concurrency=concurrency,
         fn_constructor_kwargs={"bench_ref": bench_ref, "id_col": id_col,
@@ -219,12 +221,14 @@ def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
     from ..functions.relops import grouped_map
 
     def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.relops import _bucket_ids
+
         n = df[text_col].fillna("").str.split(" ").str.len()
         out = df[[id_col]].copy()
         out["n_tokens"] = n.astype("int64")
-        out["__pb"] = (pd.util.hash_pandas_object(
-            df[id_col], index=False).to_numpy() % num_buckets
-        ).astype("int64")
+        # same bucket-hash convention (incl. numeric widening) as every
+        # other keyed exchange in the engine
+        out["__pb"] = _bucket_ids(out, [id_col], num_buckets)
         return out
 
     def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:

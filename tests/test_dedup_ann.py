@@ -288,3 +288,21 @@ def test_ivf_topk_recall_and_exact_degeneration(ray_session):
     # nprobe == nlist scans every list -> exact parity
     full = ivf_topk(ds, q, k=10, nlist=8, nprobe=8, seed=7)
     pd.testing.assert_frame_equal(full, exact)
+
+
+def test_exact_dedup_string_ids(ray_session):
+    """String doc ids take the factor-code grouped-min path (pandas'
+    per-group object min is a Python fallback) — winners identical to
+    the pandas oracle."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(30)],
+        "text": [f"t{i % 7}" for i in range(30)]})
+    got = exact_dedup(rd.from_pandas(df).repartition(4)).to_pandas()
+    want = df.groupby("text", as_index=False).agg(
+        doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+    m = got.merge(want, on="doc_id", suffixes=("_g", "_w"))
+    assert len(m) == 7 and (m.n_copies_g == m.n_copies_w).all()
