@@ -14,7 +14,8 @@ from .graph import (ancestors, descendants, descendants_ds, is_dag,
                     isa_edges)
 from .mentions import (OntologyIndex, PageAnnotator, annotate_page,
                        build_index, detect, link, make_page_annotator)
-from .multimodal import (AudioFrameSampler, ImageFeatures, byte_entropy,
+from .multimodal import (AudioFrameSampler, ImageFeatures,
+                         VideoFrameSampler, byte_entropy,
                          byte_histogram, fake_decode_image, resize_nearest,
                          synth_media_table)
 from .textstats import (LangId, content_hash_batch, fingerprint_batch,
@@ -32,7 +33,8 @@ __all__ = [
     "isa_edges", "is_dag", "descendants", "ancestors", "descendants_ds",
     "OntologyIndex", "build_index", "detect", "link", "annotate_page",
     "make_page_annotator", "PageAnnotator",
-    "ImageFeatures", "AudioFrameSampler", "byte_histogram", "byte_entropy",
+    "ImageFeatures", "AudioFrameSampler", "VideoFrameSampler",
+    "byte_histogram", "byte_entropy",
     "fake_decode_image", "resize_nearest", "synth_media_table",
     "LangId", "token_stats_batch", "quality_score_batch",
     "fingerprint_batch", "content_hash_batch",

@@ -184,3 +184,62 @@ def synth_media_table(n_rows: int, seed: int = 7,
                             "audio/fake")
         rows["payload"].append(payload)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_idx", pa.int32()),        # index into the SAMPLED frames
+    ("src_frame", pa.int32()),        # index into the source stream
+    ("ts_ms", pa.int32()),            # presentation time of src_frame
+    ("frame", pa.binary()),
+    ("n_src_frames", pa.int32()),
+])
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video batch -> temporally strided frame sample
+    (flat_map layout: one output row per sampled frame, with source
+    frame index and presentation timestamp).
+
+    The fake decoder treats the payload as a concatenated stream of
+    fixed-size frames at a constant fps — deterministic and
+    dependency-free; a real decoder (ffmpeg/PyAV keyframe extraction)
+    would replace ``_src_frames`` only (``decoder="real"`` stub names
+    the missing dependency). Batch-size guidance: video payloads are
+    the largest binary columns in a corpus — size ``batch_size`` so
+    batch_bytes x concurrency fits the worker heap (tens of rows, not
+    thousands).
+    """
+
+    def __init__(self, every_nth: int = 10, max_frames: int = 8,
+                 frame_bytes: int = 1024, fps: int = 30,
+                 decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/PyAV (not in this "
+                "container); pass decoder='fake'")
+        self.every_nth = max(1, every_nth)
+        self.max_frames = max_frames
+        self.frame_bytes = frame_bytes
+        self.fps = fps
+
+    def _src_frames(self, payload: bytes):
+        """payload -> list of fixed-size source frames (fake decode)."""
+        fb = self.frame_bytes
+        return [payload[i:i + fb] for i in range(0, len(payload), fb)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in VIDEO_FRAMES_SCHEMA.names}
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            src = self._src_frames(payload or b"")
+            picks = list(range(0, len(src), self.every_nth))[
+                :self.max_frames]
+            for out_i, src_i in enumerate(picks):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(out_i)
+                rows["src_frame"].append(src_i)
+                rows["ts_ms"].append(int(src_i * 1000 / self.fps))
+                rows["frame"].append(src[src_i])
+                rows["n_src_frames"].append(len(src))
+        return pa.table(rows, schema=VIDEO_FRAMES_SCHEMA)

@@ -71,12 +71,32 @@ _LANG_PROFILES: Dict[str, Tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den"),
     "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "pour"),
     "es": ("el", "la", "los", "que", "y", "es", "una", "por", "con"),
+    "it": ("il", "che", "di", "non", "sono", "per", "come", "questo",
+           "alla"),
+    "pt": ("o", "que", "do", "da", "em", "um", "para", "como", "mais"),
+    "nl": ("het", "een", "van", "dat", "niet", "op", "zijn", "voor",
+           "maar"),
 }
+
+# non-Latin scripts identify by codepoint range, not stopwords
+# (lang, range_start, range_end) — checked on a bounded text prefix
+_SCRIPT_RANGES: Tuple[Tuple[str, int, int], ...] = (
+    ("zh", 0x4E00, 0x9FFF),   # CJK unified ideographs
+    ("ja", 0x3040, 0x30FF),   # hiragana + katakana
+    ("ko", 0xAC00, 0xD7AF),   # hangul syllables
+    ("ru", 0x0400, 0x04FF),   # cyrillic
+    ("ar", 0x0600, 0x06FF),   # arabic
+    ("el", 0x0370, 0x03FF),   # greek
+)
+_SCRIPT_SAMPLE_CHARS = 400
+_SCRIPT_MIN_FRAC = 0.25
 
 
 class LangId:
-    """Actor-pool language-ID stage: stopword-profile voting with a
-    character-bigram fallback; profiles compiled once per actor."""
+    """Actor-pool language-ID stage: codepoint-script vote for
+    non-Latin scripts (vectorized over a bounded prefix), then
+    stopword-profile voting across the Latin-script profiles; profiles
+    compiled once per actor."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
@@ -84,8 +104,25 @@ class LangId:
         self.profiles = {lang: frozenset(ws)
                          for lang, ws in _LANG_PROFILES.items()}
 
+    @staticmethod
+    def _script_vote(text: str) -> Optional[str]:
+        sample = text[:_SCRIPT_SAMPLE_CHARS]
+        if not sample:
+            return None
+        cps = np.frombuffer(sample.encode("utf-32-le"), dtype=np.uint32)
+        best, frac = None, 0.0
+        for lang, lo, hi in _SCRIPT_RANGES:
+            f = float(((cps >= lo) & (cps <= hi)).mean())
+            if f > frac:
+                best, frac = lang, f
+        return best if frac >= _SCRIPT_MIN_FRAC else None
+
     def predict(self, text: str) -> str:
-        words = [w.lower() for w in _WORD_RE.findall(text or "")]
+        text = text or ""
+        script = self._script_vote(text)
+        if script is not None:
+            return script
+        words = [w.lower() for w in _WORD_RE.findall(text)]
         if not words:
             return "und"
         scores = {lang: sum(1 for w in words if w in prof)

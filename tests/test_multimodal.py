@@ -63,3 +63,36 @@ def test_actor_pool_stage_end_to_end(ray_session):
     # content-identical media get identical features (near-dup base case)
     a = out.iloc[0]["feature"]
     assert len(a) == 64
+
+
+def test_video_frame_sampler_stride_and_schema(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.multimodal import (VIDEO_FRAMES_SCHEMA,
+                                                  VideoFrameSampler,
+                                                  synth_media_table)
+
+    t = synth_media_table(12, kind="video")
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                         batch_size=4, concurrency=2,
+                         fn_constructor_kwargs={"every_nth": 2,
+                                                "max_frames": 3,
+                                                "frame_bytes": 128}) \
+        .to_pandas()
+    assert set(out.columns) == set(VIDEO_FRAMES_SCHEMA.names)
+    # deterministic stride: src frames 0,2,4 per media (capped at 3)
+    g = out[out.media_id == "m000000"].sort_values("frame_idx")
+    assert g.src_frame.tolist() == [0, 2, 4][:len(g)]
+    assert (g.ts_ms == (g.src_frame * 1000 / 30).astype(int)).all()
+    # sampled frame bytes come from the right stream offset
+    payload = t.filter(
+        __import__("pyarrow").compute.equal(t["media_id"], "m000000")
+    )["payload"][0].as_py()
+    for _, r in g.iterrows():
+        assert r["frame"] == payload[r.src_frame * 128:
+                                     (r.src_frame + 1) * 128]
+
+    import pytest
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        VideoFrameSampler(decoder="real")

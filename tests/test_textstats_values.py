@@ -23,6 +23,15 @@ def test_langid_perfect_on_stopword_bearing_fixture():
         "de": "der hund und die katze sind nicht mit dem mann in das haus",
         "fr": "le chien et la souris sont dans les maisons pour une nuit",
         "es": "el perro y los gatos que viven por la casa es una historia",
+        "it": "il gatto che non sono come questo cane per la citta alla",
+        "pt": "o gato que vive em um lugar como os outros para ver mais",
+        "nl": "het huis van een man dat niet op zijn plaats staat maar",
+        # non-Latin scripts resolve by codepoint range, not stopwords
+        "zh": "这是一个关于猫和狗的简单故事大家都看得懂",
+        "ru": "это простая история про кошку и собаку для всех",
+        "ar": "هذه قصة بسيطة عن قطة وكلب للجميع",
+        "el": "αυτή είναι μια απλή ιστορία για μια γάτα",
+        "ko": "이것은 고양이와 개에 관한 간단한 이야기입니다",
         "und": "zzz qqq xxx",
     }
     df = pd.DataFrame({"text": list(fixture.values())})
