@@ -97,3 +97,64 @@ def test_def_text_roundtrips_through_quoting(s):
 
 def _q(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+# ---------------------------------------------------------------------------
+# engine primitives (round 2): grouped min, quantile sketch, minhash
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+keys_st = st.lists(st.sampled_from(["k1", "k2", "k3", "k4"]),
+                   min_size=1, max_size=40)
+vals_st = st.lists(st.text(alphabet=string.ascii_lowercase + "0123456789",
+                           min_size=0, max_size=8),
+                   min_size=1, max_size=40)
+
+
+@given(keys_st, vals_st)
+def test_group_min_matches_pandas_object_min(ks, vs):
+    from fastobo_py_ray.functions.relops import group_min
+
+    n = min(len(ks), len(vs))
+    df = pd.DataFrame({"k": ks[:n], "v": vs[:n]})
+    got = group_min(df, ["k"], "v").sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False)["v"].min() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=500),
+       st.integers(min_value=2, max_value=64))
+def test_sketch_compress_invariants(vals, max_c):
+    from fastobo_py_ray.stages.sketch import compress, quantiles
+
+    a = np.asarray(vals)
+    v, w = compress(a, np.ones_like(a), max_c)
+    assert len(v) <= max_c
+    assert w.sum() == len(a)
+    assert (np.diff(v) >= 0).all()
+    qs = quantiles((v, w), [0.0, 0.25, 0.5, 0.75, 1.0])
+    assert (np.diff(qs) >= -1e-9).all()          # monotone in q
+    assert a.min() - 1e-9 <= qs[0] and qs[-1] <= a.max() + 1e-9
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=12))
+def test_minhash_segmented_matches_per_doc(texts):
+    from fastobo_py_ray.stages.dedup import (_hash_tokens, _minhash_params,
+                                             _signatures_segmented,
+                                             minhash_signature, shingles)
+
+    params = _minhash_params(16)
+    sh, offs = [], [0]
+    for t in texts:
+        s = shingles(t)
+        sh.extend(s)
+        offs.append(len(sh))
+    sigs = _signatures_segmented(_hash_tokens(sh), np.asarray(offs), 16,
+                                 params)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == minhash_signature(t, 16, params)).all()
