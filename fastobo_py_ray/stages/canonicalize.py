@@ -6,11 +6,18 @@ clause.rs:1212-1286``); the class representative is the minimum canonical
 identifier under the reference ordering (``src/py/id.rs:308-335``), which
 plain string order on canonical id strings reproduces.
 
-Two implementations with identical results:
+Four implementations with identical results (pick by scale):
 
 * :func:`union_find` — exact driver-side union-find for small edge sets
   (an ontology's identity edges are tiny relative to the corpus). Used to
   seed the broadcast representative map and as the test oracle.
+* :func:`connected_components_contract` — DEFAULT distributed path:
+  tree-reduce of per-block union-finds, no keyed shuffle; bounded by one
+  worker holding a star edge per distinct node at the root.
+* :func:`connected_components_bigstar` — beyond-single-task-heap path:
+  alternating large-star/small-star rounds (published MapReduce CC
+  algorithm), two coarse exchanges per round, per-task memory = one
+  edge bucket, hub degree self-heals geometrically.
 * :func:`connected_components` — distributed min-label propagation over a
   Ray ``Dataset`` of edges, for corpus-scale identity graphs (e.g. LSH
   near-dup clusters over 10^12 documents). Each round is
@@ -252,6 +259,134 @@ def connected_components(edges_ds, col_a: str = "a", col_b: str = "b",
             break
         prev = cur
     return labels
+
+
+def connected_components_bigstar(edges_ds, col_a: str = "a",
+                                 col_b: str = "b", max_rounds: int = 32,
+                                 num_buckets: Optional[int] = None):
+    """Distributed connected components by alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public algorithm, reimplemented
+    here on Ray Data):
+
+        large-star: per node u, every neighbor v > u re-points to
+                    m = min(N(u) + {u});
+        small-star: per node u (edges canonicalized u > v), every
+                    neighbor and u itself re-point to m.
+
+    Each round is ONE coarse hash-bucket exchange keyed on the node
+    (:func:`~..functions.relops.grouped_map`; in-bucket work is
+    vectorized merge/group-min, no per-node Python), converging in
+    O(log^2 n) rounds to a star per component rooted at its minimum
+    label. Per-task memory is one bucket's edges — never the node set
+    — making this the beyond-single-task-heap path (preferred over the
+    min-label propagation in :func:`connected_components`, which it
+    matches result-for-result by test). Hub skew self-heals: large-star
+    rounds cut the maximum degree geometrically.
+
+    Returns (node, label) for every node of the edge set, roots
+    included.
+    """
+    import zlib
+
+    import ray
+
+    from ..context import tune_data_context
+    from ..functions.relops import group_min, grouped_map
+
+    tune_data_context()
+    if num_buckets is None:
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def explode_both(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[col_a].astype(str), df[col_b].astype(str)
+        return pd.DataFrame({
+            "u": pd.concat([a, b], ignore_index=True).astype("string"),
+            "v": pd.concat([b, a], ignore_index=True).astype("string")})
+
+    def large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        mins = group_min(df, ["u"], "v").rename(columns={"v": "__mv"})
+        m = df.merge(mins, on="u")
+        m["__m"] = m[["__mv", "u"]].min(axis=1)
+        out = m.loc[m["v"] > m["u"], ["v", "__m"]].rename(
+            columns={"v": "u", "__m": "v"})
+        return out.drop_duplicates().astype(
+            {"u": "string", "v": "string"})
+
+    def canonicalize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """(u,v) -> (max,min), self-loops dropped, deduped per bucket."""
+        df = df[df["u"] != df["v"]]
+        hi = df[["u", "v"]].max(axis=1)
+        lo = df[["u", "v"]].min(axis=1)
+        return pd.DataFrame({"u": hi, "v": lo}).drop_duplicates() \
+            .astype({"u": "string", "v": "string"})
+
+    def small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        mins = group_min(df, ["u"], "v").rename(columns={"v": "__m"})
+        m = df.merge(mins, on="u")
+        nbr = m.loc[m["v"] != m["__m"], ["v", "__m"]].rename(
+            columns={"v": "u", "__m": "v"})
+        selfrow = mins.rename(columns={"u": "u", "__m": "v"})
+        out = pd.concat([nbr, selfrow], ignore_index=True)
+        out = out[out["u"] != out["v"]]
+        return out.drop_duplicates().astype(
+            {"u": "string", "v": "string"})
+
+    def checksum(ds_edges) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            s = sum(zlib.crc32(f"{a}\x00{b}".encode())
+                    for a, b in zip(df["u"], df["v"]))
+            return pd.DataFrame({"c": [s]})
+        parts = ds_edges.map_batches(h, batch_format="pandas").to_pandas()
+        return int(parts["c"].sum())
+
+    edges = edges_ds.map_batches(explode_both,
+                                 batch_format="pandas").materialize()
+    prev = None
+    for _ in range(max_rounds):
+        # large star: the u-group needs BOTH directions of each edge
+        # (maintained by the re-explode at the bottom of the loop)
+        ls = grouped_map(edges, "u", large_star_bucket,
+                         num_buckets=num_buckets)
+        # canonicalization is per-edge (stateless map, no exchange);
+        # the small-star grouped_map is the round's second exchange
+        canon = ls.map_batches(canonicalize_bucket, batch_format="pandas")
+        ss = grouped_map(canon, "u", small_star_bucket,
+                         num_buckets=num_buckets).materialize()
+        cur = checksum(ss)
+        # re-explode for the next large-star round (lazy: consumed once,
+        # by the next round's grouped_map — or not at all on the last)
+        edges = ss.map_batches(
+            lambda df: pd.DataFrame({
+                "u": pd.concat([df["u"], df["v"]], ignore_index=True)
+                .astype("string"),
+                "v": pd.concat([df["v"], df["u"]], ignore_index=True)
+                .astype("string")}),
+            batch_format="pandas")
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: ss rows are (node, root) star edges with u > v == root;
+    # roots appear only on the v side -> add their identity rows
+    def labels_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        non_root = pd.DataFrame({"node": df["u"], "label": df["v"]})
+        return non_root.drop_duplicates()
+
+    star = grouped_map(ss, "u", labels_bucket, num_buckets=num_buckets)
+
+    def root_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["label"], "label": df["label"]}).drop_duplicates()
+
+    roots = grouped_map(star, "label", root_rows,
+                        num_buckets=num_buckets)
+    return star.union(roots).map_batches(
+        lambda df: df.drop_duplicates().astype(
+            {"node": "string", "label": "string"}),
+        batch_format="pandas")
 
 
 def connected_components_contract(edges_ds, col_a: str = "a",

@@ -8,12 +8,14 @@
 * embedding cosine near-dup — LSH-free bucketed cosine over normalized
   vectors.
 
-Scale notes: every groupby here is a hash shuffle; signatures are computed
-per batch (vectorized numpy) so the shuffle moves fixed-width signatures,
-never the documents; candidate verification joins the texts back with two
-partitioned hash joins of the (sparse) pair list against the corpus, and
-clustering is the distributed min-label propagation from
-:mod:`.canonicalize` — nothing corpus-sized is ever collected or broadcast.
+Scale notes: every exchange here is a coarse hash-bucket shuffle
+(``grouped_map`` — high-cardinality keys never touch Ray's per-group
+sort-groupby); signatures are computed whole-batch (vectorized numpy) so
+the shuffle moves fixed-width signatures, never the documents; candidate
+verification joins the texts back with ONE partitioned hash join of the
+exploded (sparse) pair list against the corpus, and clustering is the
+distributed connected-components family from :mod:`.canonicalize` —
+nothing corpus-sized is ever collected or broadcast.
 """
 
 from __future__ import annotations
@@ -325,8 +327,8 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         -> Jaccard verify via TWO :func:`hash_join` passes of the pair
            list against the corpus (texts travel worker-to-worker only)
         -> distributed :func:`connected_components_contract` (tree-reduce
-           of per-block union-finds; the shuffle-based min-label
-           propagation in :mod:`.canonicalize` is the fallback for node
+           of per-block union-finds; the large-star/small-star rounds
+           (`connected_components_bigstar`) are the fallback for node
            sets beyond one worker's heap) over the verified edge set
         -> Dataset of (id_col, cluster_rep): every member of a verified
            near-dup cluster, representatives mapping to themselves.

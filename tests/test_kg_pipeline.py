@@ -265,3 +265,28 @@ def test_fused_batch_annotate_matches_per_page():
         if emit != "mentions":
             assert got_t == want_t
     assert want_m and want_t  # the corpus really exercises both outputs
+
+
+def test_connected_components_bigstar_matches_contract(ray_session):
+    """Large-star/small-star rounds (published MapReduce CC algorithm)
+    produce the identical (node, label) set as the exact tree-reduce
+    contraction on a chain + hot-star graph."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import (
+        connected_components_bigstar, connected_components_contract)
+
+    chains = [(f"n{c * 4 + i:05d}", f"n{c * 4 + i + 1:05d}")
+              for c in range(120) for i in range(3)]
+    star = [("hub", f"s{i:04d}") for i in range(400)]
+    edges = pd.DataFrame(chains + star, columns=["a", "b"])
+    ds = rd.from_pandas(edges).repartition(8)
+
+    big = connected_components_bigstar(ds, num_buckets=8).to_pandas()
+    ref = connected_components_contract(ds).to_pandas()
+    m = big.merge(ref, on="node", suffixes=("_b", "_r"), how="outer")
+    assert len(m) == len(ref)
+    assert (m.label_b == m.label_r).all()
+    # hot star resolved to its min label
+    assert big.set_index("node").loc["hub", "label"] == "hub"
+    assert big.set_index("node").loc["s0000", "label"] == "hub"
