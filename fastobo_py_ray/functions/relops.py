@@ -57,7 +57,10 @@ def hash_join(left, right, on: Union[str, List[str]],
     Both sides are hash-bucketed on the key, unioned with a side tag, and
     merged per bucket inside ``groupby(bucket).map_groups`` — the portable
     large-large join (no reliance on a Dataset.join API). Deterministic:
-    bucket id is a stable string hash of the key columns.
+    bucket id is a stable string hash of the key columns. ``how`` also
+    accepts ``"semi"`` / ``"anti"`` (existence filter: left rows kept /
+    dropped by key membership in the right side; output columns =
+    ``lcols`` only — the scale shape for NOT EXISTS / IN subqueries).
 
     ``bucket_finalize(df) -> df`` runs on each bucket's joined frame
     inside the same task.  Because a bucket holds EVERY row of its keys,
@@ -106,6 +109,17 @@ def hash_join(left, right, on: Union[str, List[str]],
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == "l"][[c for c in lcols]]
         r = df[df["__side"] == "r"][[c for c in rcols]]
+        if how in ("semi", "anti"):
+            # existence filter: left rows kept (semi) / dropped (anti)
+            # by key membership in the right side — exact per bucket
+            m = l.merge(r[keys].drop_duplicates(), on=keys, how="left",
+                        indicator="__in_r")
+            keep = m["__in_r"] == ("both" if how == "semi"
+                                   else "left_only")
+            out = m.loc[keep, lcols]
+            if bucket_finalize is not None:
+                out = bucket_finalize(out)
+            return out
         out = l.merge(r, on=keys, how=how, suffixes=suffixes)
         out = out.drop(columns=[c for c in ("__bucket", "__side")
                                 if c in out.columns])

@@ -1002,6 +1002,37 @@ FROM agg
 """
 
 
+def q_cust_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Customers with NO urgent order — distributed anti join (the NOT
+    EXISTS scale shape: one keyed exchange, left rows filtered by
+    right-key membership inside each bucket; predicate pushed into the
+    right-side scan)."""
+    from ..functions.relops import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda df: df.loc[df["o_orderpriority"] == "1-URGENT",
+                          ["o_custkey"]].rename(
+            columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    out = hash_join(cust, urgent, on="c_custkey", how="anti",
+                    lcols=["c_custkey", "c_acctbal"],
+                    rcols=["c_custkey"]).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 def q_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group continuous quantiles of event values: one coarse
     exchange on the (low-cardinality) group key, np.percentile inside
@@ -1156,6 +1187,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_quantiles": q_quantiles,
         "q_quantiles_approx": q_quantiles_approx,
+        "q_cust_no_orders": q_cust_no_orders,
     }
 
 
@@ -1185,6 +1217,7 @@ def oracles() -> Dict[str, str]:
         "q_repetition": Q_REPETITION_SQL,
         "q_asof_join": Q_ASOF_SQL,
         "q_quantiles": Q_QUANTILES_SQL,
+        "q_cust_no_orders": Q_CUST_NO_ORDERS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an

@@ -180,3 +180,22 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
                                        "value"]], 
                                   want[["event_id", "user_id", "ts",
                                         "value"]], check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_hash_join_semi_anti(ray_session, how):
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import hash_join
+
+    left = _orders()
+    right = _dim()
+    got = hash_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", how=how, lcols=["k", "v"],
+                    rcols=["k", "name"]).to_pandas()
+    in_r = left["k"].isin(right["k"])
+    want = left[in_r] if how == "semi" else left[~in_r]
+    assert list(got.columns) == ["k", "v"]
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
