@@ -199,3 +199,27 @@ def test_hash_join_semi_anti(ray_session, how):
     assert list(got.columns) == ["k", "v"]
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
+
+
+def test_grouped_map_hot_key_exact(ray_session):
+    """Adversarial skew: one key holding half the rows still aggregates
+    exactly (a hot key is bounded by its own row count, the documented
+    exchange bound — never silently split across buckets)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import grouped_agg
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    keys = np.where(rng.rand(n) < 0.5, "hot",
+                    rng.randint(0, 500, n).astype(str))
+    df = pd.DataFrame({"key": keys, "v": rng.randint(0, 10, n)})
+    got = grouped_agg(rd.from_pandas(df).repartition(8), "key",
+                      num_buckets=16, total=("v", "sum"),
+                      n=("v", "size")).to_pandas()
+    want = df.groupby("key", as_index=False).agg(total=("v", "sum"),
+                                                 n=("v", "size"))
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+    assert got.set_index("key").loc["hot", "n"] == (keys == "hot").sum()
