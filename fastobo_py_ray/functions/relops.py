@@ -119,12 +119,20 @@ def hash_join(left, right, on: Union[str, List[str]],
         r = df[df["__side"] == "r"][[c for c in rcols]]
         if how in ("semi", "anti"):
             # existence filter: left rows kept (semi) / dropped (anti)
-            # by key membership in the right side — exact per bucket
-            m = l.merge(r[keys].drop_duplicates(), on=keys, how="left",
-                        indicator="__in_r")
+            # by key membership in the right side — exact per bucket.
+            # SQL NULL semantics (unlike pandas merge, which matches
+            # NaN to NaN): a null key never matches, so null-keyed left
+            # rows are dropped by semi and kept by anti, and null-keyed
+            # right rows never evidence existence.
+            lnull = l[keys].isna().any(axis=1)
+            m = l[~lnull].merge(r[keys].dropna().drop_duplicates(),
+                                on=keys, how="left", indicator="__in_r")
             keep = m["__in_r"] == ("both" if how == "semi"
                                    else "left_only")
             out = m.loc[keep, lcols]
+            if how == "anti" and lnull.any():
+                out = pd.concat([out, l.loc[lnull, lcols]],
+                                ignore_index=True)
             if bucket_finalize is not None:
                 out = bucket_finalize(out)
             return out

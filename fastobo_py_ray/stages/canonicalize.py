@@ -298,8 +298,10 @@ def connected_components_bigstar(edges_ds, col_a: str = "a",
     if num_buckets is None:
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
-    def explode_both(df: pd.DataFrame) -> pd.DataFrame:
-        a, b = df[col_a].astype(str), df[col_b].astype(str)
+    def explode_both(df: pd.DataFrame, ca: str = None,
+                     cb: str = None) -> pd.DataFrame:
+        a = df[ca or col_a].astype(str)
+        b = df[cb or col_b].astype(str)
         return pd.DataFrame({
             "u": pd.concat([a, b], ignore_index=True).astype("string"),
             "v": pd.concat([b, a], ignore_index=True).astype("string")})
@@ -334,17 +336,20 @@ def connected_components_bigstar(edges_ds, col_a: str = "a",
         return out.drop_duplicates().astype(
             {"u": "string", "v": "string"})
 
-    def checksum(ds_edges) -> int:
+    def checksum(ds_edges):
+        """(row count, crc32 sum) — the count guards the (already tiny)
+        odds of a sum-of-CRC collision between different edge sets."""
         def h(df: pd.DataFrame) -> pd.DataFrame:
             s = sum(zlib.crc32(f"{a}\x00{b}".encode())
                     for a, b in zip(df["u"], df["v"]))
-            return pd.DataFrame({"c": [s]})
+            return pd.DataFrame({"c": [s], "n": [len(df)]})
         parts = ds_edges.map_batches(h, batch_format="pandas").to_pandas()
-        return int(parts["c"].sum())
+        return (int(parts["n"].sum()), int(parts["c"].sum()))
 
     edges = edges_ds.map_batches(explode_both,
                                  batch_format="pandas").materialize()
     prev = None
+    converged = False
     for _ in range(max_rounds):
         # large star: the u-group needs BOTH directions of each edge
         # (maintained by the re-explode at the bottom of the loop)
@@ -358,35 +363,44 @@ def connected_components_bigstar(edges_ds, col_a: str = "a",
         cur = checksum(ss)
         # re-explode for the next large-star round (lazy: consumed once,
         # by the next round's grouped_map — or not at all on the last)
-        edges = ss.map_batches(
-            lambda df: pd.DataFrame({
-                "u": pd.concat([df["u"], df["v"]], ignore_index=True)
-                .astype("string"),
-                "v": pd.concat([df["v"], df["u"]], ignore_index=True)
-                .astype("string")}),
-            batch_format="pandas")
+        edges = ss.map_batches(lambda df: explode_both(df, "u", "v"),
+                               batch_format="pandas")
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge within "
+            f"max_rounds={max_rounds} (expected O(log^2 n) rounds); "
+            f"raise max_rounds or use connected_components_contract")
 
-    # converged: ss rows are (node, root) star edges with u > v == root;
-    # roots appear only on the v side -> add their identity rows
-    def labels_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        non_root = pd.DataFrame({"node": df["u"], "label": df["v"]})
-        return non_root.drop_duplicates()
-
-    star = grouped_map(ss, "u", labels_bucket, num_buckets=num_buckets)
-
-    def root_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": df["label"], "label": df["label"]}).drop_duplicates()
-
-    roots = grouped_map(star, "label", root_rows,
-                        num_buckets=num_buckets)
-    return star.union(roots).map_batches(
-        lambda df: df.drop_duplicates().astype(
-            {"node": "string", "label": "string"}),
+    # converged: ss rows are (node, root) star edges with u > v == root.
+    # Roots, isolated nodes and self-loop-only nodes appear in the input
+    # node set but not as ss.u — union the node set in and emit identity
+    # labels for exactly those (a labeled node keeps its star label).
+    star = ss.map_batches(
+        lambda df: pd.DataFrame({"node": df["u"], "label": df["v"]}),
         batch_format="pandas")
+    all_nodes = edges_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "node": pd.concat([df[col_a].astype(str),
+                               df[col_b].astype(str)],
+                              ignore_index=True).astype("string"),
+            "label": pd.Series([""] * (2 * len(df)), dtype="string")}),
+        batch_format="pandas")
+
+    def finalize_labels(df: pd.DataFrame) -> pd.DataFrame:
+        labeled = df[df["label"] != ""].drop_duplicates()
+        rootish = df.loc[~df["node"].isin(labeled["node"]),
+                         ["node"]].drop_duplicates()
+        ident = pd.DataFrame({"node": rootish["node"],
+                              "label": rootish["node"]})
+        out = pd.concat([labeled, ident], ignore_index=True)
+        return out.astype({"node": "string", "label": "string"})
+
+    return grouped_map(star.union(all_nodes), "node", finalize_labels,
+                       num_buckets=num_buckets)
 
 
 def connected_components_contract(edges_ds, col_a: str = "a",

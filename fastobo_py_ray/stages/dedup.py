@@ -324,8 +324,10 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     lands on the driver:
 
         LSH candidate pairs (banded signature shuffle, hot-bucket capped)
-        -> Jaccard verify via TWO :func:`hash_join` passes of the pair
-           list against the corpus (texts travel worker-to-worker only)
+        -> Jaccard verify via ONE :func:`hash_join` of the exploded
+           (pair, side) rows against the corpus plus a pair-keyed
+           re-assembly exchange (texts travel worker-to-worker only;
+           the corpus text column moves through a single exchange)
         -> distributed :func:`connected_components_contract` (tree-reduce
            of per-block union-finds; the large-star/small-star rounds
            (`connected_components_bigstar`) are the fallback for node

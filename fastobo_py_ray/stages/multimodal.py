@@ -180,8 +180,7 @@ def synth_media_table(n_rows: int, seed: int = 7,
         payload = rng.randint(0, 256, size=size, dtype=np.uint8).tobytes()
         rows["media_id"].append(f"m{i:06d}")
         rows["kind"].append(kind)
-        rows["mime"].append("image/fake" if kind == "image" else
-                            "audio/fake")
+        rows["mime"].append(f"{kind}/fake")
         rows["payload"].append(payload)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
@@ -223,23 +222,25 @@ class VideoFrameSampler:
         self.frame_bytes = frame_bytes
         self.fps = fps
 
-    def _src_frames(self, payload: bytes):
-        """payload -> list of fixed-size source frames (fake decode)."""
+    def _frame_at(self, payload: bytes, idx: int) -> bytes:
+        """Slice ONLY the requested source frame (a corpus-scale video
+        payload must never be copied wholesale; work per row is
+        O(max_frames), not O(payload))."""
         fb = self.frame_bytes
-        return [payload[i:i + fb] for i in range(0, len(payload), fb)]
+        return payload[idx * fb:(idx + 1) * fb]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {k: [] for k in VIDEO_FRAMES_SCHEMA.names}
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            src = self._src_frames(payload or b"")
-            picks = list(range(0, len(src), self.every_nth))[
-                :self.max_frames]
+            payload = payload or b""
+            n_src = -(-len(payload) // self.frame_bytes)  # ceil
+            picks = range(0, n_src, self.every_nth)[:self.max_frames]
             for out_i, src_i in enumerate(picks):
                 rows["media_id"].append(mid)
                 rows["frame_idx"].append(out_i)
                 rows["src_frame"].append(src_i)
                 rows["ts_ms"].append(int(src_i * 1000 / self.fps))
-                rows["frame"].append(src[src_i])
-                rows["n_src_frames"].append(len(src))
+                rows["frame"].append(self._frame_at(payload, src_i))
+                rows["n_src_frames"].append(n_src)
         return pa.table(rows, schema=VIDEO_FRAMES_SCHEMA)

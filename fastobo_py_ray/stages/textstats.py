@@ -107,9 +107,17 @@ class LangId:
     @staticmethod
     def _script_vote(text: str) -> Optional[str]:
         sample = text[:_SCRIPT_SAMPLE_CHARS]
-        if not sample:
+        # pure-ASCII text can never pass the threshold: skip the encode
+        # and range scans on the dominant Latin-corpus path (C-speed)
+        if not sample or sample.isascii():
             return None
         cps = np.frombuffer(sample.encode("utf-32-le"), dtype=np.uint32)
+        # kana are ja-exclusive, so ANY meaningful kana presence decides
+        # ja before ideograph counting (kanji-heavy Japanese would
+        # otherwise tie-break to zh, which shares the CJK range)
+        kana = float(((cps >= 0x3040) & (cps <= 0x30FF)).mean())
+        if kana >= 0.05:
+            return "ja"
         best, frac = None, 0.0
         for lang, lo, hi in _SCRIPT_RANGES:
             f = float(((cps >= lo) & (cps <= hi)).mean())

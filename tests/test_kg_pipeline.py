@@ -290,3 +290,29 @@ def test_connected_components_bigstar_matches_contract(ray_session):
     # hot star resolved to its min label
     assert big.set_index("node").loc["hub", "label"] == "hub"
     assert big.set_index("node").loc["s0000", "label"] == "hub"
+
+
+def test_connected_components_bigstar_selfloops_and_isolated(ray_session):
+    """Self-loop-only nodes keep identity labels (parity with the
+    contract implementation), and bigstar raises instead of returning
+    unconverged labels when max_rounds is too small."""
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import (
+        connected_components_bigstar, connected_components_contract)
+
+    edges = pd.DataFrame({"a": ["z", "a", "p"],
+                          "b": ["z", "b", "p"]})
+    ds = rd.from_pandas(edges)
+    big = connected_components_bigstar(ds).to_pandas() \
+        .set_index("node")["label"].to_dict()
+    ref = connected_components_contract(ds).to_pandas() \
+        .set_index("node")["label"].to_dict()
+    assert big == ref == {"z": "z", "p": "p", "a": "a", "b": "a"}
+
+    # a long chain cannot finish in one round
+    chain = pd.DataFrame({"a": [f"c{i:03d}" for i in range(40)],
+                          "b": [f"c{i + 1:03d}" for i in range(40)]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_bigstar(rd.from_pandas(chain), max_rounds=1)

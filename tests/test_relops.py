@@ -223,3 +223,23 @@ def test_grouped_map_hot_key_exact(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
     assert got.set_index("key").loc["hot", "n"] == (keys == "hot").sum()
+
+
+def test_hash_join_semi_anti_null_keys(ray_session):
+    """SQL NULL semantics: a null key never matches — anti keeps
+    null-keyed left rows (NOT EXISTS), semi drops them, and null-keyed
+    right rows evidence nothing (pandas merge would match NaN to NaN)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import hash_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2.0, np.nan]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    anti = hash_join(lds, rds, on="k", how="anti",
+                     lcols=["k", "v"], rcols=["k"]).to_pandas()
+    semi = hash_join(lds, rds, on="k", how="semi",
+                     lcols=["k", "v"], rcols=["k"]).to_pandas()
+    assert sorted(anti["v"]) == [10, 30]   # null-keyed left row kept
+    assert sorted(semi["v"]) == [20]       # ...and dropped by semi

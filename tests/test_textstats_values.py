@@ -28,6 +28,8 @@ def test_langid_perfect_on_stopword_bearing_fixture():
         "nl": "het huis van een man dat niet op zijn plaats staat maar",
         # non-Latin scripts resolve by codepoint range, not stopwords
         "zh": "这是一个关于猫和狗的简单故事大家都看得懂",
+        # kanji-heavy Japanese: kana presence must decide ja over zh
+        "ja": "東京都内の大学病院で新型感染症の研究が進む中これが現状です",
         "ru": "это простая история про кошку и собаку для всех",
         "ar": "هذه قصة بسيطة عن قطة وكلب للجميع",
         "el": "αυτή είναι μια απλή ιστορία για μια γάτα",
