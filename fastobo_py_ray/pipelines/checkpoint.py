@@ -72,6 +72,29 @@ def completed_partitions(out_root: str) -> Dict[str, dict]:
     return out
 
 
+_OP_STATS_RE = None
+
+
+def _stage_timings(ds) -> dict:
+    """Per-operator wall seconds for an EXECUTED dataset, parsed from
+    ``ds.stats()`` (lines like ``Operator 2 MapBatches(f)->Write: 16
+    tasks executed, 16 blocks produced in 0.35s``) — the north-rule's
+    per-partition 'stage timings' lineage field. Best-effort: an
+    unrecognized stats format yields {} rather than failing the
+    partition commit."""
+    global _OP_STATS_RE
+    import re
+
+    if _OP_STATS_RE is None:
+        _OP_STATS_RE = re.compile(
+            r"^Operator \d+ (.+?): .*? in ([0-9.]+)s", re.MULTILINE)
+    try:
+        return {name: float(sec)
+                for name, sec in _OP_STATS_RE.findall(ds.stats())}
+    except Exception:
+        return {}
+
+
 def _run_partition(key: str, files: List[str], index_ref, out_root: str,
                    batch_size: int, langs) -> dict:
     """Stage A for one partition: annotate -> partial dedup -> atomic
@@ -110,6 +133,7 @@ def _run_partition(key: str, files: List[str], index_ref, out_root: str,
         "n_triples_partial": int(n_triples),
         "wall_s": round(time.perf_counter() - t0, 3),
         "stage": "annotate+partial_dedup",
+        "stage_timings": _stage_timings(partial),
     }
     mdir = os.path.join(out_root, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)

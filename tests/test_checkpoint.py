@@ -50,6 +50,9 @@ def test_resume_skips_completed_and_matches_direct(ray_session, tmp_path):
     for m in r2["manifests"].values():
         assert m["url_min"] and m["url_max"] and m["n_pages"] > 0
         assert m["wall_s"] >= 0 and m["input_files"]
+        # per-operator stage timings (north-rule lineage field)
+        assert m["stage_timings"] and all(
+            v >= 0 for v in m["stage_timings"].values())
 
     # final adjacency == the non-checkpointed pipeline, evidence counts
     # included (idempotent resume, no double counting)
