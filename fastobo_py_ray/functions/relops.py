@@ -26,7 +26,7 @@ native hash-shuffle closes the gap in a later Ray.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 import pandas as pd

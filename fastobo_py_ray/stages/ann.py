@@ -11,8 +11,7 @@
 
 from __future__ import annotations
 
-import heapq
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Tuple
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

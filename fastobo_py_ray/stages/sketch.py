@@ -15,7 +15,7 @@ asserts <= 2% against the exact quantile on multimodal data).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

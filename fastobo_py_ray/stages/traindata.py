@@ -24,7 +24,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd
