@@ -65,12 +65,13 @@ def benchmark_gram_set(ds, text_col: str = "text", k: int = 5
 
 
 class Decontaminator:
-    """Actor-pool stage: flags documents sharing any k-gram with a
-    broadcast benchmark gram set (training-eval contamination scan).
+    """Membership-scan stage (used task-based by default, actor-pool on
+    request): flags documents sharing any k-gram with a broadcast
+    benchmark gram set (training-eval contamination scan).
 
     The benchmark arrives as a pre-hashed, pre-sorted uint64 array
     (built once on the driver — 8 bytes/gram in the object store, no
-    per-actor re-hash) and is fetched once per actor (``__init__``);
+    per-worker re-hash) and is fetched zero-copy in ``__init__``;
     each batch then runs one vectorized ``searchsorted`` membership
     test. Emits (id_col, n_hits, contaminated) where ``n_hits`` counts
     the DISTINCT contaminated grams of the document.
@@ -112,21 +113,37 @@ def _hash_grams(grams: List[str]) -> np.ndarray:
 
 
 def decontaminate(ds, bench_ds, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 5, concurrency=(1, 8)):
+                  text_col: str = "text", k: int = 5,
+                  concurrency=None):
     """Corpus Dataset + benchmark Dataset -> (id, n_hits, contaminated).
 
     64-bit gram hashes on both sides: collision odds for a corpus of G
     grams against a benchmark of B grams are ~G*B/2^64 (negligible at
     eval-benchmark B). The scan is shuffle-free — the benchmark set is
-    the broadcast small side."""
+    the broadcast small side.
+
+    Task-based by default: the benchmark array is pre-hashed/sorted on
+    the driver, so per-task setup is ONE zero-copy plasma fetch — an
+    actor pool's ~1.5s startup buys nothing here. Pass
+    ``concurrency=(lo, hi)`` to force the actor-pool form anyway (e.g.
+    to pin a long-running scan's worker count)."""
     import ray
 
     bench_ref = ray.put(np.sort(_hash_grams(
         sorted(benchmark_gram_set(bench_ds, text_col, k)))))
-    return ds.map_batches(
-        Decontaminator, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={"bench_ref": bench_ref, "id_col": id_col,
-                               "text_col": text_col, "k": k})
+    if concurrency is not None:
+        return ds.map_batches(
+            Decontaminator, batch_format="pandas",
+            concurrency=concurrency,
+            fn_constructor_kwargs={"bench_ref": bench_ref,
+                                   "id_col": id_col,
+                                   "text_col": text_col, "k": k})
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        return Decontaminator(bench_ref, id_col=id_col,
+                              text_col=text_col, k=k)(df)
+
+    return ds.map_batches(scan, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
