@@ -1,0 +1,111 @@
+"""End-to-end training-data curation pipeline — the composite a corpus
+curator actually runs, chaining the engine's operators as ONE lazy Ray
+Data flow:
+
+    quality gates (langid + heuristics + repetition, fused stateless map)
+    -> exact dedup         (content-hash winners, semi join)
+    -> near-dup removal    (minhash/LSH clusters, keep representatives)
+    -> decontamination     (broadcast benchmark n-gram scan)
+    -> deterministic train/val split + sequence packing
+
+Every stage is one of the already-oracle-checked operators; the
+composition adds only semi/anti joins on doc_id (each one keyed
+exchange). Returned per-stage counts make the funnel auditable; the
+kept-document Dataset stays distributed end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def curate(ds, bench_ds=None, id_col: str = "doc_id",
+           text_col: str = "text", min_quality: float = 0.5,
+           max_top_word_frac: float = 0.5, jaccard_threshold: float = 0.8,
+           decontam_k: int = 5, pack_budget: int = 256,
+           val_frac_mod: int = 10):
+    """documents -> (packed kept docs Dataset, funnel stats dict).
+
+    ``bench_ds`` is the (small) eval-benchmark Dataset for the
+    decontamination stage; ``None`` skips it. The val split assigns
+    ``split='val'`` to ids whose md5 bucket is ``0 mod val_frac_mod``
+    (resume-stable, same rule as q_train_split).
+    """
+    from ..functions.relops import hash_join
+    from ..stages.dedup import exact_dedup, minhash_dedup
+    from ..stages.textstats import LangId, quality_score_batch
+    from ..stages.traindata import (decontaminate, pack_sequences,
+                                    repetition_stats_batch)
+
+    stats = {}
+    stats["input"] = ds.count()
+
+    # -- stage 1: fused quality gates (stateless; one pass) -----------
+    langid = LangId(text_col=text_col)
+
+    def gates(df: pd.DataFrame) -> pd.DataFrame:
+        df = langid(df)
+        df = quality_score_batch(df, text_col)
+        rep = repetition_stats_batch(df, id_col, text_col) \
+            .set_index(id_col)["top_word_frac"]
+        df = df[(df["quality_score"] >= min_quality) &
+                (df[id_col].map(rep) <= max_top_word_frac) &
+                (df["lang_pred"] != "und")]
+        return df[[id_col, text_col]]
+
+    kept = ds.map_batches(gates, batch_format="pandas").materialize()
+    stats["after_quality"] = kept.count()
+
+    # -- stage 2: exact dedup (winners -> semi join) ------------------
+    winners = exact_dedup(kept, id_col=id_col, text_col=text_col) \
+        .map_batches(lambda df: df[["doc_id"]].rename(
+            columns={"doc_id": id_col}), batch_format="pandas")
+    kept = hash_join(kept, winners, on=id_col, how="semi",
+                     lcols=[id_col, text_col],
+                     rcols=[id_col]).materialize()
+    stats["after_exact_dedup"] = kept.count()
+
+    # -- stage 3: near-dup removal (keep cluster representatives) -----
+    clusters = minhash_dedup(kept, id_col=id_col, text_col=text_col,
+                             jaccard_threshold=jaccard_threshold)
+    losers = clusters.map_batches(
+        lambda df: df.loc[df[id_col] != df["cluster_rep"], [id_col]],
+        batch_format="pandas")
+    kept = hash_join(kept, losers, on=id_col, how="anti",
+                     lcols=[id_col, text_col],
+                     rcols=[id_col]).materialize()
+    stats["after_near_dedup"] = kept.count()
+
+    # -- stage 4: decontamination -------------------------------------
+    if bench_ds is not None:
+        flags = decontaminate(kept, bench_ds, id_col=id_col,
+                              text_col=text_col, k=decontam_k)
+        contaminated = flags.map_batches(
+            lambda df: df.loc[df["contaminated"] == 1, [id_col]],
+            batch_format="pandas")
+        kept = hash_join(kept, contaminated, on=id_col, how="anti",
+                         lcols=[id_col, text_col],
+                         rcols=[id_col]).materialize()
+    stats["after_decontam"] = kept.count()
+
+    # -- stage 5: split + packing -------------------------------------
+    import hashlib
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8],
+                          16) for v in df[id_col]])
+        return df.assign(split=np.where(h % val_frac_mod == 0,
+                                        "val", "train"))
+
+    tagged = kept.map_batches(split, batch_format="pandas").materialize()
+    packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,
+                           budget=pack_budget)
+    packed = hash_join(packs, tagged.map_batches(
+        lambda df: df[[id_col, "split"]], batch_format="pandas"),
+        on=id_col, lcols=[id_col, "n_tokens", "pack_id"],
+        rcols=[id_col, "split"]).materialize()
+    stats["packed_docs"] = packed.count()
+    return packed, stats

@@ -1134,6 +1134,28 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_curation(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation funnel (quality gates -> exact dedup ->
+    near-dup removal -> decontamination -> split + packing) as one
+    composed distributed flow; returns the per-doc pack/split
+    assignment. Rows-only (composes the approximate near-dup stage);
+    funnel invariants are pytest-gated."""
+    from ..pipelines.curation import curate
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text"]).materialize()
+    bench = ds.map_batches(
+        lambda df: df[df["doc_id"] % _BENCH_MOD == 0],
+        batch_format="pandas")
+    corpus = ds.map_batches(
+        lambda df: df[df["doc_id"] % _BENCH_MOD != 0],
+        batch_format="pandas")
+    packed, stats = curate(corpus, bench_ds=bench)
+    out = packed.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_seq_packing(sf_dir: str) -> pd.DataFrame:
     """Greedy first-fit-decreasing sequence packing (budget 256 tokens);
     rows-only (the pack assignment is an algorithmic artifact with no
@@ -1188,6 +1210,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_quantiles": q_quantiles,
         "q_quantiles_approx": q_quantiles_approx,
         "q_cust_no_orders": q_cust_no_orders,
+        "q_curation": q_curation,
     }
 
 

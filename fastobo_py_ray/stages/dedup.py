@@ -347,7 +347,16 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     from .canonicalize import connected_components_contract
 
     schema = ds.schema()
-    id_type = _arrow_type(dict(zip(schema.names, schema.types))[id_col])
+    if schema is not None:
+        id_type = _arrow_type(dict(zip(schema.names, schema.types))[id_col])
+    else:
+        # schema can be indeterminate when upstream filters left empty
+        # object-dtype pandas blocks; sniff one row instead
+        sample = ds.take(1)
+        if not sample:
+            id_type = pa.string()
+        else:
+            id_type = pa.array([sample[0][id_col]]).type
 
     def _empty():
         return rd.from_arrow(pa.table({

@@ -117,3 +117,58 @@ def test_pack_sequences_invariants(ray_session):
                           budget=budget, num_buckets=8).to_pandas()
     m = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
     assert (m.pack_id_a == m.pack_id_b).all()
+
+
+def test_curation_pipeline_funnel_invariants(ray_session):
+    """Composed curation flow: counts only shrink, survivors carry no
+    exact duplicates, no benchmark-contaminated doc survives, every
+    survivor is packed exactly once within budget, split is the
+    deterministic md5 rule."""
+    import hashlib
+
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.curation import curate
+    from fastobo_py_ray.stages.traindata import _space_grams
+
+    rng = np.random.RandomState(17)
+    # function words included so the language gate recognizes the docs
+    vocab = ["the", "and", "of", "to", "is"] + [f"w{i}" for i in range(55)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(120)]
+    texts = base + base[:20]                       # 20 exact dups
+    texts += [t + " tailword" for t in base[20:35]]  # 15 near dups
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    bench = df.iloc[:6]
+    corpus = df.iloc[6:]
+
+    packed, stats = curate(rd.from_pandas(corpus).repartition(4),
+                           bench_ds=rd.from_pandas(bench),
+                           min_quality=0.0, max_top_word_frac=1.0,
+                           jaccard_threshold=0.6, pack_budget=128)
+    out = packed.to_pandas()
+
+    # monotone funnel
+    order = ["input", "after_quality", "after_exact_dedup",
+             "after_near_dedup", "after_decontam", "packed_docs"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert stats["after_exact_dedup"] < stats["after_quality"]  # dups died
+
+    survivors = corpus[corpus.doc_id.isin(out.doc_id)]
+    # no exact dup text among survivors
+    assert survivors.text.duplicated().sum() == 0
+    # no contaminated survivor (5-gram overlap with bench)
+    bgrams = set()
+    for t in bench.text:
+        bgrams.update(_space_grams(t, 5))
+    for t in survivors.text:
+        assert not (set(_space_grams(t, 5)) & bgrams)
+    # packing invariants
+    assert out.doc_id.is_unique
+    sizes = out.groupby("pack_id").agg(tot=("n_tokens", "sum"),
+                                       n=("n_tokens", "size"))
+    assert (sizes[sizes.tot > 128].n == 1).all()
+    # split rule
+    for _, r in out.iterrows():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        assert r.split == ("val" if h % 10 == 0 else "train")
