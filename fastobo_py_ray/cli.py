@@ -3,6 +3,7 @@
     python -m fastobo_py_ray.cli run --corpus DIR --obo FILE --out DIR
     python -m fastobo_py_ray.cli resume --corpus DIR --obo FILE --out DIR
     python -m fastobo_py_ray.cli report --out DIR
+    python -m fastobo_py_ray.cli curate --corpus DIR --out DIR [--bench DIR]
 
 `run` executes the full KG pipeline in one pass; `resume` is the
 checkpointed S10 path (safe to re-invoke after a crash — finished
@@ -74,6 +75,33 @@ def cmd_resume(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation funnel over a documents parquet dir:
+    quality gates -> exact dedup -> near-dup removal ->
+    [decontamination vs --bench] -> split + packing; writes the packed
+    assignment as partitioned parquet and prints the funnel counts."""
+    import shutil
+
+    import ray.data as rd
+
+    from .pipelines.curation import curate
+
+    _init_ray()
+    docs = rd.read_parquet(args.corpus, columns=["doc_id", "text"])
+    bench = rd.read_parquet(args.bench, columns=["doc_id", "text"]) \
+        if args.bench else None
+    packed, stats = curate(docs, bench_ds=bench,
+                           min_quality=args.min_quality,
+                           pack_budget=args.pack_budget)
+    tmp = args.out.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    packed.write_parquet(tmp)
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.replace(tmp, args.out)
+    print(json.dumps({"out": args.out, **stats}))
+    return 0
+
+
 def cmd_report(args) -> int:
     from .pipelines.checkpoint import completed_partitions
 
@@ -100,6 +128,15 @@ def main(argv=None) -> int:
     s = sub.add_parser("report")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_report)
+    s = sub.add_parser("curate")
+    s.add_argument("--corpus", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--bench", default=None)
+    s.add_argument("--min-quality", type=float, default=0.5,
+                   dest="min_quality")
+    s.add_argument("--pack-budget", type=int, default=256,
+                   dest="pack_budget")
+    s.set_defaults(fn=cmd_curate)
     args = p.parse_args(argv)
     rc = args.fn(args)
     import ray

@@ -79,3 +79,40 @@ def test_cli_run_is_atomic_on_rerun(tmp_path):
     # no .tmp residue, and no accumulation of stale files
     assert sorted(os.listdir(out)) and not os.path.isdir(out + ".tmp")
     assert len(os.listdir(out)) == len(files1)
+
+
+def test_cli_curate(tmp_path):
+    """curate subcommand: funnel counts printed, packed parquet written,
+    atomic overwrite on re-run."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(5)
+    vocab = ["the", "and", "of", "to", "is"] + [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(80)]
+    texts += texts[:10]  # exact dups
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    pq.write_table(pa.table({"doc_id": list(range(len(texts))),
+                             "text": texts}),
+                   docs / "part0.parquet")
+
+    out = json.loads(_cli("curate", "--corpus", str(docs),
+                          "--out", str(tmp_path / "packed"),
+                          "--min-quality", "0.0")[-1])
+    assert out["input"] == 90
+    assert out["after_exact_dedup"] == 80          # dups removed
+    assert out["packed_docs"] == out["after_decontam"]
+    got = pq.read_table(str(tmp_path / "packed")).to_pandas()
+    assert sorted(got.columns) == ["doc_id", "n_tokens", "pack_id",
+                                   "split"]
+    assert len(got) == out["packed_docs"]
+
+    # re-run overwrites atomically (no stale files mixed in)
+    out2 = json.loads(_cli("curate", "--corpus", str(docs),
+                           "--out", str(tmp_path / "packed"),
+                           "--min-quality", "0.0")[-1])
+    got2 = pq.read_table(str(tmp_path / "packed")).to_pandas()
+    assert len(got2) == out2["packed_docs"] == out["packed_docs"]
