@@ -89,8 +89,12 @@ def _stage_timings(ds) -> dict:
         _OP_STATS_RE = re.compile(
             r"^Operator \d+ (.+?): .*? in ([0-9.]+)s", re.MULTILINE)
     try:
-        return {name: float(sec)
-                for name, sec in _OP_STATS_RE.findall(ds.stats())}
+        out: dict = {}
+        for name, sec in _OP_STATS_RE.findall(ds.stats()):
+            # identically-named operators (two MapBatches(<lambda>)
+            # stages) sum rather than silently overwriting
+            out[name] = round(out.get(name, 0.0) + float(sec), 4)
+        return out
     except Exception:
         return {}
 

@@ -16,8 +16,6 @@ kept-document Dataset stays distributed end to end.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 
@@ -25,14 +23,13 @@ import pandas as pd
 def curate(ds, bench_ds=None, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.5,
            max_top_word_frac: float = 0.5, jaccard_threshold: float = 0.8,
-           decontam_k: int = 5, pack_budget: int = 256,
-           val_frac_mod: int = 10):
+           decontam_k: int = 5, pack_budget: int = 256):
     """documents -> (packed kept docs Dataset, funnel stats dict).
 
     ``bench_ds`` is the (small) eval-benchmark Dataset for the
-    decontamination stage; ``None`` skips it. The val split assigns
-    ``split='val'`` to ids whose md5 bucket is ``0 mod val_frac_mod``
-    (resume-stable, same rule as q_train_split).
+    decontamination stage; ``None`` skips it. The val split uses the
+    SAME rule as ``q_train_split`` (~10% val via first md5 byte
+    ``< 0x1a``) so split membership is consistent engine-wide.
     """
     from ..functions.relops import hash_join
     from ..stages.dedup import exact_dedup, minhash_dedup
@@ -40,6 +37,10 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     from ..stages.traindata import (decontaminate, pack_sequences,
                                     repetition_stats_batch)
 
+    # one materialization up front: the input handle is consumed twice
+    # (count + stage-1 map), and a lazy handle would re-run its whole
+    # upstream per consumer
+    ds = ds.materialize()
     stats = {}
     stats["input"] = ds.count()
 
@@ -95,10 +96,10 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     import hashlib
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8],
-                          16) for v in df[id_col]])
-        return df.assign(split=np.where(h % val_frac_mod == 0,
-                                        "val", "train"))
+        hexes = [hashlib.md5(str(v).encode()).hexdigest()[:2]
+                 for v in df[id_col]]
+        return df.assign(split=["val" if h < "1a" else "train"
+                                for h in hexes])
 
     tagged = kept.map_batches(split, batch_format="pandas").materialize()
     packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,
@@ -106,6 +107,9 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     packed = hash_join(packs, tagged.map_batches(
         lambda df: df[[id_col, "split"]], batch_format="pandas"),
         on=id_col, lcols=[id_col, "n_tokens", "pack_id"],
-        rcols=[id_col, "split"]).materialize()
+        rcols=[id_col, "split"]).map_batches(
+        # restore the ints the join's NA-widening floated
+        lambda df: df.astype({"n_tokens": "int64"}),
+        batch_format="pandas").materialize()
     stats["packed_docs"] = packed.count()
     return packed, stats

@@ -116,3 +116,16 @@ def test_cli_curate(tmp_path):
                            "--min-quality", "0.0")[-1])
     got2 = pq.read_table(str(tmp_path / "packed")).to_pandas()
     assert len(got2) == out2["packed_docs"] == out["packed_docs"]
+
+    # --bench wiring: a benchmark sharing grams with the corpus drops
+    # contaminated docs at the decontamination stage
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    pq.write_table(pa.table({"doc_id": [10_000],
+                             "text": [texts[20]]}),
+                   bench / "b.parquet")
+    out3 = json.loads(_cli("curate", "--corpus", str(docs),
+                           "--out", str(tmp_path / "packed2"),
+                           "--bench", str(bench),
+                           "--min-quality", "0.0")[-1])
+    assert out3["after_decontam"] < out3["after_near_dedup"]
