@@ -1134,6 +1134,26 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_text_embed_neardup(sf_dir: str) -> pd.DataFrame:
+    """Semantic-ish near-dup over the TEXT corpus via model-free hashed
+    TF embeddings + the distributed LSH cosine path (SemDeDup-style
+    flow without an external model): text -> feature-hashed vector ->
+    bucketed cosine pairs. Rows-only (embedding + LSH are both
+    hash-defined); subset/recall behavior pytest-gated on the
+    embedding suite, and pair symmetry asserted here."""
+    from ..stages.dedup import embedding_near_dup_lsh
+    from ..stages.textstats import hashed_tf_embed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = hashed_tf_embed(ds, dim=128)
+    out = embedding_near_dup_lsh(
+        emb, id_col="doc_id", vec_col="embedding", threshold=0.95,
+        num_planes=6, dim=128).to_pandas()
+    for c in ("id_a", "id_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_curation(sf_dir: str) -> pd.DataFrame:
     """End-to-end curation funnel (quality gates -> exact dedup ->
     near-dup removal -> decontamination -> split + packing) as one
@@ -1211,6 +1231,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_quantiles_approx": q_quantiles_approx,
         "q_cust_no_orders": q_cust_no_orders,
         "q_curation": q_curation,
+        "q_text_embed_neardup": q_text_embed_neardup,
     }
 
 

@@ -183,3 +183,47 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
     df = df.copy()
     df[out_col] = pd.Series(fps, index=df.index, dtype="int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# hashed text embeddings (feature hashing; model-free)
+# ---------------------------------------------------------------------------
+
+def hashed_tf_embed_batch(df: pd.DataFrame, text_col: str = "text",
+                          dim: int = 256, out_col: str = "embedding"
+                          ) -> pd.DataFrame:
+    """Deterministic text -> dense vector via feature hashing: token
+    hash buckets to ``dim`` counts per document, l2-normalized — the
+    model-free embedding that lets the text corpus ride the embedding
+    operators (cosine near-dup, ANN, SemDeDup-style clustering) without
+    any external model.
+
+    Fully vectorized: one siphash call over every token in the batch,
+    one ``np.add.at`` scatter into the (docs x dim) count matrix.
+    Output column is a list<float> compatible with the embedding suite.
+    """
+    texts = df[text_col].fillna("")
+    toks = [_WORD_RE.findall(t.lower()) for t in texts]
+    n = len(df)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    flat = [w for ws in toks for w in ws]
+    if flat:
+        h = (pd.util.hash_array(np.asarray(flat, dtype=object),
+                                hash_key="fastobomray-fh00")
+             % np.uint64(dim)).astype(np.int64)
+        rows = np.repeat(np.arange(n),
+                         np.fromiter((len(ws) for ws in toks),
+                                     dtype=np.int64, count=n))
+        np.add.at(mat, (rows, h), 1.0)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat /= norms
+    out = df.copy()
+    out[out_col] = list(mat)
+    return out
+
+
+def hashed_tf_embed(ds, text_col: str = "text", dim: int = 256,
+                    out_col: str = "embedding"):
+    return ds.map_batches(
+        lambda df: hashed_tf_embed_batch(df, text_col, dim, out_col),
+        batch_format="pandas")

@@ -110,3 +110,45 @@ def test_fingerprint_matches_independent_implementation():
     b = _fingerprint_reference("one two three four five six seven")
     c = _fingerprint_reference("totally disjoint vocabulary in here now yes")
     assert a == b and a != c
+
+
+def test_hashed_tf_embed_properties():
+    """Feature-hashed embeddings: unit norm, deterministic, near-dup
+    texts close in cosine, disjoint-vocabulary texts far."""
+    import numpy as np
+
+    from fastobo_py_ray.stages.textstats import hashed_tf_embed_batch
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("dog", "cat")
+    c = "totally disjoint vocabulary with other words entirely present"
+    df = pd.DataFrame({"text": [a, b, c, ""]})
+    out = hashed_tf_embed_batch(df, dim=128)
+    m = np.stack(out["embedding"].to_numpy())
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms[:3], 1.0) and norms[3] == 0.0
+    sim_ab = float(m[0] @ m[1])
+    sim_ac = float(m[0] @ m[2])
+    assert sim_ab > 0.85 > sim_ac
+    # deterministic across calls
+    out2 = hashed_tf_embed_batch(df, dim=128)
+    assert np.array_equal(m, np.stack(out2["embedding"].to_numpy()))
+
+
+def test_text_embed_neardup_finds_near_dups(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import embedding_near_dup
+    from fastobo_py_ray.stages.textstats import hashed_tf_embed
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts = {1: base, 2: base.replace("dog", "cat"),
+             4: "completely different words entirely here now for this"}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    emb = hashed_tf_embed(ds, dim=128)
+    pairs = embedding_near_dup(emb, id_col="doc_id",
+                               vec_col="embedding", threshold=0.9)
+    got = {(int(x), int(y)) for x, y in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(1, 2)}
