@@ -884,13 +884,10 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
         .sort_values("media_id").reset_index(drop=True)
 
 
-def q_qa_ontology(sf_dir: str) -> pd.DataFrame:
+def qa_scan(onto) -> pd.DataFrame:
     """Ontology QA scans (reference obsolete.ipynb / descriptions.ipynb
-    patterns): obsolete-without-replacement and missing-definition terms
-    of the documents ontology."""
-    from ..obo import loads as obo_loads
-
-    onto = obo_loads(docs_obo()).ontology
+    patterns): obsolete-without-replacement and missing-definition terms.
+    Value-level checked against grep-derived ms.obo goldens in tests."""
     rows = []
     for f in onto.terms():
         obs = f.first("is_obsolete")
@@ -903,6 +900,12 @@ def q_qa_ontology(sf_dir: str) -> pd.DataFrame:
             "missing_def": not (d and d.get("text")),
         })
     return pd.DataFrame(rows).sort_values("term_id").reset_index(drop=True)
+
+
+def q_qa_ontology(sf_dir: str) -> pd.DataFrame:
+    from ..obo import loads as obo_loads
+
+    return qa_scan(obo_loads(docs_obo()).ontology)
 
 
 def f_to_pandas(ds, fn) -> pd.DataFrame:

@@ -177,3 +177,16 @@ def test_reference_corpora_pass_cardinality_validation():
     res = load("/root/reference/tests/data/ms.obo")
     assert res.errors == []
     assert validate_cardinality(res.ontology) == []
+
+
+def test_qa_scan_ms_obo_grep_goldens():
+    """QA scans value-checked against independent grep-derived counts on
+    the reference's ms.obo corpus (2936 terms: 282 obsolete, 275 of
+    them without replaced_by/consider, 20 without a def)."""
+    from fastobo_py_ray.obo import load
+    from fastobo_py_ray.pipelines.queries import qa_scan
+
+    df = qa_scan(load("/root/reference/tests/data/ms.obo").ontology)
+    assert len(df) == 2936
+    assert int(df["obsolete_without_replacement"].sum()) == 275
+    assert int(df["missing_def"].sum()) == 20
