@@ -30,6 +30,22 @@ def _init_ray():
                  include_dashboard=False, logging_level="ERROR")
 
 
+def _swap_in(tmp: str, out: str) -> None:
+    """Crash-safe output swap: the previous run's directory is renamed
+    aside (cheap) before the new one replaces it, so a kill between the
+    two renames leaves EITHER the old output at ``out`` or the old at
+    ``.old`` + new at ``.tmp`` — never a destroyed output with nothing
+    in its place (plain rmtree-then-replace has that window)."""
+    import shutil
+
+    old = out.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out):
+        os.replace(out, old)
+    os.replace(tmp, out)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def cmd_run(args) -> int:
     import shutil
 
@@ -48,8 +64,7 @@ def cmd_run(args) -> int:
     run_kg_pipeline(pages, obo_text, out_dir=tmp,
                     batch_size=args.batch_size,
                     langs=args.langs.split(",") if args.langs else None)
-    shutil.rmtree(args.out, ignore_errors=True)
-    os.replace(tmp, args.out)
+    _swap_in(tmp, args.out)
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"adjacency_dir": args.out, "n_triples": int(n)}))
     return 0
@@ -96,8 +111,7 @@ def cmd_curate(args) -> int:
     tmp = args.out.rstrip("/") + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     packed.write_parquet(tmp)
-    shutil.rmtree(args.out, ignore_errors=True)
-    os.replace(tmp, args.out)
+    _swap_in(tmp, args.out)
     print(json.dumps({"out": args.out, **stats}))
     return 0
 

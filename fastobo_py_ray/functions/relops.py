@@ -189,13 +189,11 @@ def asof_join(left, right, on: str, by: str,
         right.map_batches(tag("r", rcols), batch_format="pandas"))
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # l and r slice the SAME combined frame, so the on/by columns
+        # (present on both sides) share one dtype by construction;
+        # only side-exclusive columns NA-widen (see docstring)
         l = df[df["__side"] == "l"][lcols].sort_values(on)
         r = df[df["__side"] == "r"][rcols].sort_values(on)
-        # dtype restore: the union's NaN-widening can float the right
-        # side's on/by columns when a bucket is single-sided
-        for c in (on, by):
-            if c in r.columns and r[c].dtype != l[c].dtype:
-                r[c] = r[c].astype(l[c].dtype)
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction,
                             suffixes=suffixes)
         return out
@@ -256,11 +254,25 @@ def group_min(df: pd.DataFrame, keys: List[str], col: str) -> pd.DataFrame:
     pandas' per-group min over object dtype is a Python-level fallback
     (~30x slower, measured 18s vs 0.3s on 600k rows); computing the min
     on sorted factor codes stays in C and maps back exactly. Numeric
-    columns take the plain C path directly."""
+    columns take the plain C path directly. NaN semantics match
+    ``groupby.min``: nulls are skipped; an all-null group yields NaN
+    (factorize codes NaN as -1, which would otherwise win every min
+    and wrap ``take(-1)`` to the LARGEST unique — guarded here)."""
     if df.empty:
         return df.loc[:, keys + [col]]
     if pd.api.types.is_numeric_dtype(df[col]):
         return df.groupby(keys, as_index=False, sort=False)[col].min()
+    if df[col].isna().any():
+        nn = df.dropna(subset=[col])
+        out = group_min(nn, keys, col) if not nn.empty \
+            else nn.loc[:, keys + [col]]
+        allna = df[keys].drop_duplicates().merge(
+            out[keys], on=keys, how="left", indicator="__in")
+        miss = allna.loc[allna["__in"] == "left_only", keys]
+        if len(miss):
+            out = pd.concat([out, miss.assign(**{col: np.nan})],
+                            ignore_index=True)
+        return out
     codes, uniq = pd.factorize(df[col], sort=True)
     out = df.assign(__code=codes).groupby(
         keys, as_index=False, sort=False)["__code"].min()

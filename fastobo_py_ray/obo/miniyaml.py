@@ -112,6 +112,14 @@ def _parse(toks: List[Tuple[int, str]], i: int, indent: int):
                     val, i = _parse(toks, i + 1, toks[i + 1][0])
                 else:
                     val, i = None, i + 1
+            elif item == "-" or item.startswith("- "):
+                # nested compact sequence ("- - a"): unsupported — raise
+                # per the module contract instead of silently yielding
+                # the literal string "- a"
+                raise ValueError(
+                    f"nested compact sequences are not supported by the "
+                    f"built-in YAML subset: {toks[i][1]!r} (install "
+                    f"PyYAML for full YAML)")
             elif _split_key(item) is not None:
                 # compact "- key: val" mapping item: continuation keys sit
                 # two columns deeper (aligned after the dash) — re-tag the

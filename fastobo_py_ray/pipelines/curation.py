@@ -50,10 +50,14 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     def gates(df: pd.DataFrame) -> pd.DataFrame:
         df = langid(df)
         df = quality_score_batch(df, text_col)
-        rep = repetition_stats_batch(df, id_col, text_col) \
-            .set_index(id_col)["top_word_frac"]
+        # merge, not index-map: a dirty corpus may repeat doc ids within
+        # a batch (the dedup stages downstream handle them; the gate
+        # must not crash on a non-unique index)
+        rep = repetition_stats_batch(df, id_col, text_col)[
+            [id_col, "top_word_frac"]].drop_duplicates(id_col)
+        df = df.merge(rep, on=id_col, how="left")
         df = df[(df["quality_score"] >= min_quality) &
-                (df[id_col].map(rep) <= max_top_word_frac) &
+                (df["top_word_frac"] <= max_top_word_frac) &
                 (df["lang_pred"] != "und")]
         return df[[id_col, text_col]]
 
@@ -93,13 +97,10 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     stats["after_decontam"] = kept.count()
 
     # -- stage 5: split + packing -------------------------------------
-    import hashlib
+    from ..stages.traindata import train_val_assign
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
-        hexes = [hashlib.md5(str(v).encode()).hexdigest()[:2]
-                 for v in df[id_col]]
-        return df.assign(split=["val" if h < "1a" else "train"
-                                for h in hexes])
+        return df.assign(split=train_val_assign(df[id_col]))
 
     tagged = kept.map_batches(split, batch_format="pandas").materialize()
     packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,

@@ -492,8 +492,11 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
     # group iteration — groupby.apply's grouping-column semantics
     # change across pandas majors)
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: SQL window PARTITION BY groups NULL keys
+        # together; pandas' default would silently drop those rows
         return pd.concat([window(g) for _, g in
-                          df.groupby("user_id", sort=False)],
+                          df.groupby("user_id", sort=False,
+                                     dropna=False)],
                          ignore_index=True)
 
     out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
@@ -526,7 +529,8 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         return pd.concat([sessions(g) for _, g in
-                          df.groupby("user_id", sort=False)],
+                          df.groupby("user_id", sort=False,
+                                     dropna=False)],
                          ignore_index=True)
 
     out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
@@ -602,16 +606,14 @@ def q_train_split(sf_dir: str) -> pd.DataFrame:
     training-data-pipeline assignment: stable under re-runs, resumes and
     repartitioning because it depends only on the key, never on row
     order or RNG state).  ~10% validation via the first md5 byte."""
-    import hashlib
+    from ..stages.traindata import train_val_assign
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        hexes = [hashlib.md5(str(i).encode()).hexdigest()[:2]
-                 for i in df["doc_id"]]
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "split": ["val" if h < "1a" else "train" for h in hexes]})
+            "split": train_val_assign(df["doc_id"])})
 
     out = ds.map_batches(assign, batch_format="pandas").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")

@@ -343,6 +343,8 @@ def connected_components_bigstar(edges_ds, col_a: str = "a",
                     for a, b in zip(df["u"], df["v"]))
             return pd.DataFrame({"c": [s], "n": [len(df)]})
         parts = ds_edges.map_batches(h, batch_format="pandas").to_pandas()
+        if parts.empty:  # zero-row dataset: no batch ever ran
+            return (0, 0)
         return (int(parts["n"].sum()), int(parts["c"].sum()))
 
     edges = edges_ds.map_batches(explode_both,

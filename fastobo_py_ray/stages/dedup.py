@@ -378,10 +378,19 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     # (Two per-side joins would stream the whole corpus text through the
     # exchange twice; this moves it once plus the sparse pair texts.)
     def to_long(df: pd.DataFrame) -> pd.DataFrame:
+        # pair keys travel as length-prefixed STRINGS: the join's
+        # NA-widening floats side-exclusive numeric columns, and an
+        # int64 id above 2^53 would come back corrupted from the float
+        # round-trip; string keys are widening-proof, and _len_key order
+        # is exactly the numeric-safe representative order downstream.
+        # doc_id (the join key) keeps the corpus dtype — both sides
+        # carry it, so it never widens.
+        ka = [_len_key(v) for v in df["doc_a"]]
+        kb = [_len_key(v) for v in df["doc_b"]]
         n = len(df)
         return pd.DataFrame({
-            "doc_a": np.concatenate([df["doc_a"].to_numpy()] * 2),
-            "doc_b": np.concatenate([df["doc_b"].to_numpy()] * 2),
+            "ka": pd.Series(ka + ka, dtype="string"),
+            "kb": pd.Series(kb + kb, dtype="string"),
             "side": ["a"] * n + ["b"] * n,
             "doc_id": np.concatenate([df["doc_a"].to_numpy(),
                                       df["doc_b"].to_numpy()])})
@@ -393,21 +402,19 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     joined = hash_join(cand.map_batches(to_long, batch_format="pandas"),
                        docs, on="doc_id",
                        num_buckets=num_join_buckets,
-                       lcols=["doc_a", "doc_b", "side", "doc_id"],
+                       lcols=["ka", "kb", "side", "doc_id"],
                        rcols=["doc_id", "__text"])
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Re-pair sides, dedup cross-band pair copies (exact here: all
-        copies of a pair co-locate), Jaccard in the worker; emit
-        length-prefixed string edges (the join's NA-widening may have
-        floated an int id column — a round-trip through the original
-        dtype keeps '7', never '7.0')."""
+        copies of a pair co-locate), Jaccard in the worker; pair keys
+        are already the length-prefixed edge encoding."""
         empty = pd.DataFrame({"a": pd.Series(dtype="string"),
                               "b": pd.Series(dtype="string")})
-        df = df.drop_duplicates(subset=["doc_a", "doc_b", "side"])
-        a = df[df["side"] == "a"][["doc_a", "doc_b", "__text"]]
-        b = df[df["side"] == "b"][["doc_a", "doc_b", "__text"]]
-        m = a.merge(b, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        df = df.drop_duplicates(subset=["ka", "kb", "side"])
+        a = df[df["side"] == "a"][["ka", "kb", "__text"]]
+        b = df[df["side"] == "b"][["ka", "kb", "__text"]]
+        m = a.merge(b, on=["ka", "kb"], suffixes=("_a", "_b"))
         if m.empty:
             return empty
         ok = np.fromiter(
@@ -415,16 +422,13 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
              for x, y in zip(m["__text_a"], m["__text_b"])),
             dtype=bool, count=len(m))
         kept = m[ok]
-        pd_t = id_type.to_pandas_dtype()
         return pd.DataFrame({
-            "a": pd.Series([_len_key(v) for v in
-                            kept["doc_a"].astype(pd_t)], dtype="string"),
-            "b": pd.Series([_len_key(v) for v in
-                            kept["doc_b"].astype(pd_t)], dtype="string")})
+            "a": kept["ka"].astype("string"),
+            "b": kept["kb"].astype("string")})
 
     from ..functions.relops import grouped_map
 
-    edges = grouped_map(joined, ["doc_a", "doc_b"], verify_bucket,
+    edges = grouped_map(joined, ["ka", "kb"], verify_bucket,
                         num_buckets=num_join_buckets).materialize()
     if edges.count() == 0:
         return _empty()
@@ -620,4 +624,26 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         mats.append(m)
     if not mats:
         return _empty_pairs()
-    return _cosine_pairs(np.asarray(ids), np.vstack(mats), threshold)
+    # block the N x N similarity scan: one (block x N) strip at a time,
+    # so peak scratch is block*N*8 bytes (~1.6 GB at the 100k cap with
+    # block=2048), never an N^2 allocation
+    idv = np.asarray(ids)
+    mat = np.vstack(mats)
+    parts = []
+    for lo in range(0, len(mat), block):
+        hi = min(lo + block, len(mat))
+        sims = np.round(mat[lo:hi] @ mat.T, 6)
+        ia, ib = np.where(sims >= threshold)
+        keep = (ia + lo) < ib  # upper triangle only, no self-pairs
+        if keep.any():
+            parts.append(pd.DataFrame({
+                "id_a": idv[(ia + lo)[keep]],
+                "id_b": idv[ib[keep]],
+                "cos_sim": sims[ia[keep], ib[keep]]}))
+    if not parts:
+        return _empty_pairs()
+    out = pd.concat(parts, ignore_index=True)
+    a, b = out["id_a"].to_numpy(), out["id_b"].to_numpy()
+    swap = a > b
+    out["id_a"], out["id_b"] = np.where(swap, b, a), np.where(swap, a, b)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -154,6 +154,15 @@ def _md5_hex(vals) -> List[str]:
     return [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
 
 
+def train_val_assign(ids) -> List[str]:
+    """THE engine-wide deterministic train/val rule (~10% val): 'val'
+    iff the first md5 byte of str(id) is < 0x1a. Single source of truth
+    for q_train_split, the curation pipeline, and any caller needing
+    split membership consistent across pipelines."""
+    return ["val" if hashlib.md5(str(v).encode()).hexdigest()[:2] < "1a"
+            else "train" for v in ids]
+
+
 def stratified_sample(ds, group_col: str = "lang", n: int = 50,
                       id_col: str = "doc_id"):
     """Deterministic n-per-stratum sample: order within each stratum by

@@ -306,3 +306,23 @@ def test_exact_dedup_string_ids(ray_session):
         doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
     m = got.merge(want, on="doc_id", suffixes=("_g", "_w"))
     assert len(m) == 7 and (m.n_copies_g == m.n_copies_w).all()
+
+
+def test_minhash_dedup_snowflake_scale_ids(ray_session):
+    """int64 ids above 2^53 survive the verify join exactly (pair keys
+    travel as length-prefixed strings, never through a float widening
+    round-trip)."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    big = 2**53
+    texts = {big + 1: base, big + 3: base.replace("dog", "cat"),
+             big + 5: "completely different words entirely here now ok"}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = minhash_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    assert got["doc_id"].dtype.kind == "i"
+    assert set(got["doc_id"]) == {big + 1, big + 3}
+    assert set(got["cluster_rep"]) == {big + 1}

@@ -316,3 +316,15 @@ def test_connected_components_bigstar_selfloops_and_isolated(ray_session):
                           "b": [f"c{i + 1:03d}" for i in range(40)]})
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_bigstar(rd.from_pandas(chain), max_rounds=1)
+
+
+def test_connected_components_bigstar_empty_edges(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.canonicalize import \
+        connected_components_bigstar
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="string"),
+                          "b": pd.Series(dtype="string")})
+    out = connected_components_bigstar(rd.from_pandas(empty)).to_pandas()
+    assert len(out) == 0

@@ -333,3 +333,13 @@ def test_rdf_matches_ofn_axiom_set_on_ms():
     import pytest
     with pytest.raises(ValueError, match="ofn"):
         dumps_owl(onto, format="ttl")
+
+
+def test_miniyaml_nested_sequence_raises():
+    import pytest
+
+    from fastobo_py_ray.obo import miniyaml
+
+    assert miniyaml.safe_load("x:\n  - a\n  - b") == {"x": ["a", "b"]}
+    with pytest.raises(ValueError, match="nested compact"):
+        miniyaml.safe_load("x:\n  - - a")

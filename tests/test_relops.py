@@ -243,3 +243,16 @@ def test_hash_join_semi_anti_null_keys(ray_session):
                      lcols=["k", "v"], rcols=["k"]).to_pandas()
     assert sorted(anti["v"]) == [10, 30]   # null-keyed left row kept
     assert sorted(semi["v"]) == [20]       # ...and dropped by semi
+
+
+def test_group_min_nan_semantics():
+    import numpy as np
+
+    from fastobo_py_ray.functions.relops import group_min
+
+    df = pd.DataFrame({"k": ["g", "g", "h", "h", "i"],
+                       "v": ["a", None, None, None, "z"]})
+    out = group_min(df, ["k"], "v").set_index("k")["v"]
+    assert out["g"] == "a"          # NaN skipped, not winning the min
+    assert pd.isna(out["h"])        # all-null group -> NaN
+    assert out["i"] == "z"
