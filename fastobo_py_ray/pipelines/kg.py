@@ -148,6 +148,15 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
             init=lambda key: "",
             accumulate_row=lambda a, row: _merge(a, row["urls"]),
             merge=_merge, name="urls"))
+    # scale note: this Ray sort-groupby both reduces AND globally
+    # range-orders the output in ONE exchange — the adjacency writer's
+    # sort elision rides that order (tripwire-asserted downstream). Its
+    # per-distinct-group Python cost (~0.1 ms) is fine while the triple
+    # space stays ontology-bounded (the pre-reduce above already
+    # collapsed corpus volume); for an ontology whose distinct-triple
+    # space reaches ~10^6+, switch to grouped_agg + an explicit sort
+    # (two exchanges, no per-group Python) — crossover ~100s of
+    # group-dispatch per million distinct triples.
     out = partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
     if k:
         def split_urls(df: pd.DataFrame) -> pd.DataFrame:
