@@ -179,7 +179,6 @@ def test_owx_matches_ofn_axiom_set_on_ms():
         ("Declaration(", "AnnotationAssertion(", "SubClassOf(",
          "SubObjectPropertyOf(", "TransitiveObjectProperty("))]) == len(want)
 
-    import pytest
     with pytest.raises(ValueError, match="ofn"):
         dumps_owl(onto, format="ttl")
 
@@ -311,15 +310,20 @@ def test_miniyaml_roundtrips_json_equivalent():
         safe_load("a: |\n  block scalar")
 
 
-def test_rdf_matches_ofn_axiom_set_on_ms():
+import pytest
+
+
+@pytest.mark.parametrize("corpus", ["ms.obo", "plana.obo"])
+def test_rdf_matches_ofn_axiom_set_on_reference_corpora(corpus):
     """dump_owl('rdf') (RDF/XML, OWL 2 RDF mapping) carries the identical
-    axiom SET as 'ofn'/'owx' on the full ms.obo corpus — the reference's
-    third format (src/py/mod.rs:464-511)."""
+    axiom SET as 'ofn'/'owx' on BOTH reference corpora — the reference's
+    third format (src/py/mod.rs:464-511); plana.obo adds the
+    genus-differentia macro surface."""
     from fastobo_py_ray.obo.owl import (dumps_owl, ontology_axioms,
                                         parse_rdf_axioms)
     from fastobo_py_ray.obo.parser import load
 
-    onto = load("/root/reference/tests/data/ms.obo").ontology
+    onto = load(f"/root/reference/tests/data/{corpus}").ontology
     want = ontology_axioms(onto)
 
     rdf = dumps_owl(onto, format="rdf")
@@ -330,7 +334,6 @@ def test_rdf_matches_ofn_axiom_set_on_ms():
     from collections import Counter
     assert Counter(got) == Counter(want)
 
-    import pytest
     with pytest.raises(ValueError, match="ofn"):
         dumps_owl(onto, format="ttl")
 
