@@ -184,3 +184,61 @@ def test_orphan_part_dir_excluded_from_finalize(ray_session, tmp_path):
     shutil.rmtree(os.path.join(parts, f"part-{victim}"))
     with pytest.raises(RuntimeError, match="part dirs are gone"):
         finalize_adjacency(out_root, res["adjacency_dir"])
+
+
+def test_incremental_append_processes_only_new_partitions(ray_session,
+                                                          tmp_path):
+    """The 'new crawl arrives' flow: after a finalized run, appending
+    input files and re-invoking processes ONLY the new partitions (old
+    manifests stay valid because partition file lists are contiguous
+    chunks of the sorted name order), and the refreshed adjacency
+    equals the direct pipeline over the full corpus."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import run_kg_pipeline
+
+    corpus = str(tmp_path / "pages")
+    files = write_pages_corpus(corpus, n_rows=200, n_files=4)
+    out_root = str(tmp_path / "ckpt")
+    r1 = run_kg_pipeline_resumable(files, MINI_OBO, out_root,
+                                   files_per_partition=2, langs=None)
+    assert r1["finalized"]
+    old_keys = set(r1["processed"])
+
+    # appended files sort AFTER the existing ones (crawl batches do)
+    extra_dir = str(tmp_path / "extra")
+    extra = write_pages_corpus(extra_dir, n_rows=100, n_files=2,
+                               seed=7, include_golden=False)
+    appended = []
+    for i, f in enumerate(extra):
+        dst = os.path.join(corpus, f"pages-z{i:04d}.parquet")
+        shutil.copy(f, dst)
+        appended.append(dst)
+
+    all_files = sorted(files + appended)
+    # partitions whose file list is unchanged by the append are skipped;
+    # a trailing partial partition that absorbed a new file is correctly
+    # invalidated and re-run (its input set changed)
+    old_parts = partition_input_files(files, 2)
+    new_parts = partition_input_files(all_files, 2)
+    unchanged = {k for k, v in new_parts.items()
+                 if old_parts.get(k) == v}
+    assert unchanged  # the append must leave some prefix intact
+    r2 = run_kg_pipeline_resumable(all_files, MINI_OBO, out_root,
+                                   files_per_partition=2, langs=None)
+    assert set(r2["skipped"]) == unchanged
+    assert set(r2["processed"]) == set(new_parts) - unchanged
+    assert r2["finalized"]
+
+    direct = run_kg_pipeline(rd.read_parquet(all_files), MINI_OBO,
+                             langs=None).to_pandas()
+    resumed = pq.read_table(r2["adjacency_dir"]).to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        resumed.sort_values(key).reset_index(drop=True)[
+            ["subj", "pred", "obj", "n_evidence"]],
+        direct.sort_values(key).reset_index(drop=True)[
+            ["subj", "pred", "obj", "n_evidence"]])
