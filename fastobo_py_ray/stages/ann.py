@@ -147,10 +147,40 @@ def kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
     return cent
 
 
+def build_ivf_index(ds, nlist: int = 16, train_sample: int = 4096,
+                    seed: int = 42, vec_col: str = "embedding",
+                    list_col: str = "__ivf_list"):
+    """Train + assign ONCE, serve many queries: driver k-means over a
+    bounded sample -> broadcast centroids -> one stateless pass stamps
+    each row's inverted-list id -> materialized indexed Dataset.
+    Returns ``(centroids, indexed_ds)``; feed both to :func:`ivf_topk`
+    so per-query work is just probe-filter + partial top-k (no
+    re-assignment scan)."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    centroids = kmeans_centroids(_as_matrix(sample[vec_col]), nlist,
+                                 seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{list_col: pd.Series(dtype="int64")})
+        cent = ray.get(cent_ref)
+        lists = (_normalize(_as_matrix(df[vec_col])) @ cent.T) \
+            .argmax(axis=1)
+        return df.assign(**{list_col: lists.astype(np.int64)})
+
+    indexed = ds.map_batches(assign,
+                             batch_format="pandas").materialize()
+    return centroids, indexed
+
+
 def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
              nprobe: int = 4, train_sample: int = 4096, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: Optional[np.ndarray] = None,
+             list_col: str = "__ivf_list",
              exclude_ids: Optional[set] = None) -> pd.DataFrame:
     """Approximate cosine top-k via an inverted-file index: vectors are
     assigned to their nearest of ``nlist`` k-means centroids, the query
@@ -161,16 +191,32 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
     stateless ``map_batches`` pass does assign + probe-filter + partial
     top-k per block — no shuffle; the driver merges blocks x k rows.
     ``nprobe == nlist`` degenerates to the exact brute-force result
-    (guarded by test). Pass ``centroids`` to reuse a trained index
-    across queries."""
+    (guarded by test). For repeated queries, pass the output of
+    :func:`build_ivf_index` (``centroids`` + the indexed ``ds``): rows
+    already carrying ``list_col`` skip the assignment matmul and only
+    probe-filter."""
     import ray
 
+    pre_assigned = ds.schema() is not None and \
+        list_col in (ds.schema().names or [])
     if centroids is None:
+        if pre_assigned:
+            raise ValueError("pre-assigned index requires the centroids "
+                             "returned by build_ivf_index")
         sample = ds.limit(train_sample).to_pandas()
         centroids = kmeans_centroids(_as_matrix(sample[vec_col]), nlist,
                                      seed=seed)
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
     probe_lists = np.sort(np.argsort(-(q @ centroids.T).ravel())[:nprobe])
+
+    if pre_assigned:
+        candidates = ds.map_batches(
+            lambda df: df[np.isin(df[list_col].to_numpy(), probe_lists)]
+            .drop(columns=[list_col]),
+            batch_format="pandas")
+        return brute_force_topk(candidates, query, k, id_col, vec_col,
+                                exclude_ids=exclude_ids)
+
     cent_ref = ray.put(centroids)
 
     def probe_filter(df: pd.DataFrame) -> pd.DataFrame:

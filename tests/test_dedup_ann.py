@@ -326,3 +326,31 @@ def test_minhash_dedup_snowflake_scale_ids(ray_session):
     assert got["doc_id"].dtype.kind == "i"
     assert set(got["doc_id"]) == {big + 1, big + 3}
     assert set(got["cluster_rep"]) == {big + 1}
+
+
+def test_ivf_index_reuse_matches_fresh(ray_session):
+    """build_ivf_index + repeated queries == per-query fresh index
+    (assignments computed once; each query only probe-filters)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import build_ivf_index, ivf_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.normal(size=(8, 32)) * 3
+    vecs = np.vstack([centers[i % 8] + rng.normal(size=32) * 0.3
+                      for i in range(300)])
+    df = pd.DataFrame({"vec_id": range(300),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    cents, indexed = build_ivf_index(ds, nlist=8, seed=7)
+    for qi in (3, 17, 101):
+        q = vecs[qi]
+        fresh = ivf_topk(ds, q, k=5, nlist=8, nprobe=3, seed=7)
+        reused = ivf_topk(indexed, q, k=5, nprobe=3, centroids=cents)
+        pd.testing.assert_frame_equal(fresh, reused)
+
+    import pytest
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(indexed, vecs[0], k=5)
