@@ -33,7 +33,8 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-def _read(sf_dir: str, table: str, columns=None, rows_per_block=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block=None,
+          filter=None):
     """Pruned parquet read.  ``rows_per_block`` sizes the block count from
     the file's row-count metadata so a small single-file table doesn't get
     split into 2x-CPU micro-blocks (hundreds of ~10ms tasks whose
@@ -46,6 +47,10 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=None):
 
     tune_data_context()
     kwargs = {}
+    if filter is not None:
+        # row-filter pushdown: predicate evaluated at the parquet
+        # fragment scan (row-group statistics prune before decode)
+        kwargs["filter"] = filter
     if rows_per_block is not None:
         import math
 
@@ -1014,12 +1019,13 @@ def q_cust_no_orders(sf_dir: str) -> pd.DataFrame:
     right-side scan)."""
     from ..functions.relops import hash_join
 
+    import pyarrow.dataset as pds
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-    urgent = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_orderpriority"]).map_batches(
-        lambda df: df.loc[df["o_orderpriority"] == "1-URGENT",
-                          ["o_custkey"]].rename(
-            columns={"o_custkey": "c_custkey"}),
+    urgent = _read(sf_dir, "orders", columns=["o_custkey"],
+                   filter=pds.field("o_orderpriority") == "1-URGENT") \
+        .map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
         batch_format="pandas")
     out = hash_join(cust, urgent, on="c_custkey", how="anti",
                     lcols=["c_custkey", "c_acctbal"],
@@ -1091,17 +1097,15 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     One hash exchange on user_id; C-speed merge_asof inside buckets."""
     from ..functions.relops import asof_join
 
-    ev = _read(sf_dir, "events",
-               columns=["event_id", "user_id", "ts", "event_type",
-                        "value"])
-    clicks = ev.map_batches(
-        lambda df: df[df["event_type"] == "click"][
-            ["event_id", "user_id", "ts"]],
-        batch_format="pandas")
-    purch = ev.map_batches(
-        lambda df: df[df["event_type"] == "purchase"][
-            ["user_id", "ts", "value"]],
-        batch_format="pandas")
+    import pyarrow.dataset as pds
+
+    # predicate pushed into the parquet scan: only matching row groups
+    # decode, and the event_type column never leaves the reader
+    clicks = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts"],
+                   filter=pds.field("event_type") == "click")
+    purch = _read(sf_dir, "events", columns=["user_id", "ts", "value"],
+                  filter=pds.field("event_type") == "purchase")
     out = asof_join(clicks, purch, on="ts", by="user_id",
                     lcols=["event_id", "user_id", "ts"],
                     rcols=["user_id", "ts", "value"]).to_pandas()
