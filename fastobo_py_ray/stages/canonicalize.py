@@ -482,37 +482,44 @@ def representatives_from_labels(labels_ds) -> Dict[str, str]:
 # applying representatives
 # ---------------------------------------------------------------------------
 
+def _map_unique(batch: pa.Table, cols: List[str], fn) -> pa.Table:
+    """Apply a per-value Python function to id columns via the column's
+    DICTIONARY: id columns are ontology-bounded (thousands of distinct
+    values across millions of rows), so ``fn`` runs once per distinct
+    value and a C-speed take() fans the results back out — never a
+    Python call per row."""
+    import pyarrow.compute as pc
+
+    for c in cols:
+        col = batch[c]
+        enc = pc.dictionary_encode(col.combine_chunks()
+                                   if col.num_chunks > 1 else col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([fn(v) if v is not None else None
+                           for v in uniq], type=pa.string())
+        new = mapped.take(enc.indices)
+        batch = batch.set_column(batch.column_names.index(c), c, new)
+    return batch
+
+
 def apply_representatives_batch(batch: pa.Table, cols: List[str],
                                 rep: Dict[str, str]) -> pa.Table:
     """Rewrite id columns through a broadcast representative map."""
-    for c in cols:
-        vals = batch[c].to_pylist()
-        new = [rep.get(v, v) for v in vals]
-        batch = batch.set_column(batch.column_names.index(c), c,
-                                 pa.array(new, type=pa.string()))
-    return batch
+    return _map_unique(batch, cols, lambda v: rep.get(v, v))
 
 
 def compact_ids_batch(batch: pa.Table, cols: List[str],
                       idspaces: Optional[Dict[str, str]] = None) -> pa.Table:
     """S3 vectorized canonicalizer: IDspace compaction over id columns
     (``OboDoc.compact_ids`` semantics, ``src/py/doc.rs:241-248``)."""
-    for c in cols:
-        vals = batch[c].to_pylist()
-        new = [obo_ids.compact(v, idspaces) if v is not None else None
-               for v in vals]
-        batch = batch.set_column(batch.column_names.index(c), c,
-                                 pa.array(new, type=pa.string()))
-    return batch
+    return _map_unique(batch, cols,
+                       lambda v: obo_ids.compact(v, idspaces))
 
 
 def decompact_ids_batch(batch: pa.Table, cols: List[str],
                         idspaces: Optional[Dict[str, str]] = None) -> pa.Table:
     """Inverse of :func:`compact_ids_batch` (``src/py/doc.rs:278-285``)."""
-    for c in cols:
-        vals = batch[c].to_pylist()
-        new = [obo_ids.decompact(v, idspaces) if v is not None else None
-               for v in vals]
-        batch = batch.set_column(batch.column_names.index(c), c,
-                                 pa.array(new, type=pa.string()))
-    return batch
+    return _map_unique(batch, cols,
+                       lambda v: obo_ids.decompact(v, idspaces))
