@@ -110,7 +110,9 @@ def cmd_curate(args) -> int:
                            pack_budget=args.pack_budget)
     tmp = args.out.rstrip("/") + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    packed.write_parquet(tmp)
+    # hive-partitioned by split so a training consumer reads only
+    # split=train without touching the val files
+    packed.write_parquet(tmp, partition_cols=["split"])
     _swap_in(tmp, args.out)
     print(json.dumps({"out": args.out, **stats}))
     return 0
