@@ -149,7 +149,8 @@ def test_grouped_map_mixed_numeric_dtype_key(ray_session):
                                   check_dtype=False)
 
 
-def test_asof_join_matches_pandas_merge_asof(ray_session):
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_matches_pandas_merge_asof(ray_session, direction):
     import numpy as np
     import ray.data as rd
 
@@ -169,11 +170,11 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
 
     got = asof_join(rd.from_pandas(left).repartition(6),
                     rd.from_pandas(right).repartition(4),
-                    on="ts", by="user_id",
+                    on="ts", by="user_id", direction=direction,
                     lcols=["event_id", "user_id", "ts"],
                     rcols=["user_id", "ts", "value"]).to_pandas()
     want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
-                         on="ts", by="user_id", direction="backward")
+                         on="ts", by="user_id", direction=direction)
     got = got.sort_values("event_id").reset_index(drop=True)
     want = want.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["event_id", "user_id", "ts",
