@@ -257,3 +257,24 @@ def test_group_min_nan_semantics():
     assert out["g"] == "a"          # NaN skipped, not winning the min
     assert pd.isna(out["h"])        # all-null group -> NaN
     assert out["i"] == "z"
+
+
+def test_grouped_map_and_joins_on_empty_inputs(ray_session):
+    """Empty datasets flow through the exchange primitives without
+    crashing: grouped_agg yields no rows; semi against an empty right
+    drops everything, anti keeps everything."""
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import grouped_agg, hash_join
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                         "v": pd.Series(dtype="int64")}))
+    assert grouped_agg(empty, "k", total=("v", "sum")).count() == 0
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    semi = hash_join(left, empty, on="k", how="semi",
+                     lcols=["k", "v"], rcols=["k"]).to_pandas()
+    anti = hash_join(left, empty, on="k", how="anti",
+                     lcols=["k", "v"], rcols=["k"]).to_pandas()
+    assert len(semi) == 0
+    assert sorted(anti["v"]) == [10, 20]
