@@ -456,8 +456,15 @@ def connected_components_contract(edges_ds, col_a: str = "a",
     # whole block to collapse it
     star = edges_ds.map_batches(contract, batch_format="pandas",
                                 batch_size=None).materialize()
+    # Small star sets collapse in ONE coalesce: the final task holds every
+    # distinct node of the edge set regardless of tree shape, so once the
+    # total star-edge count fits a single worker's heap the fan-in tree
+    # only adds materialize rounds (each ~0.1-0.3s of executor latency)
+    # without improving the memory bound.
+    direct_rows = 1_000_000
     while star.num_blocks() > 1:
-        nb = max(1, math.ceil(star.num_blocks() / fan_in))
+        nb = 1 if star.count() <= direct_rows \
+            else max(1, math.ceil(star.num_blocks() / fan_in))
         star = star.repartition(nb).map_batches(
             contract, batch_format="pandas",
             batch_size=None).materialize()
