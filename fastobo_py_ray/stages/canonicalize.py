@@ -406,7 +406,7 @@ def connected_components_bigstar(edges_ds, col_a: str = "a",
 
 def connected_components_contract(edges_ds, col_a: str = "a",
                                   col_b: str = "b", fan_in: int = 8,
-                                  key=None):
+                                  key=None, direct_rows: int = 1_000_000):
     """Distributed connected components by associative DSU contraction.
 
     Union-find over an edge list is a commutative monoid: each task runs
@@ -456,12 +456,11 @@ def connected_components_contract(edges_ds, col_a: str = "a",
     # whole block to collapse it
     star = edges_ds.map_batches(contract, batch_format="pandas",
                                 batch_size=None).materialize()
-    # Small star sets collapse in ONE coalesce: the final task holds every
-    # distinct node of the edge set regardless of tree shape, so once the
-    # total star-edge count fits a single worker's heap the fan-in tree
-    # only adds materialize rounds (each ~0.1-0.3s of executor latency)
-    # without improving the memory bound.
-    direct_rows = 1_000_000
+    # Star sets at or under ``direct_rows`` collapse in ONE coalesce: the
+    # final task holds every distinct node of the edge set regardless of
+    # tree shape, so once the total star-edge count fits a single
+    # worker's heap the fan-in tree only adds materialize rounds (each
+    # ~0.1-0.3s of executor latency) without improving the memory bound.
     while star.num_blocks() > 1:
         nb = 1 if star.count() <= direct_rows \
             else max(1, math.ceil(star.num_blocks() / fan_in))

@@ -232,6 +232,11 @@ def test_contract_cc_matches_exact_and_minlabel(ray_session):
     got_nodes = {r["node"] for r in labels.take_all()}
     want_nodes = {a for a, _ in edges} | {b for _, b in edges}
     assert got_nodes == want_nodes
+    # direct_rows=0 forces the fan-in tree even on this small star set
+    # (the default shortcut collapses it in one coalesce) — both routes
+    # must pick identical representatives
+    tree = connected_components_contract(ds, direct_rows=0, fan_in=2)
+    assert representatives_from_labels(tree) == exact
 
 
 def test_fused_batch_annotate_matches_per_page():
