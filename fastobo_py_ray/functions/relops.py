@@ -33,6 +33,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+def typed_empty(df: pd.DataFrame) -> pd.DataFrame:
+    """Give a 0-row frame's object columns an explicit ``string`` dtype.
+
+    Ray's block size estimator calls ``np.vectorize`` over object
+    columns and errors on size-0 input (harmless but floods logs at
+    scale), and all-null object columns become Arrow null-typed blocks
+    that break sort boundaries — typed empties sidestep both.  No-op on
+    non-empty frames, so steady-state batches are untouched."""
+    if len(df) == 0:
+        obj = {c: "string" for c in df.columns if df[c].dtype == object}
+        if obj:
+            df = df.astype(obj)
+    return df
+
+
 def broadcast_join(ds, small: pd.DataFrame, on: Union[str, List[str]],
                    how: str = "inner", small_ref=None):
     """Join a Dataset against a broadcast pandas DataFrame.
@@ -108,7 +123,7 @@ def hash_join(left, right, on: Union[str, List[str]],
             for c in all_cols:
                 if c not in df.columns:
                     df[c] = np.nan
-            return df[all_cols + ["__bucket", "__side"]]
+            return typed_empty(df[all_cols + ["__bucket", "__side"]])
         return fn
 
     u = left.map_batches(tag("l"), batch_format="pandas").union(
@@ -135,13 +150,13 @@ def hash_join(left, right, on: Union[str, List[str]],
                                 ignore_index=True)
             if bucket_finalize is not None:
                 out = bucket_finalize(out)
-            return out
+            return typed_empty(out)
         out = l.merge(r, on=keys, how=how, suffixes=suffixes)
         out = out.drop(columns=[c for c in ("__bucket", "__side")
                                 if c in out.columns])
         if bucket_finalize is not None:
             out = bucket_finalize(out)
-        return out
+        return typed_empty(out)
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")
@@ -182,7 +197,7 @@ def asof_join(left, right, on: str, by: str,
             for c in all_cols:
                 if c not in df.columns:
                     df[c] = np.nan
-            return df[all_cols + ["__bucket", "__side"]]
+            return typed_empty(df[all_cols + ["__bucket", "__side"]])
         return fn
 
     u = left.map_batches(tag("l", lcols), batch_format="pandas").union(
@@ -240,10 +255,10 @@ def grouped_map(ds, keys: Union[str, List[str]], bucket_fn,
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__bucket"] = _bucket_ids(df, keys, num_buckets)
-        return df
+        return typed_empty(df)
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(df.drop(columns="__bucket"))
+        return typed_empty(bucket_fn(df.drop(columns="__bucket")))
 
     return ds.map_batches(tag, batch_format="pandas") \
              .groupby("__bucket").map_groups(run, batch_format="pandas")

@@ -1,6 +1,6 @@
 """End-to-end training-data curation pipeline — the composite a corpus
-curator actually runs, chaining the engine's operators as ONE lazy Ray
-Data flow:
+curator actually runs, chaining the engine's operators as ONE streaming
+flow with disk checkpoints at stage boundaries:
 
     quality gates (langid + heuristics + repetition, fused stateless map)
     -> exact dedup         (content-hash winners, semi join)
@@ -10,38 +10,87 @@ Data flow:
 
 Every stage is one of the already-oracle-checked operators; the
 composition adds only semi/anti joins on doc_id (each one keyed
-exchange). Returned per-stage counts make the funnel auditable; the
-kept-document Dataset stays distributed end to end.
+exchange).
+
+Scale design: the kept set is CHECKPOINTED TO PARQUET between stages
+(``work_dir``), never pinned in the object store and never counted with
+a driver barrier — the funnel counts come free from parquet row-group
+metadata.  Checkpointing also makes every fan-out cheap (the dedup
+stages consume their input twice: once to derive winners/losers, once
+as the join's left side — two streaming reads of a parquet dir instead
+of a recompute or an object-store materialization) and the whole funnel
+resumable mid-run, the same story as the KG pipeline's S10 lineage
+(:mod:`.checkpoint`).  This is the shape large curation pipelines ship
+with: stage-to-storage, restartable, O(corpus) disk per stage and O(1)
+driver memory.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
 
 import numpy as np
 import pandas as pd
 
 
+def _pq_rows(path: str) -> int:
+    """Row count of a parquet dir from file metadata (no scan)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)) \
+                .metadata.num_rows
+    return total
+
+
+def _ckpt(ds, path: str):
+    """Write a stage boundary to parquet; return (re-read handle, rows).
+
+    The count is parquet metadata — zero-cost, no execution barrier
+    beyond the write that the stage needs anyway for resumability.
+    """
+    import ray.data as rd
+
+    shutil.rmtree(path, ignore_errors=True)
+    ds.write_parquet(path)
+    return rd.read_parquet(path), _pq_rows(path)
+
+
 def curate(ds, bench_ds=None, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.5,
            max_top_word_frac: float = 0.5, jaccard_threshold: float = 0.8,
-           decontam_k: int = 5, pack_budget: int = 256):
+           decontam_k: int = 5, pack_budget: int = 256,
+           work_dir: str | None = None):
     """documents -> (packed kept docs Dataset, funnel stats dict).
 
     ``bench_ds`` is the (small) eval-benchmark Dataset for the
     decontamination stage; ``None`` skips it. The val split uses the
     SAME rule as ``q_train_split`` (~10% val via first md5 byte
     ``< 0x1a``) so split membership is consistent engine-wide.
+
+    ``work_dir`` hosts the per-stage parquet checkpoints (a fresh temp
+    dir under /tmp when omitted; pass a persistent path to make the
+    funnel resumable / auditable).  The returned Dataset reads from
+    ``work_dir/packed`` — re-consumable without recompute.
     """
+    import ray.data as rd
+
     from ..functions.relops import hash_join
     from ..stages.dedup import exact_dedup, minhash_dedup
     from ..stages.textstats import LangId, quality_score_batch
     from ..stages.traindata import (decontaminate, pack_sequences,
                                     repetition_stats_batch)
 
-    # one materialization up front: the input handle is consumed twice
-    # (count + stage-1 map), and a lazy handle would re-run its whole
-    # upstream per consumer
-    ds = ds.materialize()
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="fastobo_curate_")
+
     stats = {}
+    # metadata-only for parquet-backed / materialized inputs (the usual
+    # case); a lazy non-parquet upstream pays one extra pass here.
     stats["input"] = ds.count()
 
     # -- stage 1: fused quality gates (stateless; one pass) -----------
@@ -61,17 +110,18 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
                 (df["lang_pred"] != "und")]
         return df[[id_col, text_col]]
 
-    kept = ds.map_batches(gates, batch_format="pandas").materialize()
-    stats["after_quality"] = kept.count()
+    kept, stats["after_quality"] = _ckpt(
+        ds.map_batches(gates, batch_format="pandas"),
+        os.path.join(work_dir, "s1_quality"))
 
     # -- stage 2: exact dedup (winners -> semi join) ------------------
     winners = exact_dedup(kept, id_col=id_col, text_col=text_col) \
         .map_batches(lambda df: df[["doc_id"]].rename(
             columns={"doc_id": id_col}), batch_format="pandas")
-    kept = hash_join(kept, winners, on=id_col, how="semi",
-                     lcols=[id_col, text_col],
-                     rcols=[id_col]).materialize()
-    stats["after_exact_dedup"] = kept.count()
+    kept, stats["after_exact_dedup"] = _ckpt(
+        hash_join(kept, winners, on=id_col, how="semi",
+                  lcols=[id_col, text_col], rcols=[id_col]),
+        os.path.join(work_dir, "s2_exact"))
 
     # -- stage 3: near-dup removal (keep cluster representatives) -----
     clusters = minhash_dedup(kept, id_col=id_col, text_col=text_col,
@@ -79,10 +129,10 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     losers = clusters.map_batches(
         lambda df: df.loc[df[id_col] != df["cluster_rep"], [id_col]],
         batch_format="pandas")
-    kept = hash_join(kept, losers, on=id_col, how="anti",
-                     lcols=[id_col, text_col],
-                     rcols=[id_col]).materialize()
-    stats["after_near_dedup"] = kept.count()
+    kept, stats["after_near_dedup"] = _ckpt(
+        hash_join(kept, losers, on=id_col, how="anti",
+                  lcols=[id_col, text_col], rcols=[id_col]),
+        os.path.join(work_dir, "s3_neardup"))
 
     # -- stage 4: decontamination -------------------------------------
     if bench_ds is not None:
@@ -91,10 +141,14 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
         contaminated = flags.map_batches(
             lambda df: df.loc[df["contaminated"] == 1, [id_col]],
             batch_format="pandas")
-        kept = hash_join(kept, contaminated, on=id_col, how="anti",
-                         lcols=[id_col, text_col],
-                         rcols=[id_col]).materialize()
-    stats["after_decontam"] = kept.count()
+        kept, _ = _ckpt(
+            hash_join(kept, contaminated, on=id_col, how="anti",
+                      lcols=[id_col, text_col], rcols=[id_col]),
+            os.path.join(work_dir, "s4_decontam"))
+        stats["after_decontam"] = _pq_rows(
+            os.path.join(work_dir, "s4_decontam"))
+    else:
+        stats["after_decontam"] = stats["after_near_dedup"]
 
     # -- stage 5: split + packing -------------------------------------
     from ..stages.traindata import train_val_assign
@@ -102,15 +156,17 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     def split(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(split=train_val_assign(df[id_col]))
 
-    tagged = kept.map_batches(split, batch_format="pandas").materialize()
+    tagged, _ = _ckpt(kept.map_batches(split, batch_format="pandas"),
+                      os.path.join(work_dir, "s5_tagged"))
     packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,
                            budget=pack_budget)
-    packed = hash_join(packs, tagged.map_batches(
-        lambda df: df[[id_col, "split"]], batch_format="pandas"),
-        on=id_col, lcols=[id_col, "n_tokens", "pack_id"],
-        rcols=[id_col, "split"]).map_batches(
-        # restore the ints the join's NA-widening floated
-        lambda df: df.astype({"n_tokens": "int64"}),
-        batch_format="pandas").materialize()
-    stats["packed_docs"] = packed.count()
+    packed, stats["packed_docs"] = _ckpt(
+        hash_join(packs, tagged.map_batches(
+            lambda df: df[[id_col, "split"]], batch_format="pandas"),
+            on=id_col, lcols=[id_col, "n_tokens", "pack_id"],
+            rcols=[id_col, "split"]).map_batches(
+            # restore the ints the join's NA-widening floated
+            lambda df: df.astype({"n_tokens": "int64"}),
+            batch_format="pandas"),
+        os.path.join(work_dir, "packed"))
     return packed, stats

@@ -20,7 +20,6 @@ nothing corpus-sized is ever collected or broadcast.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from typing import List, Optional, Tuple
 
@@ -127,22 +126,47 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+_SIMHASH_KEY = "fastobomray-sh00"
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """SimHash for a whole batch of texts, fully vectorized: ONE siphash
+    call over every token in the batch (``pd.util.hash_array``), then
+    per-bit vote sums via segmented ``np.add.reduceat`` — no per-token
+    Python hashing in the hot path.  63 bit planes (the sign bit is
+    left clear so the value round-trips through int64 columns).
+
+    Returns an int64 array; empty/whitespace-only texts hash to 0.
+    """
+    toks = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    n = len(toks)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.fromiter((len(ws) for ws in toks), dtype=np.int64, count=n)
+    flat = [w for ws in toks for w in ws]
+    if not flat:
+        return out.astype(np.int64)
+    h = pd.util.hash_array(np.asarray(flat, dtype=object),
+                           hash_key=_SIMHASH_KEY)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nonempty = lens > 0
+    ne_off = offsets[nonempty]
+    half = lens[nonempty].astype(np.float64) / 2.0
+    acc = np.zeros(ne_off.size, dtype=np.uint64)
+    for k in range(63):
+        bits = ((h >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+        # reduceat over nonempty segment starts only (an empty segment
+        # would alias its neighbor's first element)
+        ones = np.add.reduceat(bits, ne_off)
+        acc |= (ones > half).astype(np.uint64) << np.uint64(k)
+    out[nonempty] = acc
+    return out.astype(np.int64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word hashes (sign of per-bit vote sums)."""
-    words = _WORD_RE.findall((text or "").lower())
-    if not words:
-        return 0
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                        "big") for w in words),
-        dtype=np.uint64, count=len(words))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+    """64-bit SimHash over word hashes (sign of per-bit vote sums).
+    Scalar convenience; batches go through :func:`simhash64_batch`."""
+    return int(simhash64_batch([text])[0])
 
 
 # ---------------------------------------------------------------------------
@@ -242,12 +266,16 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
     sort-groupby; ``num_buckets`` coarse groups move, the per-signature
     loop runs in-task at pandas speed.
 
-    ``max_bucket_size=M`` drops band buckets larger than M (degenerate
-    signatures — e.g. empty or boilerplate docs all hashing identically —
-    would otherwise emit O(m^2) pairs from a single hot bucket).  True
-    near-dup pairs still meet in their other ``bands-1`` buckets unless
-    those are degenerate too, so normal-corpus recall is preserved
-    (guarded by test)."""
+    ``max_bucket_size=M`` caps band buckets larger than M (degenerate
+    signatures — e.g. boilerplate docs all hashing identically — would
+    otherwise emit O(m^2) pairs from a single hot bucket): an oversized
+    bucket emits O(m) STAR edges (every id -> the bucket's min id)
+    instead of the full pair explosion.  The downstream union-find only
+    needs connectivity, so the star keeps the whole hot cluster
+    clusterable — the failure mode of silently dropping it (a >=M-copy
+    cluster has the SAME degenerate signature in every band, so no
+    other band would rescue it) cannot occur.  Star pairs still pass
+    through the Jaccard verify like any candidate pair."""
     from ..functions.relops import grouped_map
 
     # task-based, not an actor pool: the hasher's state is two tiny
@@ -263,9 +291,12 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
         out = []
         for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
-            if max_bucket_size is not None and len(ids) > max_bucket_size:
-                continue  # degenerate bucket: skip (see docstring)
             if len(ids) < 2:
+                continue
+            if max_bucket_size is not None and len(ids) > max_bucket_size:
+                # degenerate bucket: O(m) star to the min id, not O(m^2)
+                out.append(pd.DataFrame({"doc_a": ids[:1].repeat(
+                    len(ids) - 1), "doc_b": ids[1:]}))
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
             out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))

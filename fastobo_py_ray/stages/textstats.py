@@ -148,11 +148,6 @@ class LangId:
 # fingerprinting
 # ---------------------------------------------------------------------------
 
-def _hash64(data: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
-                          "big", signed=False) >> 1  # fit int64
-
-
 def content_hash_batch(df: pd.DataFrame, text_col: str = "text",
                        out_col: str = "content_md5") -> pd.DataFrame:
     """Exact-content fingerprint; hex MD5 so ``duckdb md5(text)`` is the
@@ -163,25 +158,43 @@ def content_hash_batch(df: pd.DataFrame, text_col: str = "text",
     return df
 
 
+_FP_KEY = "fastobomray-fp00"
+
+
 def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
                       window: int = 5, out_col: str = "fingerprint"
                       ) -> pd.DataFrame:
     """Winnowing-style document fingerprint: min 64-bit hash over
-    ``window``-gram word shingles (rolling hash; deterministic)."""
-    fps = []
+    ``window``-gram word shingles (deterministic).
+
+    Vectorized: ONE siphash call (``pd.util.hash_array``) over every
+    shingle in the batch, then per-document segmented mins via
+    ``np.minimum.reduceat`` — never a per-shingle Python hash loop.
+    Texts shorter than ``window`` words fingerprint their whole token
+    run (empty text hashes the empty string)."""
+    sh_lists = []
     for t in df[text_col]:
         words = _WORD_RE.findall((t or "").lower())
         if len(words) < window:
-            fps.append(_hash64(" ".join(words).encode()))
-            continue
-        best = None
-        for i in range(len(words) - window + 1):
-            h = _hash64(" ".join(words[i:i + window]).encode())
-            if best is None or h < best:
-                best = h
-        fps.append(best)
+            sh_lists.append([" ".join(words)])
+        else:
+            sh_lists.append([" ".join(words[i:i + window])
+                             for i in range(len(words) - window + 1)])
+    lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
+                       count=len(sh_lists))
     df = df.copy()
-    df[out_col] = pd.Series(fps, index=df.index, dtype="int64")
+    if not len(df):
+        df[out_col] = pd.Series([], dtype="int64")
+        return df
+    flat = [s for sl in sh_lists for s in sl]
+    h = (pd.util.hash_array(np.asarray(flat, dtype=object),
+                            hash_key=_FP_KEY)
+         >> np.uint64(1)).astype(np.int64)  # clear sign bit: int64-safe
+    offsets = np.zeros(len(sh_lists), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    # every segment has >= 1 shingle (short texts contribute one), so
+    # reduceat never sees an empty segment
+    df[out_col] = np.minimum.reduceat(h, offsets)
     return df
 
 

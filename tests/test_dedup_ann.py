@@ -202,8 +202,12 @@ def test_minhash_bucket_cap_bounds_pairs(ray_session):
     ds = rd.from_pandas(adv)
     uncapped = minhash_candidate_pairs(ds).to_pandas()
     assert len(uncapped) == n * (n - 1) // 2
+    # oversized bucket degrades to O(m) star edges (hub = min id), so
+    # the hot cluster stays CONNECTED instead of silently vanishing
     capped = minhash_candidate_pairs(ds, max_bucket_size=10).to_pandas()
-    assert len(capped) == 0
+    assert len(capped) == n - 1
+    assert set(capped["doc_a"]) == {0}
+    assert set(capped["doc_b"]) == set(range(1, n))
 
     # normal corpus: the cap (well above real bucket sizes) changes nothing
     texts = _neardup_corpus()
@@ -214,6 +218,29 @@ def test_minhash_bucket_cap_bounds_pairs(ray_session):
     assert sorted(zip(a["doc_a"], a["doc_b"])) == \
         sorted(zip(b["doc_a"], b["doc_b"]))
     assert len(a) > 0
+
+
+def test_minhash_dedup_clusters_hot_identical_docs(ray_session):
+    """A boilerplate cluster LARGER than max_bucket_size (identical text,
+    so every band bucket is degenerate) must still come out as one full
+    cluster via the star edges — the pre-star behavior dropped it
+    entirely (ADVICE r2)."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import minhash_dedup
+
+    boiler = "copyright notice all rights reserved please subscribe " \
+             "to our newsletter for updates terms of service apply"
+    uniq = ["completely different document number %d about topic %s"
+            % (i, "abcdefgh"[i % 8]) for i in range(6)]
+    df = pd.DataFrame({
+        "doc_id": range(12 + len(uniq)),
+        "text": [boiler] * 12 + uniq})
+    out = minhash_dedup(rd.from_pandas(df).repartition(3),
+                        max_bucket_size=4).to_pandas()
+    members = set(out.loc[out["cluster_rep"] == 0, "doc_id"])
+    assert members == set(range(12))
+    assert not (set(out["doc_id"]) & set(range(12, 12 + len(uniq))))
 
 
 def test_minhash_dedup_string_ids(ray_session):

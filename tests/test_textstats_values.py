@@ -53,48 +53,73 @@ def test_langid_distribution_golden_on_driver_table():
 
 
 def _simhash_reference(text: str) -> int:
-    """Independent per-bit implementation (pure Python, no numpy
-    vectorization, separate control flow) of the 64-bit word-hash
-    SimHash."""
+    """Independent per-bit implementation (pure Python control flow: one
+    hash per token, per-bit vote loops — none of the segmented-reduceat
+    vectorization under test) of the word-hash SimHash.  Shares only the
+    hash primitive (single-element ``pd.util.hash_array`` with the
+    production key) so the parity test pins the batch segmentation and
+    vote logic."""
     import re
+
+    import numpy as np
+    import pandas as pd
+
+    from fastobo_py_ray.stages.dedup import _SIMHASH_KEY
 
     words = re.findall(r"\w+", (text or "").lower(), re.UNICODE)
     if not words:
         return 0
-    votes = [0] * 64
+    votes = [0] * 63
     for w in words:
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        for bit in range(64):
+        h = int(pd.util.hash_array(np.asarray([w], dtype=object),
+                                   hash_key=_SIMHASH_KEY)[0])
+        for bit in range(63):
             votes[bit] += 1 if (h >> bit) & 1 else -1
     out = 0
-    for bit in range(64):
+    for bit in range(63):
         if votes[bit] > 0:
             out |= 1 << bit
-    return out & 0x7FFF_FFFF_FFFF_FFFF
+    return out
 
 
 def test_simhash_matches_independent_implementation():
+    from fastobo_py_ray.stages.dedup import simhash64_batch
+
     df = pq.read_table(SF, columns=["text"]).to_pandas().head(50)
-    for t in df["text"]:
-        assert simhash64(t) == _simhash_reference(t)
+    # batch path == scalar path == independent per-bit reference
+    batch = simhash64_batch(df["text"])
+    for got, t in zip(batch, df["text"]):
+        assert int(got) == simhash64(t) == _simhash_reference(t)
     assert simhash64("") == _simhash_reference("") == 0
+    # mixed empty/nonempty batch exercises the nonempty-segment scatter
+    mixed = simhash64_batch(["", "alpha beta gamma", None, "alpha"])
+    assert mixed[0] == 0 and mixed[2] == 0
+    assert mixed[1] == simhash64("alpha beta gamma")
+    assert mixed[3] == simhash64("alpha")
 
 
 def _fingerprint_reference(text: str, window: int = 5) -> int:
     """Independent min-shingle-hash implementation (generator min over
-    re.finditer tokens rather than the loop in fingerprint_batch)."""
+    re.finditer tokens, one hash call per shingle — none of the
+    flat-array/reduceat vectorization under test).  Shares only the
+    hash primitive with production so the parity test pins the batch
+    segmentation and min logic."""
     import re
 
-    def h64(b: bytes) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "big") >> 1
+    import numpy as np
+    import pandas as pd
+
+    from fastobo_py_ray.stages.textstats import _FP_KEY
+
+    def h64(s: str) -> int:
+        return int(pd.util.hash_array(np.asarray([s], dtype=object),
+                                      hash_key=_FP_KEY)[0]) >> 1
 
     words = [m.group(0) for m in
              re.finditer(r"\w+", (text or "").lower(), re.UNICODE)]
     if len(words) < window:
-        return h64(" ".join(words).encode())
-    return min(h64(" ".join(words[i:i + window]).encode())
+        return h64(" ".join(words))
+    return min(h64(" ".join(words[i:i + window]))
                for i in range(len(words) - window + 1))
 
 
