@@ -45,7 +45,9 @@ def _scalar(s: str) -> Any:
     if s in ("false", "False", "FALSE"):
         return False
     if s[0] == '"':
-        return json.loads(s)
+        # YAML double-quoted scalars allow literal tabs; JSON does not —
+        # escape them so json.loads round-trips the content
+        return json.loads(s.replace("\t", "\\t"))
     if s[0] == "'":
         if not (len(s) >= 2 and s[-1] == "'"):
             raise ValueError(f"unterminated single-quoted scalar: {s!r}")
@@ -85,7 +87,14 @@ def _split_key(s: str) -> Tuple[str, str] | None:
 def safe_load(text: str) -> Any:
     toks: List[Tuple[int, str]] = []
     for raw in text.splitlines():
-        line = _strip_comment(raw.replace("\t", "  ")).rstrip()
+        # tabs may not indent YAML blocks (spec §6.1); tabs INSIDE the
+        # line body are legal scalar content and pass through untouched
+        if raw.lstrip(" ").startswith("\t"):
+            raise ValueError(
+                "tab indentation is not valid YAML; install PyYAML for "
+                "full-spec parsing — this minimal loader rejects it like "
+                "its other unsupported constructs")
+        line = _strip_comment(raw).rstrip()
         if not line.strip():
             continue
         if line.strip() == "---":

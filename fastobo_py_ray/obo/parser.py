@@ -51,12 +51,18 @@ class ParseError:
       clause appears more than once in a frame)
     * ``single_clause``     — SingleClauseError (clause requiring >= 2
       entries — intersection_of / union_of — appears exactly once)
+
+    ``col`` is the 1-based column of the offending token (path + line +
+    column parity with the reference ``SyntaxError`` location,
+    ``src/error.rs:38-60``); 0 for frame-level errors with no single
+    source position.
     """
     path: str
     line_no: int
     line: str
     message: str
     error_code: str = "syntax"
+    col: int = 0
 
 
 @dataclass
@@ -467,7 +473,8 @@ def loads(text: str, path: str = "<str>") -> ParseResult:
             in_header = False
             current = None
             errors.append(ParseError(path, line_no, line,
-                                     f"unknown frame head {line!r}"))
+                                     f"unknown frame head {line!r}",
+                                     col=raw.find("[") + 1))
             continue
         if line.startswith("!"):
             continue
@@ -475,8 +482,9 @@ def loads(text: str, path: str = "<str>") -> ParseResult:
         body, qualifiers = split_qualifiers(body)
         tv = split_tag_value(body)
         if tv is None:
-            errors.append(ParseError(path, line_no, raw,
-                                     "expected 'tag: value'"))
+            errors.append(ParseError(
+                path, line_no, raw, "expected 'tag: value'",
+                col=len(raw) - len(raw.lstrip()) + 1))
             continue
         tag, value = tv
         if in_header:
@@ -549,13 +557,16 @@ def validate_cardinality(ontology: Ontology,
 
 
 def dead_letter_table(errors: List[ParseError]):
-    """Dead-letter rows as an Arrow table (path, line_no, line, message,
-    error_code) — the sink-able form of the op-17 error taxonomy."""
+    """Dead-letter rows as an Arrow table (path, line_no, col, line,
+    message, error_code) — the sink-able form of the op-17 error
+    taxonomy, with full path+line+column source locations
+    (``src/error.rs:38-60`` parity)."""
     import pyarrow as pa
 
     return pa.table({
         "path": pa.array([e.path for e in errors], pa.string()),
         "line_no": pa.array([e.line_no for e in errors], pa.int64()),
+        "col": pa.array([e.col for e in errors], pa.int64()),
         "line": pa.array([e.line for e in errors], pa.string()),
         "message": pa.array([e.message for e in errors], pa.string()),
         "error_code": pa.array([e.error_code for e in errors],

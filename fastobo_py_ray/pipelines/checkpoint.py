@@ -238,21 +238,45 @@ def run_kg_pipeline_resumable(corpus_files: Sequence[str], obo_text: str,
             "adjacency_dir": adjacency_dir}
 
 
-def finalize_adjacency(out_root: str, adjacency_dir: str):
+def finalize_adjacency(out_root: str, adjacency_dir: str,
+                       orphan_grace_s: float = 300.0):
     """Stage B: global reduce over all partition partials -> sorted
     partitioned adjacency parquet.
 
-    Only part dirs backed by a committed manifest participate: an orphan
-    part dir (its manifest write crashed, or it was committed under a
-    different files_per_partition) is deleted rather than globbed into
-    the reduce (double-counted evidence), and a manifest whose part dir
-    is missing fails loudly (silent under-count otherwise)."""
+    Only part dirs backed by a committed manifest participate.  Three
+    guards against double/under-counted evidence:
+
+    * the manifests' recorded input files must be pairwise DISJOINT —
+      leftovers from a run with a different ``files_per_partition``
+      overlap the new partitioning's coverage and would double-count
+      n_evidence, so finalize refuses loudly (the resumable runner
+      cleans such leftovers itself; this guard covers standalone
+      finalize calls against a mixed-history out_root);
+    * an orphan part dir (no manifest) is deleted only after
+      ``orphan_grace_s`` seconds of mtime-quiet — a concurrent writer
+      that has renamed its dir but not yet written the manifest is
+      left alone;
+    * a manifest whose part dir is missing fails loudly (silent
+      under-count otherwise)."""
     import shutil
 
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
-    valid_keys = set(completed_partitions(out_root))
+    manifests = completed_partitions(out_root)
+    seen: Dict[str, str] = {}
+    for key, m in sorted(manifests.items()):
+        for f in m.get("input_files", ()):
+            if f in seen:
+                raise RuntimeError(
+                    f"finalize_adjacency: input file {f!r} is covered by "
+                    f"manifests {seen[f]!r} and {key!r} — mixed "
+                    f"partitioning history (files_per_partition changed "
+                    f"between runs?); re-run the resumable pipeline (it "
+                    f"cleans stale partitions) or delete the stale "
+                    f"manifests+part dirs before finalizing.")
+            seen[f] = key
+    valid_keys = set(manifests)
     parts_glob = os.path.join(out_root, PARTS_DIR)
     part_files = []
     present = set()
@@ -262,7 +286,15 @@ def finalize_adjacency(out_root: str, adjacency_dir: str):
         full = os.path.join(parts_glob, d)
         key = d[len("part-"):]
         if d.endswith(".tmp") or key not in valid_keys:
-            shutil.rmtree(full, ignore_errors=True)  # orphan: no manifest
+            # orphan: manifest missing.  Delete only when quiet — a
+            # writer mid-commit (dir renamed, manifest not yet written)
+            # must not lose its partition.
+            try:
+                quiet = time.time() - os.path.getmtime(full)
+            except OSError:
+                continue
+            if quiet >= orphan_grace_s:
+                shutil.rmtree(full, ignore_errors=True)
             continue
         present.add(key)
         part_files += [os.path.join(full, f)

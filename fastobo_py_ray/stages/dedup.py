@@ -189,7 +189,10 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = content_hash_batch(df, text_col)
         if id_col != "doc_id":
-            df = df.rename(columns={id_col: "doc_id"})
+            # a pre-existing unrelated doc_id column would otherwise
+            # duplicate the label after the rename and break the groupby
+            df = df.drop(columns=["doc_id"], errors="ignore") \
+                .rename(columns={id_col: "doc_id"})
         counts = df.groupby("content_md5", as_index=False,
                             sort=False).size().rename(
             columns={"size": "n_copies"})
@@ -636,6 +639,12 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     buckets, fully distributed).  ``max_rows`` guards against accidentally
     pointing the N^2 baseline at a corpus-scale table: the collect aborts
     as soon as the cap is crossed, naming the scale path.
+
+    .. versionchanged:: round 2
+       Previously unbounded; callers that relied on running this baseline
+       past 100k rows (slow, but it completed) must now pass ``max_rows``
+       explicitly — a deliberate contract break so the quadratic path is
+       always an informed choice.
     Returns pandas (id_a, id_b, cos_sim>=threshold)."""
     ids: List = []
     mats: List[np.ndarray] = []

@@ -3,6 +3,7 @@ skipping completed partitions; no double-counted evidence)."""
 
 import json
 import os
+import time
 
 import pandas as pd
 
@@ -174,10 +175,36 @@ def test_orphan_part_dir_excluded_from_finalize(ray_session, tmp_path):
     some = sorted(d for d in os.listdir(parts) if d.startswith("part-"))[0]
     orphan = os.path.join(parts, "part-99999")
     shutil.copytree(os.path.join(parts, some), orphan)
+    # a FRESH orphan may be a concurrent writer mid-commit (dir renamed,
+    # manifest not yet written): excluded from the reduce but NOT deleted
     finalize_adjacency(out_root, res["adjacency_dir"])
     refinal = rd.read_parquet(res["adjacency_dir"]).to_pandas()
     assert _triples(refinal) == _triples(clean)  # no double counting
+    assert os.path.isdir(orphan)                 # writer-safe: kept
+    # once quiet past the grace period it is garbage and gets collected
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    finalize_adjacency(out_root, res["adjacency_dir"])
+    assert _triples(rd.read_parquet(res["adjacency_dir"]).to_pandas()) \
+        == _triples(clean)
     assert not os.path.isdir(orphan)             # orphan cleaned up
+
+    # manifests whose input files OVERLAP (mixed partitioning history,
+    # e.g. leftovers from another files_per_partition) -> loud failure,
+    # never a silent double-count
+    first = sorted(completed_partitions(out_root))[0]
+    mdir = os.path.join(out_root, "manifests")
+    with open(os.path.join(mdir, f"{first}.json")) as fh:
+        stale = json.load(fh)
+    stale["key"] = "zzzzz"
+    with open(os.path.join(mdir, "zzzzz.json"), "w") as fh:
+        json.dump(stale, fh)
+    shutil.copytree(os.path.join(parts, f"part-{first}"),
+                    os.path.join(parts, "part-zzzzz"))
+    with pytest.raises(RuntimeError, match="covered by manifests"):
+        finalize_adjacency(out_root, res["adjacency_dir"])
+    os.remove(os.path.join(mdir, "zzzzz.json"))
+    shutil.rmtree(os.path.join(parts, "part-zzzzz"))
 
     # manifest without part dir -> loud failure
     victim = sorted(completed_partitions(out_root))[0]

@@ -308,6 +308,12 @@ def test_miniyaml_roundtrips_json_equivalent():
         safe_load("a: &anchor 1")
     with pytest.raises(ValueError):
         safe_load("a: |\n  block scalar")
+    # tab INDENTATION is illegal YAML -> ValueError (not silently
+    # reinterpreted as spaces); tabs INSIDE quoted scalars are legal
+    # content and survive verbatim
+    with pytest.raises(ValueError, match="tab indentation"):
+        safe_load("a:\n\tb: 1")
+    assert safe_load('a: "x\ty"') == {"a": "x\ty"}
 
 
 import pytest

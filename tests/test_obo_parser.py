@@ -154,6 +154,16 @@ def test_error_taxonomy_codes():
     syntax = [e for e in res.errors]
     assert [e.error_code for e in syntax] == ["syntax"]
     assert "tag: value" in syntax[0].message
+    assert (syntax[0].line_no, syntax[0].col) == (2, 1)
+
+    # column points at the offending token (path+line+col parity with
+    # the reference SyntaxError, src/error.rs:38-60)
+    res2 = loads("format-version: 1.2\n   bad indented line\n",
+                 path="c.obo")
+    assert [(e.line_no, e.col) for e in res2.errors] == [(2, 4)]
+    res3 = loads("format-version: 1.2\n  [Oddity]\nx: y\n", path="c.obo")
+    assert [(e.line_no, e.col, e.error_code) for e in res3.errors] == \
+        [(2, 3, "syntax")]
 
     card = validate_cardinality(res.ontology, path="mini.obo")
     codes = sorted((e.error_code, e.line) for e in card)
@@ -162,7 +172,7 @@ def test_error_taxonomy_codes():
                      ("single_clause", "T:1")]
 
     t = dead_letter_table(res.errors + card)
-    assert t.column_names == ["path", "line_no", "line", "message",
+    assert t.column_names == ["path", "line_no", "col", "line", "message",
                               "error_code"]
     assert t.num_rows == 4
     assert set(t["error_code"].to_pylist()) == {
