@@ -16,7 +16,25 @@ Mapping (OBO -> OWL per the OBO 1.4 / oboInOwl conventions):
 * ``def:`` -> ``AnnotationAssertion(obo:IAO_0000115 ...)``;
 * ``is_a:`` -> ``SubClassOf`` / ``SubObjectPropertyOf``;
 * ``relationship: R T`` -> ``SubClassOf(C ObjectSomeValuesFrom(R T))``;
-* ``is_obsolete: true`` -> ``AnnotationAssertion(owl:deprecated ...)``.
+* ``is_obsolete: true`` -> ``AnnotationAssertion(owl:deprecated ...)``;
+* ``synonym: "t" SCOPE`` -> ``AnnotationAssertion(oboInOwl:has*Synonym)``
+  (scope-specific property, ``src/py/syn.rs:68-82`` scopes);
+* ``xref:`` / ``alt_id:`` -> ``AnnotationAssertion(oboInOwl:hasDbXref /
+  :hasAlternativeId)``;
+* typedef algebra (``src/py/typedef/clause.rs:1373-1901``):
+  ``is_transitive/symmetric/asymmetric/reflexive/functional/
+  inverse_functional`` -> the matching ``*ObjectProperty`` axiom;
+  ``inverse_of`` (``:2280``) -> ``InverseObjectProperties``;
+  ``holds_over_chain`` (``:1285``) / ``transitive_over`` (``:2356``) ->
+  ``SubObjectPropertyOf(ObjectPropertyChain(..) P)``;
+  ``domain``/``range`` (``:1066``/``:1142``) ->
+  ``ObjectPropertyDomain/Range``;
+* class expressions (``src/py/term/clause.rs:1166-1404``):
+  >=2 ``intersection_of`` -> ``EquivalentClasses(C
+  ObjectIntersectionOf(genus, ObjectSomeValuesFrom(diff)...))``
+  (genus-differentia); >=2 ``union_of`` -> ``EquivalentClasses(C
+  ObjectUnionOf(..))``; ``equivalent_to`` -> ``EquivalentClasses``;
+  ``disjoint_from`` -> ``DisjointClasses``.
 """
 
 from __future__ import annotations
@@ -38,13 +56,56 @@ _OWL_DEPRECATED = "http://www.w3.org/2002/07/owl#deprecated"
 _IAO_DEF = "http://purl.obolibrary.org/obo/IAO_0000115"
 _XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
 
-# structured axiom kinds (shared by the ofn and owx renderers):
-#   ("decl",       is_class, iri)
-#   ("ann",        prop_iri, iri, literal, datatype_iri_or_None)
-#   ("sub",        is_class, iri, parent_iri)
-#   ("svf",        iri, relation_iri, target_iri)
-#   ("transitive", iri)
+# structured axiom kinds (shared by the ofn/owx/rdf renderers); every
+# axiom is a flat hashable tuple so format-equivalence tests can compare
+# multisets:
+#   ("decl",     is_class, iri)
+#   ("ann",      prop_iri, iri, literal, datatype_iri_or_None)
+#   ("sub",      is_class, iri, parent_iri)
+#   ("svf",      iri, relation_iri, target_iri)
+#   ("char",     name, iri)            property characteristic; name in
+#                                      _CHAR_TAGS.values()
+#   ("inverse",  iri, other_iri)       InverseObjectProperties
+#   ("domain",   iri, class_iri)       ObjectPropertyDomain
+#   ("range",    iri, class_iri)       ObjectPropertyRange
+#   ("chain",    iri, (p1, p2, ...))   SubObjectPropertyOf(
+#                                        ObjectPropertyChain(p1 p2 ..) iri)
+#   ("equiv",    iri, other_iri)       EquivalentClasses (two named)
+#   ("disjoint", iri, other_iri)       DisjointClasses
+#   ("nary",     op, iri, (operand, ...))  EquivalentClasses(iri
+#                                      ObjectIntersectionOf/UnionOf(..));
+#                op in {"intersection", "union"}; operand is
+#                ("cls", iri) or ("svf", rel_iri, target_iri)
 Axiom = Tuple
+
+_CHAR_TAGS = {
+    "is_transitive": "transitive",
+    "is_symmetric": "symmetric",
+    "is_asymmetric": "asymmetric",
+    "is_reflexive": "reflexive",
+    "is_functional": "functional",
+    "is_inverse_functional": "inverse_functional",
+}
+# OWL names per characteristic (ofn operator / owx element = this name;
+# rdf type = owl:<this name minus 'Object'> per the OWL 2 RDF mapping)
+_CHAR_OFN = {
+    "transitive": "TransitiveObjectProperty",
+    "symmetric": "SymmetricObjectProperty",
+    "asymmetric": "AsymmetricObjectProperty",
+    "reflexive": "ReflexiveObjectProperty",
+    "functional": "FunctionalObjectProperty",
+    "inverse_functional": "InverseFunctionalObjectProperty",
+}
+
+_OBOINOWL = "http://www.geneontology.org/formats/oboInOwl#"
+_SYN_PROPS = {
+    "EXACT": _OBOINOWL + "hasExactSynonym",
+    "BROAD": _OBOINOWL + "hasBroadSynonym",
+    "NARROW": _OBOINOWL + "hasNarrowSynonym",
+    "RELATED": _OBOINOWL + "hasRelatedSynonym",
+}
+_HAS_DBXREF = _OBOINOWL + "hasDbXref"
+_HAS_ALT_ID = _OBOINOWL + "hasAlternativeId"
 
 
 def _iri(ident: str) -> str:
@@ -72,15 +133,60 @@ def frame_axioms(f: Frame) -> List[Axiom]:
     obs = f.first("is_obsolete")
     if obs and str(obs["value"]).lower() == "true":
         out.append(("ann", _OWL_DEPRECATED, iri, "true", _XSD_BOOLEAN))
+    inter_ops: List[Tuple] = []
+    union_ops: List[Tuple] = []
     for c in f.clauses:
-        if c["tag"] == "is_a":
+        tag = c["tag"]
+        if tag == "is_a":
             out.append(("sub", cls, iri, _iri(c["value"])))
-        elif c["tag"] == "relationship" and cls:
+        elif tag == "relationship" and cls and "relation" in c:
             out.append(("svf", iri, _iri(c["relation"]),
                         _iri(c["target"])))
-        elif c["tag"] == "is_transitive" and not cls \
+        elif tag == "synonym":
+            out.append(("ann",
+                        _SYN_PROPS.get(c.get("scope") or "RELATED",
+                                       _SYN_PROPS["RELATED"]),
+                        iri, c.get("text", c["value"]), None))
+        elif tag == "xref":
+            out.append(("ann", _HAS_DBXREF, iri,
+                        c.get("xref_id", c["value"]), None))
+        elif tag == "alt_id":
+            out.append(("ann", _HAS_ALT_ID, iri, c["value"], None))
+        elif tag in _CHAR_TAGS and not cls \
                 and str(c["value"]).lower() == "true":
-            out.append(("transitive", iri))
+            out.append(("char", _CHAR_TAGS[tag], iri))
+        elif tag == "inverse_of" and not cls:
+            out.append(("inverse", iri, _iri(c["value"])))
+        elif tag == "domain" and not cls:
+            out.append(("domain", iri, _iri(c["value"])))
+        elif tag == "range" and not cls:
+            out.append(("range", iri, _iri(c["value"])))
+        elif tag == "holds_over_chain" and not cls \
+                and len(c.get("chain", ())) >= 2:
+            out.append(("chain", iri,
+                        tuple(_iri(p) for p in c["chain"])))
+        elif tag == "transitive_over" and not cls:
+            # P o R -> P (src/py/typedef/clause.rs:2356 semantics)
+            out.append(("chain", iri, (iri, _iri(c["value"]))))
+        elif tag == "intersection_of" and cls:
+            if c.get("relation"):
+                inter_ops.append(("svf", _iri(c["relation"]),
+                                  _iri(c["target"])))
+            else:
+                inter_ops.append(("cls", _iri(c.get("target",
+                                                    c["value"]))))
+        elif tag == "union_of" and cls:
+            union_ops.append(("cls", _iri(c["value"])))
+        elif tag == "equivalent_to" and cls:
+            out.append(("equiv", iri, _iri(c["value"])))
+        elif tag == "disjoint_from" and cls:
+            out.append(("disjoint", iri, _iri(c["value"])))
+    # OBO 1.4 cardinality: a lone intersection_of/union_of clause is
+    # invalid (SingleClauseError in the reference) — no axiom emitted
+    if len(inter_ops) >= 2:
+        out.append(("nary", "intersection", iri, tuple(inter_ops)))
+    if len(union_ops) >= 2:
+        out.append(("nary", "union", iri, tuple(union_ops)))
     return out
 
 
@@ -120,8 +226,32 @@ def _render_ofn(ax: Axiom) -> str:
         _, iri, rel, tgt = ax
         return (f"SubClassOf(<{iri}> ObjectSomeValuesFrom("
                 f"<{rel}> <{tgt}>))")
-    if kind == "transitive":
-        return f"TransitiveObjectProperty(<{ax[1]}>)"
+    if kind == "char":
+        _, name, iri = ax
+        return f"{_CHAR_OFN[name]}(<{iri}>)"
+    if kind == "inverse":
+        return f"InverseObjectProperties(<{ax[1]}> <{ax[2]}>)"
+    if kind == "domain":
+        return f"ObjectPropertyDomain(<{ax[1]}> <{ax[2]}>)"
+    if kind == "range":
+        return f"ObjectPropertyRange(<{ax[1]}> <{ax[2]}>)"
+    if kind == "chain":
+        _, iri, props = ax
+        inner = " ".join(f"<{p}>" for p in props)
+        return (f"SubObjectPropertyOf(ObjectPropertyChain({inner}) "
+                f"<{iri}>)")
+    if kind == "equiv":
+        return f"EquivalentClasses(<{ax[1]}> <{ax[2]}>)"
+    if kind == "disjoint":
+        return f"DisjointClasses(<{ax[1]}> <{ax[2]}>)"
+    if kind == "nary":
+        _, op, iri, ops = ax
+        name = ("ObjectIntersectionOf" if op == "intersection"
+                else "ObjectUnionOf")
+        inner = " ".join(
+            f"<{o[1]}>" if o[0] == "cls"
+            else f"ObjectSomeValuesFrom(<{o[1]}> <{o[2]}>)" for o in ops)
+        return f"EquivalentClasses(<{iri}> {name}({inner}))"
     raise ValueError(f"unknown axiom kind {kind!r}")
 
 
@@ -173,14 +303,51 @@ def _render_owx(axioms: List[Axiom], ontology_iri: str) -> str:
             svf = sub(e, "ObjectSomeValuesFrom")
             entity(svf, False, rel)
             entity(svf, True, tgt)
-        elif kind == "transitive":
-            entity(sub(root, "TransitiveObjectProperty"), False, ax[1])
+        elif kind == "char":
+            entity(sub(root, _CHAR_OFN[ax[1]]), False, ax[2])
+        elif kind == "inverse":
+            e = sub(root, "InverseObjectProperties")
+            entity(e, False, ax[1])
+            entity(e, False, ax[2])
+        elif kind in ("domain", "range"):
+            e = sub(root, "ObjectPropertyDomain" if kind == "domain"
+                    else "ObjectPropertyRange")
+            entity(e, False, ax[1])
+            entity(e, True, ax[2])
+        elif kind == "chain":
+            _, iri, props = ax
+            e = sub(root, "SubObjectPropertyOf")
+            ch = sub(e, "ObjectPropertyChain")
+            for p in props:
+                entity(ch, False, p)
+            entity(e, False, iri)
+        elif kind in ("equiv", "disjoint"):
+            e = sub(root, "EquivalentClasses" if kind == "equiv"
+                    else "DisjointClasses")
+            entity(e, True, ax[1])
+            entity(e, True, ax[2])
+        elif kind == "nary":
+            _, op, iri, ops = ax
+            e = sub(root, "EquivalentClasses")
+            entity(e, True, iri)
+            box = sub(e, "ObjectIntersectionOf" if op == "intersection"
+                      else "ObjectUnionOf")
+            for o in ops:
+                if o[0] == "cls":
+                    entity(box, True, o[1])
+                else:
+                    svf = sub(box, "ObjectSomeValuesFrom")
+                    entity(svf, False, o[1])
+                    entity(svf, True, o[2])
         else:
             raise ValueError(f"unknown axiom kind {kind!r}")
 
     ET.indent(root)
     return ('<?xml version="1.0" encoding="UTF-8"?>\n'
             + ET.tostring(root, encoding="unicode") + "\n")
+
+
+_OWX_CHAR_TAGS = {v: k for k, v in _CHAR_OFN.items()}
 
 
 def parse_owx_axioms(text: str) -> List[Axiom]:
@@ -206,15 +373,44 @@ def parse_owx_axioms(text: str) -> List[Axiom]:
             out.append(("ann", prop, iri, lit.text or "",
                         lit.get("datatypeIRI")))
         elif tag in ("SubClassOf", "SubObjectPropertyOf"):
-            if len(kids) == 2 and kids[1][0] == "ObjectSomeValuesFrom":
+            if kids[0][0] == "ObjectPropertyChain":
+                props = tuple(k.get("IRI") for k in kids[0][1])
+                out.append(("chain", kids[1][1].get("IRI"), props))
+            elif len(kids) == 2 and kids[1][0] == "ObjectSomeValuesFrom":
                 svf = [(strip(k.tag), k) for k in kids[1][1]]
                 out.append(("svf", kids[0][1].get("IRI"),
                             svf[0][1].get("IRI"), svf[1][1].get("IRI")))
             else:
                 out.append(("sub", tag == "SubClassOf",
                             kids[0][1].get("IRI"), kids[1][1].get("IRI")))
-        elif tag == "TransitiveObjectProperty":
-            out.append(("transitive", kids[0][1].get("IRI")))
+        elif tag in _OWX_CHAR_TAGS:
+            out.append(("char", _OWX_CHAR_TAGS[tag], kids[0][1].get("IRI")))
+        elif tag == "InverseObjectProperties":
+            out.append(("inverse", kids[0][1].get("IRI"),
+                        kids[1][1].get("IRI")))
+        elif tag in ("ObjectPropertyDomain", "ObjectPropertyRange"):
+            out.append(("domain" if tag.endswith("Domain") else "range",
+                        kids[0][1].get("IRI"), kids[1][1].get("IRI")))
+        elif tag in ("EquivalentClasses", "DisjointClasses"):
+            if len(kids) == 2 and kids[1][0] in ("ObjectIntersectionOf",
+                                                 "ObjectUnionOf"):
+                op = ("intersection" if kids[1][0].endswith(
+                    "IntersectionOf") else "union")
+                ops = []
+                for k in kids[1][1]:
+                    ktag = strip(k.tag)
+                    if ktag == "Class":
+                        ops.append(("cls", k.get("IRI")))
+                    else:  # ObjectSomeValuesFrom
+                        inner = list(k)
+                        ops.append(("svf", inner[0].get("IRI"),
+                                    inner[1].get("IRI")))
+                out.append(("nary", op, kids[0][1].get("IRI"),
+                            tuple(ops)))
+            else:
+                out.append(("equiv" if tag == "EquivalentClasses"
+                            else "disjoint",
+                            kids[0][1].get("IRI"), kids[1][1].get("IRI")))
     return out
 
 
@@ -224,7 +420,18 @@ def parse_owx_axioms(text: str) -> List[Axiom]:
 
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
-_OWL_TRANSITIVE = _OWL_NS + "TransitiveProperty"
+# OWL 2 RDF mapping: property characteristic -> rdf:type object
+_CHAR_RDF = {
+    "transitive": _OWL_NS + "TransitiveProperty",
+    "symmetric": _OWL_NS + "SymmetricProperty",
+    "asymmetric": _OWL_NS + "AsymmetricProperty",
+    "reflexive": _OWL_NS + "ReflexiveProperty",
+    "functional": _OWL_NS + "FunctionalProperty",
+    "inverse_functional": _OWL_NS + "InverseFunctionalProperty",
+}
+_RDF_CHAR = {v: k for k, v in _CHAR_RDF.items()}
+# axiom kind -> index of its subject IRI in the tuple (default 1)
+_SUBJ_POS = {"ann": 2, "sub": 2, "nary": 2, "char": 2}
 
 
 def _split_iri(iri: str):
@@ -243,7 +450,7 @@ def _render_rdf(axioms: List[Axiom], ontology_iri: str) -> str:
     import xml.etree.ElementTree as ET
 
     for pfx, ns in (("rdf", _RDF_NS), ("rdfs", _RDFS_NS),
-                    ("owl", _OWL_NS),
+                    ("owl", _OWL_NS), ("oboInOwl", _OBOINOWL),
                     ("obo", "http://purl.obolibrary.org/obo/")):
         ET.register_namespace(pfx, ns)
 
@@ -264,7 +471,7 @@ def _render_rdf(axioms: List[Axiom], ontology_iri: str) -> str:
     for ax in axioms:
         if ax[0] == "decl":
             continue
-        iri = ax[2] if ax[0] in ("ann", "sub") else ax[1]
+        iri = ax[_SUBJ_POS.get(ax[0], 1)]
         if iri not in ent:  # annotation on an undeclared id: typed node
             order.append(iri)
             ent[iri] = {"cls": True, "rest": []}
@@ -296,9 +503,53 @@ def _render_rdf(axioms: List[Axiom], ontology_iri: str) -> str:
                               {f"{{{_RDF_NS}}}resource": rel})
                 ET.SubElement(r, f"{{{_OWL_NS}}}someValuesFrom",
                               {f"{{{_RDF_NS}}}resource": tgt})
-            elif ax[0] == "transitive":
+            elif ax[0] == "char":
                 ET.SubElement(node, f"{{{_RDF_NS}}}type",
-                              {f"{{{_RDF_NS}}}resource": _OWL_TRANSITIVE})
+                              {f"{{{_RDF_NS}}}resource": _CHAR_RDF[ax[1]]})
+            elif ax[0] == "inverse":
+                ET.SubElement(node, f"{{{_OWL_NS}}}inverseOf",
+                              {f"{{{_RDF_NS}}}resource": ax[2]})
+            elif ax[0] in ("domain", "range"):
+                ET.SubElement(node, f"{{{_RDFS_NS}}}{ax[0]}",
+                              {f"{{{_RDF_NS}}}resource": ax[2]})
+            elif ax[0] == "chain":
+                ch = ET.SubElement(
+                    node, f"{{{_OWL_NS}}}propertyChainAxiom",
+                    {f"{{{_RDF_NS}}}parseType": "Collection"})
+                for p in ax[2]:
+                    ET.SubElement(ch, f"{{{_RDF_NS}}}Description",
+                                  {f"{{{_RDF_NS}}}about": p})
+            elif ax[0] == "equiv":
+                ET.SubElement(node, f"{{{_OWL_NS}}}equivalentClass",
+                              {f"{{{_RDF_NS}}}resource": ax[2]})
+            elif ax[0] == "disjoint":
+                ET.SubElement(node, f"{{{_OWL_NS}}}disjointWith",
+                              {f"{{{_RDF_NS}}}resource": ax[2]})
+            elif ax[0] == "nary":
+                _, op, _iri_, ops = ax
+                eq = ET.SubElement(node,
+                                   f"{{{_OWL_NS}}}equivalentClass")
+                box = ET.SubElement(eq, f"{{{_OWL_NS}}}Class")
+                coll = ET.SubElement(
+                    box,
+                    f"{{{_OWL_NS}}}"
+                    + ("intersectionOf" if op == "intersection"
+                       else "unionOf"),
+                    {f"{{{_RDF_NS}}}parseType": "Collection"})
+                for o in ops:
+                    if o[0] == "cls":
+                        ET.SubElement(coll,
+                                      f"{{{_RDF_NS}}}Description",
+                                      {f"{{{_RDF_NS}}}about": o[1]})
+                    else:
+                        r = ET.SubElement(coll,
+                                          f"{{{_OWL_NS}}}Restriction")
+                        ET.SubElement(
+                            r, f"{{{_OWL_NS}}}onProperty",
+                            {f"{{{_RDF_NS}}}resource": o[1]})
+                        ET.SubElement(
+                            r, f"{{{_OWL_NS}}}someValuesFrom",
+                            {f"{{{_RDF_NS}}}resource": o[2]})
 
     ET.indent(root)
     return ('<?xml version="1.0" encoding="UTF-8"?>\n'
@@ -318,22 +569,52 @@ def parse_rdf_axioms(text: str) -> List[Axiom]:
         cls = node.tag == f"{{{_OWL_NS}}}Class"
         iri = node.get(f"{{{_RDF_NS}}}about")
         out.append(("decl", cls, iri))
+        def _restriction(r):
+            rel = r.find(f"{{{_OWL_NS}}}onProperty") \
+                .get(f"{{{_RDF_NS}}}resource")
+            tgt = r.find(f"{{{_OWL_NS}}}someValuesFrom") \
+                .get(f"{{{_RDF_NS}}}resource")
+            return rel, tgt
+
         for child in node:
+            res = child.get(f"{{{_RDF_NS}}}resource")
             if child.tag == f"{{{_RDFS_NS}}}subClassOf" or \
                     child.tag == f"{{{_RDFS_NS}}}subPropertyOf":
-                res = child.get(f"{{{_RDF_NS}}}resource")
                 if res is not None:
                     out.append(("sub", cls, iri, res))
                 else:  # nested owl:Restriction = existential
-                    r = child[0]
-                    rel = r.find(f"{{{_OWL_NS}}}onProperty") \
-                        .get(f"{{{_RDF_NS}}}resource")
-                    tgt = r.find(f"{{{_OWL_NS}}}someValuesFrom") \
-                        .get(f"{{{_RDF_NS}}}resource")
-                    out.append(("svf", iri, rel, tgt))
+                    out.append(("svf", iri) + _restriction(child[0]))
             elif child.tag == f"{{{_RDF_NS}}}type":
-                if child.get(f"{{{_RDF_NS}}}resource") == _OWL_TRANSITIVE:
-                    out.append(("transitive", iri))
+                name = _RDF_CHAR.get(res)
+                if name is not None:
+                    out.append(("char", name, iri))
+            elif child.tag == f"{{{_OWL_NS}}}inverseOf":
+                out.append(("inverse", iri, res))
+            elif child.tag in (f"{{{_RDFS_NS}}}domain",
+                               f"{{{_RDFS_NS}}}range"):
+                kind = "domain" if child.tag.endswith("domain") else "range"
+                out.append((kind, iri, res))
+            elif child.tag == f"{{{_OWL_NS}}}propertyChainAxiom":
+                props = tuple(d.get(f"{{{_RDF_NS}}}about") for d in child)
+                out.append(("chain", iri, props))
+            elif child.tag == f"{{{_OWL_NS}}}equivalentClass":
+                if res is not None:
+                    out.append(("equiv", iri, res))
+                else:  # nested owl:Class with an n-ary set operation
+                    box = child.find(f"{{{_OWL_NS}}}Class")
+                    coll = box[0]
+                    op = ("intersection" if coll.tag.endswith(
+                        "intersectionOf") else "union")
+                    ops = []
+                    for o in coll:
+                        if o.tag == f"{{{_OWL_NS}}}Restriction":
+                            ops.append(("svf",) + _restriction(o))
+                        else:
+                            ops.append(("cls",
+                                        o.get(f"{{{_RDF_NS}}}about")))
+                    out.append(("nary", op, iri, tuple(ops)))
+            elif child.tag == f"{{{_OWL_NS}}}disjointWith":
+                out.append(("disjoint", iri, res))
             else:
                 ns = child.tag.rsplit("}", 1)
                 prop = ns[0][1:] + ns[1]

@@ -177,7 +177,122 @@ def test_owx_matches_ofn_axiom_set_on_ms():
     body = ofn.splitlines()
     assert len([l for l in body if l.startswith(
         ("Declaration(", "AnnotationAssertion(", "SubClassOf(",
-         "SubObjectPropertyOf(", "TransitiveObjectProperty("))]) == len(want)
+         "SubObjectPropertyOf(", "TransitiveObjectProperty(",
+         "SymmetricObjectProperty(", "AsymmetricObjectProperty(",
+         "ReflexiveObjectProperty(", "FunctionalObjectProperty(",
+         "InverseFunctionalObjectProperty(", "InverseObjectProperties(",
+         "ObjectPropertyDomain(", "ObjectPropertyRange(",
+         "EquivalentClasses(", "DisjointClasses("))]) == len(want)
+
+
+_ALGEBRA_OBO = """\
+format-version: 1.4
+ontology: toy
+
+[Term]
+id: T:0001
+name: alpha
+synonym: "first letter" EXACT []
+synonym: "initial" BROAD []
+xref: WIKI:Alpha "the letter"
+alt_id: T:9001
+union_of: T:0002
+union_of: T:0003
+disjoint_from: T:0004
+
+[Term]
+id: T:0002
+name: beta
+intersection_of: T:0004
+intersection_of: part_of T:0005
+equivalent_to: T:0006
+
+[Term]
+id: T:0003
+name: lonely
+intersection_of: T:0004
+
+[Typedef]
+id: R:0001
+name: part_of
+is_transitive: true
+is_reflexive: true
+domain: T:0001
+range: T:0002
+transitive_over: R:0002
+
+[Typedef]
+id: R:0002
+name: has_part
+is_symmetric: true
+is_functional: true
+is_inverse_functional: true
+inverse_of: R:0001
+holds_over_chain: R:0001 R:0002
+
+[Typedef]
+id: R:0003
+name: precedes
+is_asymmetric: true
+"""
+
+
+def test_owl_typedef_algebra_and_class_expressions_three_formats():
+    """The full typedef algebra (property characteristics, inverse_of,
+    holds_over_chain -> ObjectPropertyChain, transitive_over, domain/
+    range; src/py/typedef/clause.rs:1373-1901,2280,1285,2356,1066,1142),
+    oboInOwl synonym/xref/alt_id annotations, and the class-expression
+    clauses (intersection/union/equivalent/disjoint,
+    src/py/term/clause.rs:1166-1404) project into ALL THREE formats with
+    an identical axiom set."""
+    from collections import Counter
+
+    from fastobo_py_ray.obo.owl import (dumps_owl, ontology_axioms,
+                                        parse_owx_axioms,
+                                        parse_rdf_axioms)
+    from fastobo_py_ray.obo.parser import loads
+
+    onto = loads(_ALGEBRA_OBO).ontology
+    want = ontology_axioms(onto)
+    kinds = Counter(ax[0] for ax in want)
+    assert kinds["char"] == 6          # one of each characteristic
+    assert kinds["inverse"] == 1
+    assert kinds["chain"] == 2         # holds_over_chain + transitive_over
+    assert kinds["domain"] == kinds["range"] == 1
+    assert kinds["equiv"] == 1 and kinds["disjoint"] == 1
+    assert kinds["nary"] == 2          # T:0001 union, T:0002 intersection
+
+    oboinowl = "http://www.geneontology.org/formats/oboInOwl#"
+    ann_props = Counter(ax[1] for ax in want if ax[0] == "ann")
+    assert ann_props[oboinowl + "hasExactSynonym"] == 1
+    assert ann_props[oboinowl + "hasBroadSynonym"] == 1
+    assert ann_props[oboinowl + "hasDbXref"] == 1
+    assert ann_props[oboinowl + "hasAlternativeId"] == 1
+
+    # genus-differentia: the intersection mixes a named genus and an
+    # existential differentia; the chain super-property is R:0002
+    nary = {ax[2]: ax for ax in want if ax[0] == "nary"}
+    inter = nary["http://purl.obolibrary.org/obo/T_0002"]
+    assert {o[0] for o in inter[3]} == {"cls", "svf"}
+    chains = [ax for ax in want if ax[0] == "chain"]
+    assert all(len(ax[2]) == 2 for ax in chains)
+    # a LONE intersection_of is invalid (single_clause) -> no axiom
+    assert "http://purl.obolibrary.org/obo/T_0003" not in nary
+
+    assert parse_owx_axioms(dumps_owl(onto, format="owx")) == want
+    assert Counter(parse_rdf_axioms(dumps_owl(onto, format="rdf"))) == \
+        Counter(want)
+    # each axiom class survives the ofn text surface too
+    ofn = dumps_owl(onto, format="ofn")
+    for needle in ("SymmetricObjectProperty(", "AsymmetricObjectProperty(",
+                   "ReflexiveObjectProperty(", "TransitiveObjectProperty(",
+                   "FunctionalObjectProperty(",
+                   "InverseFunctionalObjectProperty(",
+                   "InverseObjectProperties(", "ObjectPropertyChain(",
+                   "ObjectPropertyDomain(", "ObjectPropertyRange(",
+                   "ObjectIntersectionOf(", "ObjectUnionOf(",
+                   "DisjointClasses(", "hasExactSynonym", "hasDbXref"):
+        assert needle in ofn, needle
 
     with pytest.raises(ValueError, match="ofn"):
         dumps_owl(onto, format="ttl")
