@@ -81,30 +81,50 @@ class LshBucketer:
 def lsh_topk(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
              num_planes: int = 8, num_probes: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_ids: Optional[set] = None) -> pd.DataFrame:
+             exclude_ids: Optional[set] = None,
+             num_tables: int = 1) -> pd.DataFrame:
     """Approximate top-k: score only rows whose LSH bucket is within the
     ``num_probes`` nearest probe signatures of the query (multi-probe =
-    flipping the lowest-margin hyperplane bits)."""
+    flipping the lowest-margin hyperplane bits).
+
+    ``num_tables`` > 1 is the seed-union recall knob: each table draws an
+    independent hyperplane set (seed, seed+1, ...) and a row is a
+    candidate if ANY table's probe set hits its bucket — the classic
+    multi-table LSH recall/cost trade (candidate set grows ~linearly,
+    misses shrink ~exponentially).  One pass either way: every table's
+    signature is a matmul over the same batch."""
     q = np.asarray(query, dtype=np.float64).reshape(1, -1)
     if dim is None:
         dim = q.shape[1]
-    bucketer = LshBucketer(dim, num_planes, seed, vec_col)
     qn = _normalize(q)
-    margins = (qn @ bucketer.planes.T).ravel()
-    base_bits = margins > 0
-    order = np.argsort(np.abs(margins))  # flip least-confident planes first
-    probe_sigs = set()
-    for flips in _probe_flip_sets(order, num_probes):
-        bits = base_bits.copy()
-        for bit in flips:
-            bits[bit] = not bits[bit]
-        probe_sigs.add(int((bits.astype(np.uint64) <<
-                            np.arange(len(bits), dtype=np.uint64)).sum()))
 
-    bucketed = ds.map_batches(bucketer, batch_format="pandas")
-    candidates = bucketed.map_batches(
-        lambda df: df[df["bucket"].isin(probe_sigs)], batch_format="pandas")
-    return brute_force_topk(candidates, query, k, id_col, vec_col,
+    tables = []  # (bucketer, probe_sigs) per seed
+    for t in range(num_tables):
+        bucketer = LshBucketer(dim, num_planes, seed + t, vec_col)
+        margins = (qn @ bucketer.planes.T).ravel()
+        base_bits = margins > 0
+        order = np.argsort(np.abs(margins))  # least-confident flips first
+        probe_sigs = set()
+        for flips in _probe_flip_sets(order, num_probes):
+            bits = base_bits.copy()
+            for bit in flips:
+                bits[bit] = not bits[bit]
+            probe_sigs.add(int((bits.astype(np.uint64) <<
+                                np.arange(len(bits),
+                                          dtype=np.uint64)).sum()))
+        tables.append((bucketer, probe_sigs))
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_as_matrix(df[vec_col]))
+        keep = np.zeros(len(df), dtype=bool)
+        for bucketer, probe_sigs in tables:
+            sigs = bucketer.signature(m)
+            keep |= np.isin(sigs, np.fromiter(probe_sigs, dtype=np.uint64,
+                                              count=len(probe_sigs)))
+        return df[keep]
+
+    cand = ds.map_batches(candidates, batch_format="pandas")
+    return brute_force_topk(cand, query, k, id_col, vec_col,
                             exclude_ids=exclude_ids)
 
 

@@ -95,6 +95,14 @@ def test_lsh_topk_recall(ray_session):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.8, (exact, approx)
 
+    # seed-union: with several independent tables a candidate only needs
+    # ONE table to hit, so recall can never drop below the single-table
+    # configuration's floor (and the union contains its candidates)
+    multi = lsh_topk(ds, np.asarray(q), k=11, num_probes=8,
+                     num_tables=3)["vec_id"].tolist()
+    multi = [v for v in multi if v != 0][:10]
+    assert len(set(exact) & set(multi)) / 10 >= recall - 1e-9
+
 
 def test_embedding_near_dup_matches_brute(ray_session):
     import ray.data as rd
