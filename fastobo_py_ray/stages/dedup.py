@@ -291,21 +291,52 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id",
         batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Pair explosion for one coarse bucket, vectorized end to end.
+
+        Almost every band signature is unique (one doc) and almost every
+        collision group has exactly 2 docs, so per-group Python here
+        would dominate the whole operator at corpus scale (measured:
+        8M band rows -> ~8M groups -> tens of seconds of pure group
+        dispatch).  Instead: one C sort, boundary detection by
+        shift-compare, size-2 groups exploded with pure numpy, and a
+        Python loop ONLY over the rare size>=3 collision groups."""
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
+                              "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
+        if not len(df):
+            return empty
+        df = df.drop_duplicates(subset=["band_id", "band_hash", "doc_id"])
+        # signatures seen once can't pair: C-speed pre-filter
+        df = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        if not len(df):
+            return empty
+        # doc_id ascending within each group => doc_a < doc_b for free
+        df = df.sort_values(["band_id", "band_hash", "doc_id"],
+                            kind="mergesort")
+        b = df["band_id"].to_numpy()
+        h = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        sizes = np.diff(np.append(np.flatnonzero(new), len(df)))
+        starts = np.append(0, np.cumsum(sizes[:-1]))
         out = []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            if max_bucket_size is not None and len(ids) > max_bucket_size:
+        two = sizes == 2
+        if two.any():
+            s2 = starts[two]
+            out.append(pd.DataFrame({"doc_a": ids[s2],
+                                     "doc_b": ids[s2 + 1]}))
+        for g in np.flatnonzero(sizes > 2):
+            gi = ids[starts[g]:starts[g] + sizes[g]]
+            if max_bucket_size is not None and len(gi) > max_bucket_size:
                 # degenerate bucket: O(m) star to the min id, not O(m^2)
-                out.append(pd.DataFrame({"doc_a": ids[:1].repeat(
-                    len(ids) - 1), "doc_b": ids[1:]}))
+                out.append(pd.DataFrame({
+                    "doc_a": gi[:1].repeat(len(gi) - 1), "doc_b": gi[1:]}))
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+            ia, ib = np.triu_indices(len(gi), k=1)
+            out.append(pd.DataFrame({"doc_a": gi[ia], "doc_b": gi[ib]}))
         if not out:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=df["doc_id"].dtype),
-                                 "doc_b": pd.Series(dtype=df["doc_id"].dtype)})
+            return empty
         return pd.concat(out, ignore_index=True)
 
     cand = grouped_map(sigs, ["band_id", "band_hash"], bucket_pairs,
@@ -397,12 +428,18 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: pa.array([], type=id_type),
             "cluster_rep": pa.array([], type=id_type)}))
 
-    # dedup_pairs=False: the global pair dedup rides the first verify
-    # join's bucket_finalize (pairs co-locate by doc_a there) instead of
-    # paying its own exchange
+    # dedup_pairs=True: a true near-dup pair collides in MOST of its
+    # bands, so the raw candidate stream carries a ~bands-fold copy
+    # amplification (measured at 500k docs: 2.05M raw pair rows for
+    # 150k distinct pairs). Deduping on a skinny (doc_a, doc_b)
+    # exchange BEFORE the text join keeps that amplification out of
+    # the corpus-text exchange and the verify exchange (interleaved A/B
+    # at 500k docs/32cpu: full pipeline 48.1/48.4s pre-deduped vs
+    # 59.9/54.7s riding the dedup on the verify join — the round-2
+    # design — and the gap grows with the band count at scale).
     cand = minhash_candidate_pairs(
         ds, id_col, text_col, num_perm, bands, seed,
-        max_bucket_size=max_bucket_size, dedup_pairs=False).materialize()
+        max_bucket_size=max_bucket_size, dedup_pairs=True).materialize()
     if cand.count() == 0:
         return _empty()
 
