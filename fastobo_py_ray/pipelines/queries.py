@@ -134,6 +134,12 @@ def kg_subtree_mentions(sf_dir: str) -> pd.DataFrame:
         return df.groupby("canonical_id", as_index=False).size().rename(
             columns={"canonical_id": "term_id", "size": "n_mentions"})
 
+    # Ray's native sort-groupby is the DELIBERATE exception to the
+    # engine's grouped_agg policy here: the key set is the subtree's
+    # term ids — bounded by the ontology, not the corpus — so the
+    # per-distinct-group Python cost that rules native groupby out for
+    # corpus-cardinality keys (BASELINE.md, >500x at 1M keys) never
+    # materializes, and the pre-reduced partials above are KB-scale.
     out = ments.map_batches(count, batch_format="pandas") \
         .groupby("term_id").aggregate(
             Sum("n_mentions", alias_name="n_mentions")).to_pandas()
@@ -330,12 +336,19 @@ LIMIT 10
 """
 
 
-def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Star join with scale-tiered sides: TRUE dimensions (region, nation,
-    supplier — bounded or sub-linear in scale factor) are broadcast; the
-    tables that grow with the fact data (orders, customer, lineitem) are
-    joined with partitioned :func:`hash_join`s, so nothing fact-sized ever
-    lands on the driver or in an object-store broadcast.
+def q5_region_revenue(sf_dir: str,
+                      supplier_broadcast_limit: int = 1_000_000
+                      ) -> pd.DataFrame:
+    """Star join with scale-tiered sides: the TRUE dimensions (region,
+    nation — bounded: 5/25 rows at every scale factor) are always
+    broadcast; supplier is SF-LINEAR (10k rows/SF), so it is TIERED —
+    broadcast while its parquet metadata row count is below
+    ``supplier_broadcast_limit`` (a filtered 3-column frame, MBs at any
+    SF a single box would run), else joined with a partitioned
+    :func:`hash_join` like the other fact-scale tables (orders,
+    customer, lineitem).  Nothing fact-sized ever lands on the driver
+    or in an object-store broadcast; path parity is pytest-gated by
+    forcing ``supplier_broadcast_limit=0``.
 
     Plan (two all-to-alls total):
       1. ``orders ⋈ customer`` on custkey (hash_join, projection pushed
@@ -351,21 +364,26 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     from ..functions.relops import hash_join
 
-    # true dimensions are KB-to-MB scale: local pyarrow reads (no Ray
-    # round-trip for tables that will be broadcast anyway)
+    # bounded dimensions: local pyarrow reads (no Ray round-trip for
+    # tables that will be broadcast anyway)
     region = pq.read_table(_pq(sf_dir, "region")).to_pandas()
     nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
-    supplier = pq.read_table(_pq(sf_dir, "supplier"),
-                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
 
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat = nation.loc[nation["n_regionkey"].isin(asia),
                      ["n_nationkey", "n_name"]]
-    sup = supplier.merge(nat, left_on="s_nationkey",
-                         right_on="n_nationkey")[
-        ["s_suppkey", "s_nationkey", "n_name"]].rename(
-        columns={"s_suppkey": "l_suppkey"})
-    sup_ref = ray.put(sup)
+
+    sup_rows = pq.ParquetFile(_pq(sf_dir, "supplier")).metadata.num_rows
+    broadcast_supplier = sup_rows <= supplier_broadcast_limit
+    if broadcast_supplier:
+        supplier = pq.read_table(
+            _pq(sf_dir, "supplier"),
+            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sup = supplier.merge(nat, left_on="s_nationkey",
+                             right_on="n_nationkey")[
+            ["s_suppkey", "s_nationkey", "n_name"]].rename(
+            columns={"s_suppkey": "l_suppkey"})
+        sup_ref = ray.put(sup)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
                    rows_per_block=50_000).map_batches(
@@ -386,19 +404,50 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                         "l_discount"], rows_per_block=25_000)
 
-    class AsiaSupplier:
-        def __init__(self):
-            self.sup = ray.get(sup_ref)
+    if broadcast_supplier:
+        class AsiaSupplier:
+            def __init__(self):
+                self.sup = ray.get(sup_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            d = df.merge(self.sup, on="l_suppkey")
-            rev = d["l_extendedprice"] * (1 - d["l_discount"])
-            return pd.DataFrame({"l_orderkey": d["l_orderkey"],
-                                 "s_nationkey": d["s_nationkey"],
-                                 "n_name": d["n_name"], "revenue": rev})
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                d = df.merge(self.sup, on="l_suppkey")
+                rev = d["l_extendedprice"] * (1 - d["l_discount"])
+                return pd.DataFrame({"l_orderkey": d["l_orderkey"],
+                                     "s_nationkey": d["s_nationkey"],
+                                     "n_name": d["n_name"],
+                                     "revenue": rev})
 
-    li_asia = li.map_batches(AsiaSupplier, batch_format="pandas",
-                             concurrency=(1, 8))
+        li_asia = li.map_batches(AsiaSupplier, batch_format="pandas",
+                                 concurrency=(1, 8))
+    else:
+        # scale path: supplier never touches the driver — scan-filtered
+        # to ASIA nations (the nation list IS bounded), n_name attached
+        # from the broadcast nation frame, then a partitioned join with
+        # lineitem (third all-to-all, the price of a fat supplier side)
+        import pyarrow.dataset as pds
+
+        nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        sup_ds = _read(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"],
+                       filter=pds.field("s_nationkey").isin(
+                           list(nat_map))).map_batches(
+            lambda df: df.assign(
+                n_name=df["s_nationkey"].map(nat_map)).rename(
+                columns={"s_suppkey": "l_suppkey"}),
+            batch_format="pandas")
+
+        def sup_finalize(df: pd.DataFrame) -> pd.DataFrame:
+            rev = df["l_extendedprice"] * (1 - df["l_discount"])
+            return pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                                 "s_nationkey": df["s_nationkey"],
+                                 "n_name": df["n_name"], "revenue": rev})
+
+        li_asia = hash_join(
+            li, sup_ds, on="l_suppkey", num_buckets=32,
+            lcols=["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"],
+            rcols=["l_suppkey", "s_nationkey", "n_name"],
+            bucket_finalize=sup_finalize)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["s_nationkey"] == df["c_nationkey"]]

@@ -278,3 +278,17 @@ def test_grouped_map_and_joins_on_empty_inputs(ray_session):
                      lcols=["k", "v"], rcols=["k"]).to_pandas()
     assert len(semi) == 0
     assert sorted(anti["v"]) == [10, 20]
+
+
+def test_q5_supplier_tier_paths_agree(ray_session):
+    """q5's supplier side is tiered: broadcast merge below the row
+    threshold, partitioned hash_join above.  Forcing the join tier
+    (supplier_broadcast_limit=0) must reproduce the broadcast tier's
+    result exactly — the tier switch is a physical-plan choice only."""
+    from fastobo_py_ray.pipelines.queries import q5_region_revenue
+
+    sf = "/root/testdata/sf0.001"
+    via_broadcast = _norm(q5_region_revenue(sf))
+    via_join = _norm(q5_region_revenue(sf, supplier_broadcast_limit=0))
+    pd.testing.assert_frame_equal(via_broadcast, via_join)
+    assert len(via_broadcast) > 0
