@@ -1259,6 +1259,104 @@ def q_seq_packing(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical aggregate (SQL GROUP BY ROLLUP): quantity totals at
+    (returnflag, linestatus), per returnflag, and grand total.
+
+    Scale shape: ONE corpus pass with per-batch partial combine to the
+    finest level (same as q1); every coarser rollup level is a
+    re-aggregation of the finest level's result — which is bounded by
+    the key-domain product, not the corpus — so the hierarchy costs no
+    extra shuffle.  Rolled-up key columns carry the 'ALL' sentinel
+    (COALESCE'd identically in the oracle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            n=("l_quantity", "size"))
+
+    fin = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("n", alias_name="n")).to_pandas()
+    lvl1 = fin.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame([{
+        "l_returnflag": "ALL", "l_linestatus": "ALL",
+        "sum_qty": fin["sum_qty"].sum(), "n": fin["n"].sum()}])
+    out = pd.concat([fin, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n"]]
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distinct set operations (SQL INTERSECT / EXCEPT) as one keyed
+    plan: customers who placed BOTH an urgent and a low-priority order
+    ('both') and those with urgent orders only ('urgent_only').
+
+    Scale shape: each side is a scan-filtered key projection deduped
+    through one coarse hash exchange (:func:`grouped_map`, key
+    cardinality = customers, far too many for a sort-groupby); the set
+    membership itself is the existence semi/anti join — set ops ARE
+    joins over distinct keys, so no new all-to-all machinery."""
+    import pyarrow.dataset as pds
+
+    from ..functions.relops import grouped_map, hash_join
+
+    def distinct_keys(priority: str):
+        ds = _read(sf_dir, "orders", columns=["o_custkey"],
+                   filter=pds.field("o_orderpriority") == priority)
+        return grouped_map(
+            ds, "o_custkey",
+            lambda df: df.drop_duplicates("o_custkey"), num_buckets=16)
+
+    urgent, low = distinct_keys("1-URGENT"), distinct_keys("5-LOW")
+    both = hash_join(urgent, low, on="o_custkey", how="semi",
+                     lcols=["o_custkey"], rcols=["o_custkey"]) \
+        .map_batches(lambda df: df.assign(kind="both"),
+                     batch_format="pandas")
+    only = hash_join(urgent, low, on="o_custkey", how="anti",
+                     lcols=["o_custkey"], rcols=["o_custkey"]) \
+        .map_batches(lambda df: df.assign(kind="urgent_only"),
+                     batch_format="pandas")
+    out = both.union(only).to_pandas().rename(
+        columns={"o_custkey": "c_custkey"})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values(["kind", "c_custkey"]).reset_index(drop=True)
+
+
+Q_SET_OPS_SQL = """
+WITH urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+     low AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+             WHERE o_orderpriority = '5-LOW')
+SELECT c_custkey, 'both' AS kind
+FROM (SELECT c_custkey FROM urgent INTERSECT SELECT c_custkey FROM low)
+UNION ALL
+SELECT c_custkey, 'urgent_only' AS kind
+FROM (SELECT c_custkey FROM urgent EXCEPT SELECT c_custkey FROM low)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1303,6 +1401,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_cust_no_orders": q_cust_no_orders,
         "q_curation": q_curation,
         "q_text_embed_neardup": q_text_embed_neardup,
+        "q_rollup": q_rollup,
+        "q_set_ops": q_set_ops,
     }
 
 
@@ -1333,6 +1433,8 @@ def oracles() -> Dict[str, str]:
         "q_asof_join": Q_ASOF_SQL,
         "q_quantiles": Q_QUANTILES_SQL,
         "q_cust_no_orders": Q_CUST_NO_ORDERS_SQL,
+        "q_rollup": Q_ROLLUP_SQL,
+        "q_set_ops": Q_SET_OPS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
