@@ -467,6 +467,15 @@ def connected_components_contract(edges_ds, col_a: str = "a",
         star = star.repartition(nb).map_batches(
             contract, batch_format="pandas",
             batch_size=None).materialize()
+        if nb == 1:
+            # the single coalesced task saw EVERY star edge, so its
+            # output is the global fixpoint — terminate on that fact,
+            # NOT on num_blocks()==1: once the star set outgrows
+            # target_max_block_size Ray re-splits the one task's output
+            # into several blocks, and a block-count test would re-run
+            # the full contraction forever (caught by the 5M-doc scale
+            # rehearsal; regression-tested with a shrunken block size)
+            break
     return star.map_batches(
         lambda df: df.rename(columns={col_a: "node", col_b: "label"}),
         batch_format="pandas")

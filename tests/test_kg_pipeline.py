@@ -238,6 +238,21 @@ def test_contract_cc_matches_exact_and_minlabel(ray_session):
     tree = connected_components_contract(ds, direct_rows=0, fan_in=2)
     assert representatives_from_labels(tree) == exact
 
+    # regression (5M-doc rehearsal): when the star set exceeds
+    # target_max_block_size, repartition(1)'s OUTPUT re-splits into
+    # several blocks — the loop must terminate on "one task saw every
+    # edge", not on num_blocks()==1, or it re-contracts forever.
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 2048  # force output splitting
+    try:
+        split = connected_components_contract(ds, fan_in=2)
+        assert representatives_from_labels(split) == exact
+    finally:
+        ctx.target_max_block_size = old
+
 
 def test_fused_batch_annotate_matches_per_page():
     """annotate_batch_fused is byte-identical to the per-page
