@@ -707,6 +707,47 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_PASSAGE_W = 16
+
+
+def q_passage_dedup(sf_dir: str) -> pd.DataFrame:
+    """Passage-level exact dedup: cut each document into non-overlapping
+    16-word windows, keep only the globally-first occurrence of every
+    identical passage, reassemble the survivors per document."""
+    from ..stages.dedup import passage_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = passage_dedup(ds, passage_words=_PASSAGE_W).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["text"] = out["text"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_PASSAGE_DEDUP_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, CAST((i - 1) / {_PASSAGE_W} AS BIGINT) AS idx,
+         array_to_string(list_slice(w, i, i + {_PASSAGE_W - 1}), ' ')
+           AS passage
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w), {_PASSAGE_W}))
+                AS i) t
+),
+kept AS (
+  SELECT doc_id, idx, passage,
+         row_number() OVER (PARTITION BY passage
+                            ORDER BY doc_id, idx) = 1 AS keep
+  FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(passage, ' ' ORDER BY idx)
+                FILTER (WHERE keep), '') AS text,
+       count(*)::BIGINT AS n_passages,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
@@ -1378,6 +1419,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_quality": q_quality,
         "q_train_split": q_train_split,
         "q_exact_dedup": q_exact_dedup,
+        "q_passage_dedup": q_passage_dedup,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1423,6 +1465,7 @@ def oracles() -> Dict[str, str]:
         "q_quality": Q_QUALITY_SQL,
         "q_train_split": Q_TRAIN_SPLIT_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
+        "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,

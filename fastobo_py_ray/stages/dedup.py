@@ -724,3 +724,82 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     swap = a > b
     out["id_a"], out["id_b"] = np.where(swap, b, a), np.where(swap, a, b)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (sub-document granularity)
+# ---------------------------------------------------------------------------
+
+def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                  passage_words: int = 16, num_buckets: int = 64):
+    """Passage-level EXACT dedup — the sub-document granularity large web
+    curation pipelines apply after document-level dedup (boilerplate
+    paragraphs, license blocks, navigation text repeated across pages).
+
+    Each document's space-token stream is cut into non-overlapping
+    windows of ``passage_words`` tokens (the short tail window kept);
+    every repeated occurrence of an identical passage string across the
+    WHOLE corpus is dropped — the single surviving copy is the one with
+    the globally smallest ``(id, window index)`` — and each document is
+    reassembled from its surviving passages in order.  Deterministic,
+    and exactly expressible in SQL (window ``row_number`` over the
+    exploded passages), which is the driver-contract oracle.
+
+    Scale shape: two coarse hash-bucket exchanges and nothing else —
+    (1) passages keyed by their text: a bucket holds every occurrence
+    of its passage strings, so the keep-first decision
+    (``sort + duplicated()``, all C) is globally exact with no join;
+    (2) surviving rows keyed by the document id for in-order
+    reassembly.  Both move ~corpus-text bytes once; no driver
+    materialization, no per-group Python dispatch
+    (:func:`~fastobo_py_ray.functions.relops.grouped_map`).
+
+    Returns a Dataset of ``(id_col, text, n_passages, n_removed)`` —
+    one row per input document (``text`` may be ``""`` when every
+    passage of a document lost its keep-first race).
+    """
+    from ..functions.relops import grouped_map
+
+    P = int(passage_words)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: List = []
+        idx_out: List[int] = []
+        texts_out: List[str] = []
+        for did, t in zip(df[id_col].tolist(), df[text_col].tolist()):
+            w = (t or "").split(" ")
+            for j in range(0, (len(w) + P - 1) // P):
+                ids_out.append(did)
+                idx_out.append(j)
+                texts_out.append(" ".join(w[j * P:(j + 1) * P]))
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out, dtype=df[id_col].dtype),
+            "idx": pd.Series(idx_out, dtype="int64"),
+            "passage": pd.Series(texts_out, dtype="string")})
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket = all rows of its passage strings -> global keep-first
+        df = df.sort_values([id_col, "idx"], kind="stable")
+        df["keep"] = ~df.duplicated("passage", keep="first")
+        return df
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "idx"], kind="stable")
+        grp = df.groupby(id_col, sort=False)
+        n_passages = grp.size()
+        n_removed = grp["keep"].sum().rsub(n_passages)
+        kept = df[df["keep"]]
+        texts = kept.groupby(id_col, sort=False)["passage"].agg(" ".join)
+        out = pd.DataFrame({id_col: n_passages.index.to_numpy()})
+        out["text"] = pd.Series(
+            texts.reindex(n_passages.index).fillna("").to_numpy(),
+            dtype="string")
+        out["n_passages"] = n_passages.to_numpy().astype("int64")
+        out["n_removed"] = n_removed.to_numpy().astype("int64")
+        return out
+
+    passages = ds.map_batches(explode, batch_format="pandas")
+    marked = grouped_map(passages, "passage", mark,
+                         num_buckets=num_buckets)
+    return grouped_map(marked, id_col, reassemble,
+                       num_buckets=num_buckets)

@@ -389,3 +389,44 @@ def test_ivf_index_reuse_matches_fresh(ray_session):
     import pytest
     with pytest.raises(ValueError, match="centroids"):
         ivf_topk(indexed, vecs[0], k=5)
+
+
+def test_passage_dedup_keep_first_and_reassembly(ray_session):
+    """Global keep-first at passage granularity: the duplicated window
+    survives only in the smallest (doc_id, idx); documents reassemble
+    from their surviving windows in order."""
+    import ray.data as rd
+    from fastobo_py_ray.stages.dedup import passage_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))      # shared 4-word block
+    uniq = [" ".join(f"u{d}w{i}" for i in range(4)) for d in range(3)]
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            boiler + " " + uniq[0],       # doc 0: boiler @ idx0 (kept)
+            uniq[1] + " " + boiler,       # doc 1: boiler @ idx1 (dropped)
+            boiler,                       # doc 2: only boiler (dropped)
+            uniq[2],                      # doc 3: untouched
+        ],
+    })
+    out = passage_dedup(rd.from_pandas(df), passage_words=4,
+                        num_buckets=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        boiler + " " + uniq[0], uniq[1], "", uniq[2]]
+    assert out["n_passages"].tolist() == [2, 2, 1, 1]
+    assert out["n_removed"].tolist() == [0, 1, 1, 0]
+
+
+def test_passage_dedup_noop_on_unique_corpus(ray_session):
+    """No shared windows -> byte-identical texts back, nothing removed."""
+    import ray.data as rd
+    from fastobo_py_ray.stages.dedup import passage_dedup
+
+    texts = [" ".join(f"d{d}w{i}" for i in range(10)) for d in range(6)]
+    df = pd.DataFrame({"doc_id": range(6), "text": texts})
+    out = passage_dedup(rd.from_pandas(df), passage_words=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == texts
+    assert (out["n_removed"] == 0).all()
+    assert out["n_passages"].tolist() == [3] * 6  # 10 words -> 4+4+2
