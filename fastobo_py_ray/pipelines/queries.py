@@ -748,6 +748,177 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction scrub (email / IPv4 / phone). The synthetic
+    documents table carries no real PII, so a deterministic footer
+    derived from doc_id is appended on BOTH sides first; the oracle
+    replays the injection and the scrub with DuckDB regexp_replace
+    using the very same pattern strings (common re/RE2 dialect)."""
+    from ..stages.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        df = df.copy()
+        df["text"] = (df["text"].astype(str)
+                      + " contact user" + d.astype(str)
+                      + "@mail.example.com from 10."
+                      + (d % 200).astype(str) + ".0."
+                      + (d % 250).astype(str)
+                      + " call +1 555-0"
+                      + (d % 1000).astype(str).str.zfill(3))
+        return df
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pandas")) \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pii_sql() -> str:
+    # the oracle scrubs with the SAME pattern strings the engine
+    # compiles, sequenced identically (counts taken before each
+    # replacement, each pattern seeing the previous pattern's output)
+    from ..stages.redact import PII_PATTERNS
+
+    (em_n, em_p, em_r), (ip_n, ip_p, ip_r), (ph_n, ph_p, ph_r) = \
+        PII_PATTERNS
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@mail.example.com from 10.' || (doc_id % 200)
+              || '.0.' || (doc_id % 250)
+              || ' call +1 555-0' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+           AS text
+  FROM documents
+),
+e AS (SELECT doc_id,
+             len(regexp_extract_all(text, '{em_p}'))::BIGINT AS n_{em_n},
+             regexp_replace(text, '{em_p}', '{em_r}', 'g') AS text
+      FROM injected),
+i AS (SELECT doc_id, n_{em_n},
+             len(regexp_extract_all(text, '{ip_p}'))::BIGINT AS n_{ip_n},
+             regexp_replace(text, '{ip_p}', '{ip_r}', 'g') AS text
+      FROM e)
+SELECT doc_id, n_{em_n}, n_{ip_n},
+       len(regexp_extract_all(text, '{ph_p}'))::BIGINT AS n_{ph_n},
+       regexp_replace(text, '{ph_p}', '{ph_r}', 'g') AS text
+FROM i ORDER BY doc_id
+"""
+
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group COUNT(DISTINCT): distinct users per event type.
+    Per-batch dedup combiner -> ONE exchange keyed by the full
+    (event_type, user_id) pair (so no single event_type's users ever
+    meet in one task) -> in-bucket dedup + partial counts -> bounded
+    (buckets x types) driver-side sum."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    combined = ds.map_batches(
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas")
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    part = grouped_map(combined, ["event_type", "user_id"],
+                       bucket_distinct).to_pandas()
+    out = part.groupby("event_type", as_index=False,
+                       sort=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog sketch sibling of q_distinct_users: the exchange
+    moves fixed 4 KB register partials instead of the distinct pairs —
+    the corpus-scale path. Rows-only (approximate); the <= 5% error vs
+    the exact count is pytest-gated."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ds, "user_id", by="event_type")
+
+
+_TOP_TOKENS_K = 20
+
+
+def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].astype(str).str.split(" ").explode()
+    c = toks.value_counts()
+    return pd.DataFrame({
+        "token": pd.Series(c.index.to_numpy(), dtype="string"),
+        "n_occurrences": c.to_numpy().astype("int64")})
+
+
+def q_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-level vocabulary top-k: per-batch value_counts
+    combiner (the exchange moves pre-reduced (token, count) partials,
+    never the token stream), in-bucket sum + per-bucket top-k (each
+    token lives wholly in one bucket, so the global top-k is a subset
+    of the union), bounded driver merge. Deterministic tiebreak
+    (count desc, token asc) on both sides."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part = ds.map_batches(_token_counts, batch_format="pandas")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("token", as_index=False,
+                       sort=False)["n_occurrences"].sum()
+        s = s.sort_values(["n_occurrences", "token"],
+                          ascending=[False, True], kind="stable")
+        return s.head(_TOP_TOKENS_K)
+
+    out = grouped_map(part, "token", bucket_topk,
+                      num_buckets=32).to_pandas()
+    out = out.sort_values(["n_occurrences", "token"],
+                          ascending=[False, True], kind="stable") \
+        .head(_TOP_TOKENS_K)
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    out["token"] = out["token"].astype(str)
+    return out.reset_index(drop=True)
+
+
+Q_TOP_TOKENS_SQL = f"""
+SELECT w AS token, count(*)::BIGINT AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n_occurrences DESC, token LIMIT {_TOP_TOKENS_K}
+"""
+
+
+def q_heavy_tokens(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy-hitters sibling of q_top_tokens: bounded
+    summaries instead of the full vocabulary. Rows-only (counts are
+    lower bounds once the vocabulary exceeds the capacity); the
+    guarantee — any token with frequency > N/(capacity+1) surfaces,
+    and the exact regime equals q_top_tokens — is pytest-gated."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    toks = ds.map_batches(
+        lambda df: pd.DataFrame({"token": pd.Series(
+            df["text"].astype(str).str.split(" ").explode().to_numpy(),
+            dtype="string")}),
+        batch_format="pandas")
+    out = heavy_hitters(toks, "token", k=10, capacity=4096)
+    out = out.rename(columns={"value": "token"})
+    out["token"] = out["token"].astype(str)
+    return out
+
+
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
@@ -1420,6 +1591,11 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_train_split": q_train_split,
         "q_exact_dedup": q_exact_dedup,
         "q_passage_dedup": q_passage_dedup,
+        "q_pii_redact": q_pii_redact,
+        "q_distinct_users": q_distinct_users,
+        "q_distinct_users_approx": q_distinct_users_approx,
+        "q_top_tokens": q_top_tokens,
+        "q_heavy_tokens": q_heavy_tokens,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1466,6 +1642,13 @@ def oracles() -> Dict[str, str]:
         "q_train_split": Q_TRAIN_SPLIT_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,
+        "q_pii_redact": _pii_sql(),
+        "q_distinct_users": Q_DISTINCT_USERS_SQL,
+        "q_top_tokens": Q_TOP_TOKENS_SQL,
+        # q_distinct_users_approx (HLL) / q_heavy_tokens (Misra-Gries)
+        # are the sketch siblings of the two exact queries above:
+        # approximate by design -> rows-only, with pytest error/
+        # guarantee gates against the exact results.
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,

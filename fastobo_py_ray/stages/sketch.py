@@ -105,3 +105,138 @@ def approx_quantiles(ds, value_col: str, qs: Sequence[float],
         out = out.drop(columns="__all")
         return out.sort_values("q").reset_index(drop=True)
     return out.sort_values([by, "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_W = 52  # rho window bits: keeps bit_length float-exact (< 2^53)
+
+
+def _hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One batch of values -> HLL register array (uint8, m=2^p).
+    Values are hashed with the process-stable pandas siphash (one C
+    call per batch); register index = top p hash bits, rho = leading
+    zeros + 1 within a 52-bit window (exact via float log2 because the
+    window stays below 2^53)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = pd.util.hash_array(np.asarray(values), hash_key="fastobomray-hll0")
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h & np.uint64((1 << _HLL_W) - 1)).astype(np.float64)
+    rho = np.where(rem > 0,
+                   _HLL_W - np.floor(np.log2(np.maximum(rem, 1))),
+                   _HLL_W + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(regs_list) -> np.ndarray:
+    """Registers merge by elementwise max — associative and
+    commutative, so partials combine in any tree shape."""
+    return np.maximum.reduce([np.asarray(r, dtype=np.uint8)
+                              for r in regs_list])
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction; relative error ~= 1.04/sqrt(m) (1.6% at p=12)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds, value_col: str, by: Optional[str] = None,
+                    p: int = 12, num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed approximate COUNT(DISTINCT value) [GROUP BY by]:
+    per-batch per-group HLL register partials (2^p bytes each) -> one
+    coarse exchange on the group key -> elementwise-max merge ->
+    estimate. The exchange moves fixed-size registers, never values —
+    the sketch path for corpus-scale distinct counts where the exact
+    per-key dedup exchange (see ``q_distinct_users``) is the
+    all-to-all to avoid. Returns (by?, n_distinct_approx)."""
+    from ..functions.relops import grouped_map
+
+    gcol = by if by is not None else "__all"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if by is None:
+            df = df.assign(__all="")
+        rows = []
+        for g, sub in df.groupby(gcol, sort=False):
+            regs = _hll_registers(sub[value_col].to_numpy(), p)
+            rows.append({gcol: g, "__regs": regs.tobytes()})
+        return pd.DataFrame(rows, columns=[gcol, "__regs"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(gcol, sort=False):
+            merged = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                                for b in sub["__regs"]])
+            rows.append({gcol: g,
+                         "n_distinct_approx": int(round(
+                             hll_estimate(merged)))})
+        return pd.DataFrame(rows, columns=[gcol, "n_distinct_approx"])
+
+    out = grouped_map(ds.map_batches(partial, batch_format="pandas"),
+                      gcol, finalize, num_buckets=num_buckets).to_pandas()
+    out["n_distinct_approx"] = out["n_distinct_approx"].astype("int64")
+    if by is None:
+        return out.drop(columns="__all").reset_index(drop=True)
+    return out.sort_values(by).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def mg_compress(counts: pd.Series, capacity: int) -> pd.Series:
+    """Misra-Gries compression of an exact (value -> count) table to at
+    most ``capacity`` entries: subtract the (capacity+1)-th largest
+    count from everything, keep the strictly-positive survivors. Each
+    application under-counts every survivor by at most that pivot,
+    and the pivots across a merge tree sum to <= N/(capacity+1)."""
+    if len(counts) <= capacity:
+        return counts
+    pivot = counts.nlargest(capacity + 1).iloc[-1]
+    out = counts - pivot
+    return out[out > 0]
+
+
+def heavy_hitters(ds, value_col: str, k: int = 10,
+                  capacity: int = 4096, num_buckets: int = 16
+                  ) -> pd.DataFrame:
+    """Approximate top-k frequent values (Misra-Gries): per-batch exact
+    ``value_counts`` compressed to <= ``capacity`` rows -> one coarse
+    exchange summing per value -> bounded driver-side final compress
+    and top-k. Estimated counts are LOWER bounds; any value with true
+    frequency > N/(capacity+1) is guaranteed to surface (pytest-gated).
+    The exchange moves <= batches x capacity pre-reduced rows — never
+    the raw value stream. Returns (value, est_count) sorted by
+    (est_count desc, value)."""
+    from ..functions.relops import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = mg_compress(df[value_col].value_counts(), capacity)
+        return pd.DataFrame({"value": c.index.to_numpy(),
+                             "est_count": c.to_numpy().astype("int64")})
+
+    summed = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         "value", num_buckets=num_buckets,
+                         est_count=("est_count", "sum")).to_pandas()
+    final = mg_compress(
+        pd.Series(summed["est_count"].to_numpy(),
+                  index=summed["value"]), capacity)
+    top = final.sort_values(ascending=False).head(max(k * 4, k))
+    out = pd.DataFrame({"value": top.index.to_numpy(),
+                        "est_count": top.to_numpy().astype("int64")})
+    out = out.sort_values(["est_count", "value"],
+                          ascending=[False, True], kind="stable")
+    return out.head(k).reset_index(drop=True)

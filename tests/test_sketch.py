@@ -57,3 +57,75 @@ def test_approx_quantiles_grouped(ray_session):
     out2 = approx_quantiles(ds, "x", [0.5])
     assert list(out2.columns) == ["q", "value"]
     assert _rank_error(df["x"].to_numpy(), out2["value"][0], 0.5) <= 0.02
+
+
+def test_hll_error_bound_across_cardinalities():
+    from fastobo_py_ray.stages.sketch import _hll_registers, hll_estimate
+
+    rng = np.random.RandomState(7)
+    for true_n in (50, 1000, 30000, 500000):
+        vals = rng.randint(0, 1 << 62, size=true_n)
+        td = len(np.unique(vals))
+        est = hll_estimate(_hll_registers(vals))
+        # p=12 -> ~1.6% std error; 5% is > 3 sigma
+        assert abs(est - td) / td <= 0.05, (true_n, td, est)
+
+
+def test_hll_merge_equals_single_pass():
+    from fastobo_py_ray.stages.sketch import (_hll_registers, hll_estimate,
+                                              hll_merge)
+
+    vals = np.arange(100000)
+    whole = _hll_registers(vals)
+    parts = hll_merge([_hll_registers(c) for c in np.array_split(vals, 13)])
+    assert np.array_equal(whole, parts)  # register-exact, not just close
+    assert hll_estimate(parts) == hll_estimate(whole)
+
+
+def test_approx_distinct_grouped(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.sketch import approx_distinct
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 50000),
+        "u": np.concatenate([rng.randint(0, 20000, 50000),
+                             rng.randint(0, 300, 50000)])})
+    ds = rd.from_pandas(df).repartition(8)
+    out = approx_distinct(ds, "u", by="g")
+    exact = df.groupby("g")["u"].nunique()
+    for _, row in out.iterrows():
+        t = exact[row["g"]]
+        assert abs(row["n_distinct_approx"] - t) / t <= 0.05, (row, t)
+
+
+def test_mg_guarantee_and_exact_regime(ray_session):
+    """Misra-Gries: (a) with capacity >= vocabulary it is exact; (b) in
+    the lossy regime every value with frequency > N/(capacity+1) still
+    surfaces and estimates are lower bounds."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    # skewed stream: 3 heavy values + long uniform tail
+    heavy = np.repeat([900001, 900002, 900003], [30000, 20000, 15000])
+    tail = rng.randint(0, 50000, size=60000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    ds = rd.from_pandas(df).repartition(8)
+
+    exact = df["v"].value_counts()
+    big = heavy_hitters(ds, "v", k=5, capacity=200000)
+    assert big.iloc[0]["est_count"] == exact.iloc[0]  # exact regime
+
+    cap = 500
+    lossy = heavy_hitters(ds, "v", k=5, capacity=cap)
+    got = dict(zip(lossy["value"], lossy["est_count"]))
+    n = len(vals)
+    for hv in (900001, 900002, 900003):
+        assert exact[hv] > n / (cap + 1)
+        assert hv in got, (hv, lossy)
+        assert got[hv] <= exact[hv]  # lower bound

@@ -177,3 +177,38 @@ def test_text_embed_neardup_finds_near_dups(ray_session):
                                vec_col="embedding", threshold=0.9)
     got = {(int(x), int(y)) for x, y in zip(pairs["id_a"], pairs["id_b"])}
     assert got == {(1, 2)}
+
+
+def test_redact_pii_values():
+    from fastobo_py_ray.stages.redact import redact_pii_batch
+
+    df = pd.DataFrame({"text": [
+        "mail a.b-c_1%x@sub.example.org now",
+        "server at 192.168.0.1 and 10.0.0.255, version 1.2",
+        "call +1 555-0123 or +44 201-9999 today",
+        "clean text with no pii at all",
+        "",
+    ]})
+    out = redact_pii_batch(df)
+    assert out["text"].tolist() == [
+        "mail <EMAIL> now",
+        "server at <IP> and <IP>, version 1.2",
+        "call <PHONE> or <PHONE> today",
+        "clean text with no pii at all",
+        "",
+    ]
+    assert out["n_email"].tolist() == [1, 0, 0, 0, 0]
+    assert out["n_ip"].tolist() == [0, 2, 0, 0, 0]
+    assert out["n_phone"].tolist() == [0, 0, 2, 0, 0]
+
+
+def test_redact_pii_order_email_before_ip():
+    """The address's host digits must never be half-eaten by the IP
+    rule: email replacement runs first."""
+    from fastobo_py_ray.stages.redact import redact_pii_batch
+
+    df = pd.DataFrame({"text": ["x 10.0.0.1@1.2.3.4.com y 5.6.7.8"]})
+    out = redact_pii_batch(df)
+    assert out["text"].tolist() == ["x <EMAIL> y <IP>"]
+    assert out["n_email"].tolist() == [1]
+    assert out["n_ip"].tolist() == [1]
