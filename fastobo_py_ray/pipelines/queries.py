@@ -1325,6 +1325,48 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_cust_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-customer order count and spend INCLUDING zero-order
+    customers — distributed LEFT OUTER join: inside a bucket the
+    pandas left merge is globally exact (a bucket holds every row of
+    its keys), and the per-customer aggregate piggybacks on the join
+    exchange via bucket_finalize (pandas count skips the NaN right
+    columns of unmatched customers, matching SQL count(col);
+    all-NaN-group sum yields 0.0, matching coalesce(sum, 0))."""
+    from ..functions.relops import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["c_custkey", "c_mktsegment"], as_index=False,
+                         sort=False).agg(
+            n_orders=("o_orderkey", "count"),
+            total_spent=("o_totalprice", "sum"))
+        out["total_spent"] = out["total_spent"].round(2)
+        return out
+
+    out = hash_join(cust, orders, on="c_custkey", how="left",
+                    lcols=["c_custkey", "c_mktsegment"],
+                    rcols=["c_custkey", "o_orderkey", "o_totalprice"],
+                    bucket_finalize=finalize).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUST_ORDER_STATS_SQL = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey)::BIGINT AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
+"""
+
+
 def q_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-group continuous quantiles of event values: one coarse
     exchange on the (low-cardinality) group key, np.percentile inside
@@ -1617,6 +1659,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_quantiles": q_quantiles,
         "q_quantiles_approx": q_quantiles_approx,
         "q_cust_no_orders": q_cust_no_orders,
+        "q_cust_order_stats": q_cust_order_stats,
         "q_curation": q_curation,
         "q_text_embed_neardup": q_text_embed_neardup,
         "q_rollup": q_rollup,
@@ -1659,6 +1702,7 @@ def oracles() -> Dict[str, str]:
         "q_asof_join": Q_ASOF_SQL,
         "q_quantiles": Q_QUANTILES_SQL,
         "q_cust_no_orders": Q_CUST_NO_ORDERS_SQL,
+        "q_cust_order_stats": Q_CUST_ORDER_STATS_SQL,
         "q_rollup": Q_ROLLUP_SQL,
         "q_set_ops": Q_SET_OPS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
