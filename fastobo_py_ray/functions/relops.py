@@ -80,9 +80,12 @@ def hash_join(left, right, on: Union[str, List[str]],
     Both sides are hash-bucketed on the key, unioned with a side tag, and
     merged per bucket inside ``groupby(bucket).map_groups`` — the portable
     large-large join (no reliance on a Dataset.join API). Deterministic:
-    bucket id is a stable string hash of the key columns. ``how`` also
-    accepts ``"semi"`` / ``"anti"`` (existence filter: left rows kept /
-    dropped by key membership in the right side; output columns =
+    bucket id is a stable string hash of the key columns. ``how`` covers
+    the full pandas merge set (``inner``/``left``/``right``/``outer`` —
+    exact per bucket because a bucket holds every row of its keys on
+    BOTH sides, so unmatched rows surface in exactly one bucket) and
+    also accepts ``"semi"`` / ``"anti"`` (existence filter: left rows
+    kept / dropped by key membership in the right side; output columns =
     ``lcols`` only — the scale shape for NOT EXISTS / IN subqueries).
 
     ``bucket_finalize(df) -> df`` runs on each bucket's joined frame
@@ -212,6 +215,66 @@ def asof_join(left, right, on: str, by: str,
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction,
                             suffixes=suffixes)
         return out
+
+    return u.groupby("__bucket").map_groups(merge_bucket,
+                                            batch_format="pandas")
+
+
+def range_join(left, right, by: str, on: str, lo: str, hi: str,
+               num_buckets: int = 32,
+               lcols: Optional[List[str]] = None,
+               rcols: Optional[List[str]] = None,
+               closed: str = "both"):
+    """Distributed range (interval) join Ray Data lacks: each left row
+    (point ``on``) pairs with every right row whose ``[lo, hi]`` interval
+    contains it, within the same ``by`` equality key.
+
+    Shape: ONE keyed exchange — both sides hash-bucket on ``by`` (same
+    tagged-union as :func:`hash_join`); inside a bucket, which holds
+    every row of its ``by`` keys, an equi-merge on ``by`` followed by a
+    vectorized interval mask is globally exact.  ``closed`` picks the
+    boundary semantics: ``"both"`` = ``lo <= on <= hi``, ``"left"`` =
+    ``lo <= on < hi``, ``"right"`` = ``lo < on <= hi``.
+
+    Partitioning assumption (document per call site): the in-bucket
+    merge materializes the per-``by``-key cross product before the mask,
+    so per-key ``n_left x n_right`` must fit a task — true for
+    event-vs-window workloads where windows per key are bounded.  For
+    unbounded fanout, pre-split intervals into fixed-width time chunks
+    and add the chunk id to ``by`` (turns the blowup into per-chunk
+    work); ``num_buckets`` remains the skew/parallelism knob.
+    """
+    if lcols is None:
+        lcols = [c for c in left.schema().names]
+    if rcols is None:
+        rcols = [c for c in right.schema().names]
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str, cols: List[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__bucket"] = _bucket_ids(df, [by], num_buckets)
+            df["__side"] = side
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = np.nan
+            return typed_empty(df[all_cols + ["__bucket", "__side"]])
+        return fn
+
+    u = left.map_batches(tag("l", lcols), batch_format="pandas").union(
+        right.map_batches(tag("r", rcols), batch_format="pandas"))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"][lcols]
+        r = df[df["__side"] == "r"][rcols]
+        m = l.merge(r, on=by, how="inner")
+        if closed == "both":
+            keep = (m[on] >= m[lo]) & (m[on] <= m[hi])
+        elif closed == "left":
+            keep = (m[on] >= m[lo]) & (m[on] < m[hi])
+        else:
+            keep = (m[on] > m[lo]) & (m[on] <= m[hi])
+        return typed_empty(m[keep])
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.relops import typed_empty
 from ..sources.pages import documents_as_pages
 from ..stages.ann import brute_force_topk
 from ..stages.dedup import exact_dedup, minhash_dedup, simhash64_batch
@@ -1450,6 +1451,123 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join — events within the hour BEFORE each
+    purchase by the same user. One hash exchange on user_id; equi-merge
+    + vectorized interval mask inside buckets (exact: a bucket holds
+    every row of its user_ids). Timestamps travel as float64 epoch ticks
+    so the tagged union stays single-dtype; all three tick columns are
+    normalized to ns FIRST (Timedelta arithmetic silently promotes a
+    datetime64[us] column to ns, so mixing converted units would shift
+    one side by 1000x)."""
+    import pyarrow.dataset as pds
+
+    from ..functions.relops import range_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    # dictionary-encode the string column through the shuffle: a 0-row
+    # string block (an empty hash bucket) trips Ray's size estimator,
+    # and shipping int codes moves less data anyway.  event_type is a
+    # bounded domain, so the distinct scan is a legitimate broadcast.
+    etypes = sorted(_read(sf_dir, "events", columns=["event_type"])
+                    .unique("event_type"))
+    code_of = {t: i for i, t in enumerate(etypes)}
+
+    def to_point(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "ts_t": df["ts"].astype("datetime64[ns]")
+                .astype("int64").astype("float64"),
+            "et_code": df["event_type"].map(code_of).astype("int64")})
+
+    purch = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                  filter=pds.field("event_type") == "purchase")
+
+    def to_window(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("datetime64[ns]")
+        return pd.DataFrame({
+            "purchase_id": df["event_id"], "user_id": df["user_id"],
+            "lo": (ns - pd.Timedelta(hours=1)).astype("int64")
+                .astype("float64"),
+            "hi": ns.astype("int64").astype("float64")})
+
+    out = range_join(
+        ev.map_batches(to_point, batch_format="pandas"),
+        purch.map_batches(to_window, batch_format="pandas"),
+        by="user_id", on="ts_t", lo="lo", hi="hi", closed="left",
+        lcols=["event_id", "user_id", "ts_t", "et_code"],
+        rcols=["purchase_id", "user_id", "lo", "hi"]).to_pandas()
+    out["event_type"] = out["et_code"].astype("int64").map(
+        dict(enumerate(etypes)))
+    out = out[["purchase_id", "event_id", "user_id", "event_type"]].astype(
+        {"purchase_id": "int64", "event_id": "int64", "user_id": "int64"})
+    return out.sort_values(["purchase_id", "event_id"]).reset_index(drop=True)
+
+
+Q_RANGE_JOIN_SQL = """
+WITH purch AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, e.event_id, e.user_id, e.event_type
+FROM events e JOIN purch p ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+ORDER BY p.purchase_id, e.event_id
+"""
+
+
+def q_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join with unmatched rows on BOTH sides (customers with
+    custkey%3=0 vs per-customer order counts with custkey%5=0) — exact
+    per bucket because a bucket holds every row of its keys on both
+    sides, so an unmatched key surfaces in exactly one bucket."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    # dictionary-encode the bounded-domain segment string through the
+    # shuffle (0-row string blocks in empty hash buckets trip Ray's
+    # size estimator; int codes also ship fewer bytes)
+    segs = sorted(_read(sf_dir, "customer", columns=["c_mktsegment"])
+                  .unique("c_mktsegment"))
+    seg_code = {s: i for i, s in enumerate(segs)}
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] % 3 == 0].copy()
+        df["seg_code"] = df["c_mktsegment"].map(seg_code).astype("int64")
+        return df[["c_custkey", "seg_code"]]
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(enc, batch_format="pandas")
+    oagg = grouped_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(lambda df: typed_empty(df[df["o_custkey"] % 5 == 0]),
+                     batch_format="pandas"),
+        "o_custkey", n_orders=("o_custkey", "size")) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+
+    out = hash_join(cust, oagg, on="c_custkey", how="outer",
+                    lcols=["c_custkey", "seg_code"],
+                    rcols=["c_custkey", "n_orders"]).to_pandas()
+    out["c_mktsegment"] = out.pop("seg_code").map(
+        dict(enumerate(segs))).fillna("(none)")
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_FULL_OUTER_SQL = """
+SELECT coalesce(c.c_custkey, o.o_custkey)::BIGINT AS c_custkey,
+       coalesce(c.c_mktsegment, '(none)') AS c_mktsegment,
+       coalesce(o.n_orders, 0)::BIGINT AS n_orders
+FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c
+FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+           WHERE o_custkey % 5 = 0 GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF approximate top-k (k-means inverted lists, nprobe=4 of 16);
     rows-only — recall vs the exact oracle is pytest-gated."""
@@ -1660,6 +1778,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_quantiles_approx": q_quantiles_approx,
         "q_cust_no_orders": q_cust_no_orders,
         "q_cust_order_stats": q_cust_order_stats,
+        "q_range_join": q_range_join,
+        "q_full_outer": q_full_outer,
         "q_curation": q_curation,
         "q_text_embed_neardup": q_text_embed_neardup,
         "q_rollup": q_rollup,
@@ -1703,6 +1823,8 @@ def oracles() -> Dict[str, str]:
         "q_quantiles": Q_QUANTILES_SQL,
         "q_cust_no_orders": Q_CUST_NO_ORDERS_SQL,
         "q_cust_order_stats": Q_CUST_ORDER_STATS_SQL,
+        "q_range_join": Q_RANGE_JOIN_SQL,
+        "q_full_outer": Q_FULL_OUTER_SQL,
         "q_rollup": Q_ROLLUP_SQL,
         "q_set_ops": Q_SET_OPS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and

@@ -292,3 +292,54 @@ def test_q5_supplier_tier_paths_agree(ray_session):
     via_join = _norm(q5_region_revenue(sf, supplier_broadcast_limit=0))
     pd.testing.assert_frame_equal(via_broadcast, via_join)
     assert len(via_broadcast) > 0
+
+
+@pytest.mark.parametrize("closed", ["both", "left", "right"])
+def test_range_join_matches_pandas(ray_session, closed):
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import range_join
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({"pid": np.arange(300),
+                        "k": rng.integers(0, 9, 300),
+                        "x": rng.uniform(0, 100, 300).round(3)})
+    ivs = pd.DataFrame({"iid": np.arange(60),
+                        "k": rng.integers(0, 9, 60),
+                        "lo": rng.uniform(0, 90, 60).round(3)})
+    ivs["hi"] = (ivs["lo"] + rng.uniform(1, 15, 60)).round(3)
+
+    got = range_join(rd.from_pandas(pts).repartition(4),
+                     rd.from_pandas(ivs).repartition(2),
+                     by="k", on="x", lo="lo", hi="hi", closed=closed,
+                     num_buckets=5).to_pandas()
+    m = pts.merge(ivs, on="k")
+    if closed == "both":
+        keep = (m["x"] >= m["lo"]) & (m["x"] <= m["hi"])
+    elif closed == "left":
+        keep = (m["x"] >= m["lo"]) & (m["x"] < m["hi"])
+    else:
+        keep = (m["x"] > m["lo"]) & (m["x"] <= m["hi"])
+    want = m[keep]
+    assert len(want) > 50  # non-trivial fixture
+    pd.testing.assert_frame_equal(_norm(got[want.columns.tolist()]),
+                                  _norm(want), check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_hash_join_right_outer(ray_session, how):
+    import ray.data as rd
+
+    # unmatched keys on BOTH sides: left k in 0..36, right k even + 38/40
+    left, right = _orders(), _dim()
+    right = pd.concat([right, pd.DataFrame({"k": [38, 40],
+                                            "name": ["d38", "d40"]})],
+                      ignore_index=True)
+    got = hash_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", num_buckets=5, how=how).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    pd.testing.assert_frame_equal(_norm(got).fillna("<na>"),
+                                  _norm(want).fillna("<na>"),
+                                  check_dtype=False)
