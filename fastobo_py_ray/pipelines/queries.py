@@ -920,6 +920,50 @@ def q_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_TFIDF_K = 3
+
+
+def q_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-k TF-IDF keywords (see
+    stages/textstats.py:tfidf_topk for the two-exchange scale shape).
+    n_docs is a parquet-metadata count — no data scan."""
+    from ..stages.textstats import tfidf_topk
+
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_topk(ds, n_docs=n_docs, k=_TFIDF_K).to_pandas()
+    out["word"] = out["word"].astype(str)
+    out["score"] = out["score"].astype("float64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "score", "word"],
+                           ascending=[True, False, True], kind="stable") \
+        .reset_index(drop=True)
+
+
+Q_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+), dfreq AS (
+  SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                          / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (word)
+), ranked AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, score FROM ranked WHERE rn <= {_TFIDF_K}
+ORDER BY doc_id, score DESC, word
+"""
+
+
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
@@ -1756,6 +1800,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_distinct_users_approx": q_distinct_users_approx,
         "q_top_tokens": q_top_tokens,
         "q_heavy_tokens": q_heavy_tokens,
+        "q_tfidf": q_tfidf,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -1808,6 +1853,7 @@ def oracles() -> Dict[str, str]:
         "q_pii_redact": _pii_sql(),
         "q_distinct_users": Q_DISTINCT_USERS_SQL,
         "q_top_tokens": Q_TOP_TOKENS_SQL,
+        "q_tfidf": Q_TFIDF_SQL,
         # q_distinct_users_approx (HLL) / q_heavy_tokens (Misra-Gries)
         # are the sketch siblings of the two exact queries above:
         # approximate by design -> rows-only, with pytest error/

@@ -240,3 +240,66 @@ def hashed_tf_embed(ds, text_col: str = "text", dim: int = 256,
     return ds.map_batches(
         lambda df: hashed_tf_embed_batch(df, text_col, dim, out_col),
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(ds, n_docs: int, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3,
+               num_buckets: int = 64, round_to: int = 6):
+    """Per-document top-``k`` TF-IDF keywords over a space-tokenized
+    corpus; returns a Dataset of ``(id_col, word, score)``.
+
+    Scale shape (two keyed exchanges, nothing on the driver):
+
+    1. term frequencies are EXACT per batch (a document's text lives in
+       one row, hence one batch), so the first exchange — bucketed on
+       ``word`` — only has to reduce pre-counted ``(doc, word, tf)``
+       partials and compute document frequency: a bucket holds every
+       row of its words, so ``groupby(word).size`` over the distinct
+       (doc, word) rows IS the global df, and the idf score is applied
+       in the same task (no separate join for the idf table).
+    2. the second exchange buckets on ``id_col`` and takes each
+       document's top-k by (score desc, word asc) — C-speed
+       sort + ``groupby.head`` inside the bucket.
+
+    ``score = round(tf * ln(n_docs / df), round_to)`` — rounded BEFORE
+    ranking so distributed float summation order can never flip a rank
+    across engines. ``n_docs`` is passed in (a metadata-only count).
+    """
+    from ..functions.relops import grouped_map
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        ids = np.repeat(df[id_col].to_numpy(), lens)
+        toks = s.explode().to_numpy()
+        out = pd.DataFrame({id_col: ids,
+                            "word": pd.Series(toks, dtype="string")})
+        out = out.groupby([id_col, "word"], as_index=False,
+                          sort=False, observed=True).size() \
+                 .rename(columns={"size": "tf"})
+        return out
+
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, word) pairs, so the group size per
+        # word is the document frequency — vectorized via transform
+        dfc = df.groupby("word", sort=False)["tf"].transform("size")
+        df = df.copy()
+        df["score"] = (df["tf"] * np.log(n_docs / dfc.to_numpy())) \
+            .round(round_to)
+        return df[[id_col, "word", "score"]]
+
+    scored = grouped_map(tf, "word", score_bucket, num_buckets=num_buckets)
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "score", "word"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby(id_col, sort=False).head(k)
+
+    return grouped_map(scored, id_col, topk_bucket,
+                       num_buckets=num_buckets)

@@ -212,3 +212,48 @@ def test_redact_pii_order_email_before_ip():
     assert out["text"].tolist() == ["x <EMAIL> y <IP>"]
     assert out["n_email"].tolist() == [1]
     assert out["n_ip"].tolist() == [1]
+
+
+def test_tfidf_topk_values(ray_session):
+    """tfidf_topk matches a plain-Python TF-IDF reference on a tiny
+    corpus: the rare word dominates each document's keyword list and
+    a corpus-universal word scores exactly zero (ln(n/n))."""
+    import math
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.textstats import tfidf_topk
+
+    texts = {
+        1: "apple apple banana common",
+        2: "banana cherry common",
+        3: "cherry cherry cherry common",
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = tfidf_topk(ds, n_docs=3, k=2, num_buckets=4).to_pandas()
+    out = out.sort_values(["doc_id", "score", "word"],
+                          ascending=[True, False, True])
+
+    # independent reference
+    tf = {d: {} for d in texts}
+    for d, t in texts.items():
+        for w in t.split(" "):
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in texts:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = []
+    for d in sorted(texts):
+        scored = sorted(
+            ((round(c * math.log(3 / dfreq[w]), 6), w)
+             for w, c in tf[d].items()),
+            key=lambda sw: (-sw[0], sw[1]))[:2]
+        want += [(d, w, s) for s, w in scored]
+    got = [(int(r.doc_id), str(r.word), float(r.score))
+           for r in out.itertuples()]
+    assert got == want
+    # 'common' appears in every doc -> idf 0 -> never a top keyword
+    # unless forced; with k=2 it should not beat the distinctive words
+    assert ("common" not in {w for _, w, s in got if s > 0})
