@@ -1050,6 +1050,137 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
 """
 
 
+def q_graph_cc(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the EXACT 3-gram-Jaccard near-dup graph:
+    every document labeled with the min doc_id of its component
+    (singletons label themselves).  Engine: the pair pipeline of
+    q_ngram_jaccard -> tree-reduce DSU contraction
+    (stages/canonicalize.py:connected_components_contract) -> ONE
+    left hash join to attach labels back to the full doc set.  Oracle:
+    recursive-CTE min-label transitive closure over the same pairs."""
+    from ..functions.relops import hash_join
+    from ..stages.canonicalize import connected_components_contract
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["doc_a"].astype(str).astype("string"),
+            "b": df["doc_b"].astype(str).astype("string")}),
+        batch_format="pandas")
+    labels = connected_components_contract(edges, col_a="a", col_b="b",
+                                           key=int)
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["doc_id"].astype(str).astype("string")}),
+        batch_format="pandas")
+    out = hash_join(docs, labels, on="node", how="left",
+                    lcols=["node"], rcols=["node", "label"]).to_pandas()
+    out["component"] = out["label"].fillna(out["node"]).astype("int64")
+    out["doc_id"] = out["node"].astype("int64")
+    return out[["doc_id", "component"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+Q_GRAPH_CC_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_NGRAM_JACCARD_SQL}),
+bidir AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN bidir e ON e.s = r.node
+)
+SELECT node AS doc_id, min(lab)::BIGINT AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING = 0.85
+_PAGERANK_ROUND = 10
+_PAGERANK_K = 20
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Top-20 PageRank over the order->customer->nation->region entity
+    graph (plus supplier->nation), node ids namespaced by a one-letter
+    prefix.  Engine: stages/graph.py:pagerank — fixed-iteration power
+    method with per-iteration decimal rounding so the distributed float
+    summation order can never diverge from the oracle's; broadcast-rank
+    tier here (the node set is SF-bounded; mode="join" is the
+    node-set-exceeds-a-worker path, parity-tested).  Oracle: the same
+    recurrence as chained CTEs."""
+    from ..stages.graph import pagerank
+
+    def pfx(table, a, pa_, b, pb):
+        ds = _read(sf_dir, table, columns=[a, b])
+        return ds.map_batches(
+            lambda df, a=a, b=b, pa_=pa_, pb=pb: pd.DataFrame({
+                "src": (pa_ + df[a].astype(str)).astype("string"),
+                "dst": (pb + df[b].astype(str)).astype("string")}),
+            batch_format="pandas")
+
+    edges = pfx("orders", "o_orderkey", "o:", "o_custkey", "c:") \
+        .union(pfx("customer", "c_custkey", "c:", "c_nationkey", "n:")) \
+        .union(pfx("supplier", "s_suppkey", "s:", "s_nationkey", "n:")) \
+        .union(pfx("nation", "n_nationkey", "n:", "n_regionkey", "r:"))
+    out = pagerank(edges, num_iters=_PAGERANK_ITERS,
+                   damping=_PAGERANK_DAMPING,
+                   round_to=_PAGERANK_ROUND).to_pandas()
+    out["node"] = out["node"].astype(str)
+    out["rank"] = out["rank"].astype("float64")
+    return out.sort_values(["rank", "node"], ascending=[False, True],
+                           kind="stable").head(_PAGERANK_K) \
+        .reset_index(drop=True)
+
+
+def _pagerank_sql(num_iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING,
+                  round_to=_PAGERANK_ROUND, k=_PAGERANK_K) -> str:
+    """Chained-CTE PageRank: one (dangling-mass, contribution, rank)
+    CTE triple per iteration — the exact recurrence of
+    stages/graph.py:pagerank, decimal-rounded at every step."""
+    it = ""
+    prev = "r0"
+    for i in range(1, num_iters + 1):
+        it += f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+         FROM {prev} r LEFT JOIN deg g ON r.node = g.node
+         WHERE g.node IS NULL),
+c{i} AS (SELECT e.dst AS node, sum(r.rank / g.outdeg) AS s
+         FROM edges e JOIN {prev} r ON e.src = r.node
+                      JOIN deg g ON e.src = g.node
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+           round((1.0 - {damping}) / (SELECT n FROM nn)
+                 + {damping} * (coalesce(c.s, 0)
+                                + (SELECT mass FROM d{i})
+                                  / (SELECT n FROM nn)),
+                 {round_to}) AS rank
+         FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst FROM orders
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS node, count(*)::DOUBLE AS outdeg
+        FROM edges GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {round_to}) AS rank
+       FROM nodes){it}
+SELECT node, rank FROM {prev}
+ORDER BY rank DESC, node LIMIT {k}
+"""
+
+
 def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     """Bucketed (distributed) approximate variant of q_embedding_neardup;
     rows-only (subset-of-exact + recall asserted in tests)."""
@@ -1805,6 +1936,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_graph_cc": q_graph_cc,
+        "q_pagerank": q_pagerank,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_minhash_clusters": q_minhash_clusters,
@@ -1861,6 +1994,8 @@ def oracles() -> Dict[str, str]:
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_graph_cc": Q_GRAPH_CC_SQL,
+        "q_pagerank": _pagerank_sql(),
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,

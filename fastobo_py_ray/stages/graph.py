@@ -18,6 +18,9 @@ from __future__ import annotations
 from collections import deque
 from typing import Dict, Iterable, List, Sequence, Set, Tuple
 
+import numpy as np
+import pandas as pd
+
 Edge = Tuple[str, str]  # (child, parent) — child is_a parent
 
 
@@ -124,3 +127,181 @@ def descendants_ds(edges_ds, roots: Sequence[str],
                 f"path in stages.canonicalize instead.")
         frontier = new
     return seen
+
+
+# ---------------------------------------------------------------------------
+# PageRank over an adjacency Dataset
+# ---------------------------------------------------------------------------
+
+def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
+             num_iters: int = 5, damping: float = 0.85,
+             round_to: int = 10, mode: str = "broadcast",
+             max_nodes: int = 5_000_000, num_buckets: int = 64):
+    """Distributed PageRank over a (src, dst) edge Dataset; returns a
+    Dataset of ``(node, rank)`` covering every node of the graph.
+
+    Semantics (fixed-iteration power method, so two engines can agree
+    bit-for-bit): ranks start at ``round(1/N, round_to)``; each of the
+    ``num_iters`` rounds computes
+
+        rank'(v) = round((1-d)/N + d*(sum_{(u,v)} rank(u)/outdeg(u)
+                                      + dangling_mass/N), round_to)
+
+    where ``dangling_mass`` is the rank held by nodes with no
+    out-edges, redistributed uniformly.  Rounding after EVERY iteration
+    makes the result independent of float summation order, so a
+    SQL engine evaluating the same recurrence matches exactly.
+
+    Two tiers, identical results (parity-tested):
+
+    * ``mode="broadcast"`` — the rank vector is the small side: nodes
+      are collected once (guarded by ``max_nodes``), edges are
+      dictionary-encoded to int32 index pairs and materialized ONCE,
+      and each iteration is a single shuffle-free ``map_batches`` pass
+      emitting per-batch ``bincount`` partial sums (bounded by distinct
+      dst per batch, never edge multiplicity) that the driver folds.
+      The graph — the 100-TB side — never moves after the encode.
+    * ``mode="join"`` — nothing node-shaped on the driver: ranks live
+      in a Dataset, each iteration joins them to the (degree-annotated)
+      edges on ``src`` and pre-reduces contributions per dst inside the
+      join buckets before one coarse ``grouped_agg`` exchange; dangling
+      mass is an anti-join + sum scalar.  Use when the node set itself
+      exceeds a worker's heap.
+    """
+    import ray
+
+    teleport_base = 1.0 - damping
+
+    def to_sd(df: pd.DataFrame) -> pd.DataFrame:
+        # "string" dtype (not object) end-to-end: Ray's size estimator
+        # chokes on 0-row object columns, and empty buckets are routine
+        return pd.DataFrame({
+            "src": df[src_col].astype("string"),
+            "dst": df[dst_col].astype("string")})
+
+    edges = edges_ds.map_batches(to_sd, batch_format="pandas")
+
+    if mode == "broadcast":
+        # nodes + outdeg in one bounded collect (per-batch distinct /
+        # per-batch value_counts partials keep the driver rows bounded
+        # by distinct nodes, never edges)
+        parts = edges.map_batches(
+            lambda df: pd.concat(
+                [df["src"].value_counts().rename_axis("node")
+                 .reset_index(name="deg"),
+                 pd.DataFrame({"node": df["dst"].unique(), "deg": 0})],
+                ignore_index=True),
+            batch_format="pandas").to_pandas()
+        deg = parts.groupby("node", sort=True)["deg"].sum()
+        if len(deg) > max_nodes:
+            raise ValueError(
+                f"pagerank(mode='broadcast') node set ({len(deg)}) "
+                f"exceeds max_nodes={max_nodes}; use mode='join' (no "
+                f"driver-side node vector).")
+        nodes = deg.index.to_numpy()
+        outdeg = deg.to_numpy().astype("float64")
+        n = len(nodes)
+        idx_ref = ray.put({v: i for i, v in enumerate(nodes)})
+
+        def encode(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(idx_ref)
+            return pd.DataFrame({
+                "si": df["src"].map(m).astype("int32"),
+                "di": df["dst"].map(m).astype("int32")})
+
+        iedges = edges.map_batches(encode,
+                                   batch_format="pandas").materialize()
+
+        rank = np.round(np.full(n, 1.0 / n), round_to)
+        dangling = outdeg == 0
+        safe_deg = np.where(dangling, 1.0, outdeg)
+        for _ in range(num_iters):
+            w_ref = ray.put(rank / safe_deg)
+
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                w = ray.get(w_ref)
+                di = df["di"].to_numpy()
+                c = np.bincount(di, weights=w[df["si"].to_numpy()])
+                nz = np.nonzero(c)[0]
+                return pd.DataFrame({"di": nz.astype("int32"),
+                                     "c": c[nz]})
+
+            part = iedges.map_batches(contrib,
+                                      batch_format="pandas").to_pandas()
+            s = np.zeros(n)
+            np.add.at(s, part["di"].to_numpy(), part["c"].to_numpy())
+            mass = float(rank[dangling].sum())
+            rank = np.round(teleport_base / n
+                            + damping * (s + mass / n), round_to)
+        out = pd.DataFrame({"node": pd.Series(nodes, dtype="string"),
+                            "rank": rank})
+        import ray.data as rd
+        return rd.from_pandas(out)
+
+    if mode != "join":
+        raise ValueError(f"unknown pagerank mode {mode!r}")
+
+    from ..functions.relops import grouped_agg, hash_join
+
+    nodes_ds = grouped_agg(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"node": pd.concat(
+                [df["src"], df["dst"]], ignore_index=True).unique()}),
+            batch_format="pandas"),
+        "node", num_buckets=num_buckets, node=("node", "first")) \
+        .materialize()
+    n = nodes_ds.count()
+    deg_ds = grouped_agg(edges, "src", num_buckets=num_buckets,
+                         outdeg=("dst", "count"))
+    # degree rides with the edges once; the per-iteration join then only
+    # moves (node, rank) + the static edge partition
+    edeg = hash_join(edges, deg_ds, on="src",
+                     lcols=["src", "dst"], rcols=["src", "outdeg"],
+                     num_buckets=num_buckets).materialize()
+
+    r0 = round(1.0 / n, round_to)
+    ranks = nodes_ds.map_batches(
+        lambda df: df.assign(rank=r0), batch_format="pandas") \
+        .materialize()
+
+    for _ in range(num_iters):
+        # dangling mass: rank of nodes with no out-edge (anti join on deg)
+        mass_rows = hash_join(
+            ranks, deg_ds.map_batches(
+                lambda df: df.rename(columns={"src": "node"})[["node"]],
+                batch_format="pandas"),
+            on="node", how="anti", lcols=["node", "rank"],
+            rcols=["node"], num_buckets=num_buckets)
+        mass = mass_rows.sum("rank") or 0.0
+
+        def j_finalize(df: pd.DataFrame) -> pd.DataFrame:
+            # combiner: pre-reduce contributions per dst inside the
+            # src-keyed join bucket before the dst exchange
+            df = df.assign(c=df["rank"] / df["outdeg"])
+            return df.groupby("dst", as_index=False, sort=False)["c"].sum()
+
+        contrib = hash_join(
+            edeg, ranks.map_batches(
+                lambda df: df.rename(columns={"node": "src"}),
+                batch_format="pandas"),
+            on="src", lcols=["src", "dst", "outdeg"],
+            rcols=["src", "rank"], num_buckets=num_buckets,
+            bucket_finalize=j_finalize)
+        summed = grouped_agg(contrib, "dst", num_buckets=num_buckets,
+                             c=("c", "sum"))
+
+        def apply_rank(df: pd.DataFrame, m=mass) -> pd.DataFrame:
+            c = df["c"].fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "node": df["node"],
+                "rank": np.round(teleport_base / n
+                                 + damping * (c + m / n), round_to)})
+
+        ranks = hash_join(
+            nodes_ds, summed.map_batches(
+                lambda df: df.rename(columns={"dst": "node"}),
+                batch_format="pandas"),
+            on="node", how="left", lcols=["node"], rcols=["node", "c"],
+            num_buckets=num_buckets,
+            bucket_finalize=apply_rank).materialize()
+    return ranks
