@@ -1050,6 +1050,183 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
 """
 
 
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running (cumulative) sum of event values — the
+    UNBOUNDED PRECEDING window frame.  One keyed exchange on user_id;
+    inside the bucket a C-speed sort + groupby.cumsum covers every
+    event of its users exactly.  Total order (ts, event_id) makes the
+    prefix deterministic on timestamp ties; per-row rounding absorbs
+    float accumulation-order differences between engines."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        rs = df.groupby("user_id", sort=False, dropna=False)["value"] \
+            .cumsum()
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "running_sum": rs.round(6)})
+
+    out = grouped_map(ds, "user_id", bucket).to_pandas()
+    out["running_sum"] = out["running_sum"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS running_sum
+FROM events ORDER BY event_id
+"""
+
+
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model — the classic cheap LM-quality score (low = rare-token-heavy
+    / noisy text).  Two keyed exchanges: (1) per-batch exact (doc,
+    word, tf) partials -> word-bucketed df/count reduce gives the
+    vocabulary table; (2) the SAME word-keyed join attaches ln(c/T) and
+    pre-reduces tf-weighted partial sums per doc inside the join bucket
+    before one doc-keyed aggregate.  The corpus token total T is a
+    driver scalar off the (vocab-sized) frequency table."""
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        ids = np.repeat(df["doc_id"].to_numpy(), lens)
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "word": pd.Series(s.explode().to_numpy(), dtype="string")})
+        return out.groupby(["doc_id", "word"], as_index=False,
+                           sort=False, observed=True).size() \
+            .rename(columns={"size": "tf"})
+
+    # tf is NOT materialized: the score join below re-streams the
+    # token partials from the parquet read instead of pinning a
+    # corpus-shaped Dataset in the object store (two scans beat one
+    # materialization at 100x) — only the vocab-sized freq table and
+    # the scalar T persist between the passes.
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    freq = grouped_agg(tf, "word", c=("tf", "sum")).materialize()
+    total = float(freq.sum("c"))
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["tf"].to_numpy() * np.log(df["c"].to_numpy() / total)
+        part = pd.DataFrame({"doc_id": df["doc_id"], "lp": lp,
+                             "n": df["tf"]})
+        return part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(lp=("lp", "sum"), n=("n", "sum"))
+
+    part = hash_join(tf, freq, on="word",
+                     lcols=["doc_id", "word", "tf"], rcols=["word", "c"],
+                     bucket_finalize=score_bucket)
+    out = grouped_agg(part, "doc_id", lp=("lp", "sum"), n=("n", "sum")) \
+        .to_pandas()
+    out["logprob"] = (out["lp"] / out["n"]).round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "logprob"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+Q_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks)
+SELECT doc_id, round(avg(ln(f.c / (SELECT t FROM tot))), 6) AS logprob
+FROM toks JOIN freq f USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_INVIDX_MIN_DF = 5
+_INVIDX_MAX_DF = 50
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Search-style inverted index over word BIGRAMS: for each
+    mid-frequency bigram (document frequency in [5, 50] — boilerplate
+    and hapaxes pruned), the comma-joined sorted posting list of
+    doc_ids.  Per-batch vectorized bigram build (consecutive-token
+    join masked at doc boundaries, no per-row loop), then one
+    bigram-keyed exchange of per-doc-distinct pairs; a bucket holds
+    every posting of its bigrams, so the df filter and the ordered
+    list build are exact in-task, and the Python string join runs per
+    SURVIVING group only — the df band keeps that set small."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        ids = np.repeat(df["doc_id"].to_numpy(), lens)
+        toks = s.explode().to_numpy().astype("U")
+        if len(toks) < 2:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "token": pd.Series(dtype="string")})
+        same = ids[:-1] == ids[1:]
+        bg = np.char.add(np.char.add(toks[:-1][same], " "),
+                         toks[1:][same])
+        out = pd.DataFrame({
+            "doc_id": ids[:-1][same],
+            "token": pd.Series(bg, dtype="string")})
+        # a document lives wholly in one batch row, so per-batch
+        # distinct IS globally distinct
+        return out.drop_duplicates()
+
+    pr = ds.map_batches(pairs, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df
+        dfreq = d.groupby("token", sort=False)["doc_id"] \
+            .transform("size")
+        d = d[(dfreq >= _INVIDX_MIN_DF) & (dfreq <= _INVIDX_MAX_DF)]
+        if d.empty:
+            return pd.DataFrame({
+                "token": pd.Series(dtype="string"),
+                "df": pd.Series(dtype="int64"),
+                "postings": pd.Series(dtype="string")})
+        d = d.sort_values(["token", "doc_id"], kind="stable")
+        g = d.groupby("token", sort=False)["doc_id"]
+        out = g.agg(lambda s: ",".join(map(str, s))).reset_index() \
+            .rename(columns={"doc_id": "postings"})
+        out["df"] = g.size().to_numpy().astype("int64")
+        out["postings"] = out["postings"].astype("string")
+        return out[["token", "df", "postings"]]
+
+    out = grouped_map(pr, "token", bucket, num_buckets=32).to_pandas()
+    out["token"] = out["token"].astype(str)
+    out["postings"] = out["postings"].astype(str)
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+Q_INVERTED_INDEX_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+toks AS (SELECT DISTINCT doc_id, bg FROM (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM t)))
+SELECT bg AS token, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY bg
+HAVING count(*) BETWEEN {_INVIDX_MIN_DF} AND {_INVIDX_MAX_DF}
+ORDER BY token
+"""
+
+
 def q_graph_cc(sf_dir: str) -> pd.DataFrame:
     """Connected components of the EXACT 3-gram-Jaccard near-dup graph:
     every document labeled with the min doc_id of its component
@@ -1938,6 +2115,9 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_graph_cc": q_graph_cc,
         "q_pagerank": q_pagerank,
+        "q_running_total": q_running_total,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_inverted_index": q_inverted_index,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_minhash_clusters": q_minhash_clusters,
@@ -1996,6 +2176,9 @@ def oracles() -> Dict[str, str]:
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_pagerank": _pagerank_sql(),
+        "q_running_total": Q_RUNNING_TOTAL_SQL,
+        "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
+        "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,
