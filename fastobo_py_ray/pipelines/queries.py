@@ -1227,6 +1227,39 @@ ORDER BY token
 """
 
 
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk(sf_dir: str) -> pd.DataFrame:
+    """Overlapping context-window chunking of every document (see
+    stages/traindata.py:chunk_documents — batch-local, zero
+    exchanges)."""
+    from ..stages.traindata import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, window=_CHUNK_WINDOW,
+                          stride=_CHUNK_STRIDE).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["chunk_text"] = out["chunk_text"].astype(str)
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+Q_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w,
+             unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS st
+      FROM t)
+SELECT doc_id, ((st - 1) // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+       (least(st + {_CHUNK_WINDOW} - 1, len(w)) - st + 1)::BIGINT
+         AS n_words,
+       array_to_string(
+         w[st:least(st + {_CHUNK_WINDOW} - 1, len(w))], ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 def q_graph_cc(sf_dir: str) -> pd.DataFrame:
     """Connected components of the EXACT 3-gram-Jaccard near-dup graph:
     every document labeled with the min doc_id of its component
@@ -2116,6 +2149,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_graph_cc": q_graph_cc,
         "q_pagerank": q_pagerank,
         "q_running_total": q_running_total,
+        "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
         "q_embedding_neardup": q_embedding_neardup,
@@ -2177,6 +2211,7 @@ def oracles() -> Dict[str, str]:
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_pagerank": _pagerank_sql(),
         "q_running_total": Q_RUNNING_TOTAL_SQL,
+        "q_chunk": Q_CHUNK_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,

@@ -293,3 +293,63 @@ def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return grouped_map(ds.map_batches(tokens, batch_format="pandas"),
                        "__pb", pack_bucket, num_buckets=num_buckets)
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 32, stride: int = 24):
+    """Overlapping word-window chunking — the context-window splitting
+    step ahead of tokenize/pack in a training-data pipeline.  Each
+    document emits one chunk per ``stride`` offset (``chunk_id`` 0, 1,
+    ...), each covering up to ``window`` words; the final chunks are
+    the (shorter) tails, so every word of every document is covered
+    and consecutive chunks overlap by ``window - stride`` words.
+
+    Fully batch-local (a document lives in one row, so no exchange at
+    all — the embarrassingly parallel shape).  The chunk text is
+    sliced from the ORIGINAL string by precomputed character offsets
+    (one C-level slice per chunk), never re-joined token by token, and
+    all offset arithmetic is vectorized over the exploded token table.
+
+    Returns columns ``(id_col, chunk_id, n_words, chunk_text)``.
+    """
+    from ..functions.relops import typed_empty
+
+    def chunk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype(str)
+        s = texts.str.split(" ")
+        nw = s.str.len().fillna(0).astype("int64").to_numpy()
+        n_chunks = (nw + stride - 1) // stride  # ceil(nw/stride), >=1
+        n_chunks = np.maximum(n_chunks, 1)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return typed_empty(pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "chunk_id": pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+                "chunk_text": pd.Series(dtype="string")}))
+        doc_ix = np.repeat(np.arange(len(df)), n_chunks)
+        # chunk_id = position within its document
+        chunk_id = np.arange(total) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        w_start = chunk_id * stride                      # 0-based word
+        w_stop = np.minimum(w_start + window, nw[doc_ix])
+        # char offset of each word boundary: cumulative token lengths
+        # (+1 per separating space), concatenated across the batch
+        toks = s.explode()
+        tlen = toks.str.len().fillna(0).astype("int64").to_numpy()
+        ends = np.cumsum(tlen + 1)   # position AFTER word i's space
+        starts_all = ends - tlen - 1  # char start of word i
+        doc_off = np.repeat(np.cumsum(nw) - nw, n_chunks)  # word base
+        doc_char0 = starts_all[doc_off]  # char 0 of the doc's slab
+        c_start = starts_all[doc_off + w_start] - doc_char0
+        c_stop = ends[doc_off + w_stop - 1] - 1 - doc_char0
+        tx = texts.to_numpy()
+        chunk_text = [tx[d][a:b] for d, a, b in
+                      zip(doc_ix, c_start, c_stop)]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[doc_ix],
+            "chunk_id": chunk_id.astype("int64"),
+            "n_words": (w_stop - w_start).astype("int64"),
+            "chunk_text": pd.Series(chunk_text, dtype="string")})
+
+    return ds.map_batches(chunk_batch, batch_format="pandas")

@@ -174,3 +174,35 @@ def test_curation_pipeline_funnel_invariants(ray_session):
         assert r.split == ("val" if h2 < "1a" else "train")
     # ints survived the pack/split join (no NA-widening leak)
     assert out.n_tokens.dtype.kind == "i"
+
+
+def test_chunk_documents_invariants(ray_session):
+    """Every word covered, consecutive chunks overlap by
+    window - stride, tails shorter, reassembly of stride-prefixes
+    equals the document."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import chunk_documents
+
+    docs = {1: "a bb ccc dd e ff g", 2: "x", 3: "one two three four"}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+    out = chunk_documents(ds, window=3, stride=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"])
+    for did, text in docs.items():
+        g = out[out["doc_id"] == did]
+        words = text.split(" ")
+        # chunk k covers words [2k, min(2k+3, n))
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        for _, r in g.iterrows():
+            lo = r.chunk_id * 2
+            want = words[lo:lo + 3]
+            assert r.chunk_text == " ".join(want)
+            assert r.n_words == len(want)
+        # every word index covered by at least one chunk
+        covered = set()
+        for _, r in g.iterrows():
+            covered |= set(range(r.chunk_id * 2,
+                                 r.chunk_id * 2 + r.n_words))
+        assert covered == set(range(len(words)))
