@@ -358,18 +358,63 @@ def group_min(df: pd.DataFrame, keys: List[str], col: str) -> pd.DataFrame:
     return out
 
 
+_SALT_REAGG = {"sum": "sum", "count": "sum", "size": "sum",
+               "min": "min", "max": "max"}
+
+
 def grouped_agg(ds, keys: Union[str, List[str]],
-                num_buckets: int = 64, **named_aggs):
+                num_buckets: int = 64, salt: Optional[int] = None,
+                **named_aggs):
     """:func:`grouped_map` convenience for named aggregations:
     ``grouped_agg(ds, "k", out=("col", "sum"))`` ==
     ``SELECT k, sum(col) AS out GROUP BY k`` with no per-group Python.
+
+    ``salt=S`` splits every key across ``S`` synthetic sub-keys for the
+    first exchange and re-reduces the S partials in a second (tiny)
+    exchange — the standard hot-key remedy when one group's rows exceed
+    a single bucket task's capacity (a power-law key at corpus scale).
+    Only algebraic aggregations can be salted (sum/count/size/min/max —
+    the partials recombine exactly); anything else raises rather than
+    silently double-counting.  The per-batch combiner most callers
+    already run makes salting unnecessary for KB-scale partials; reach
+    for it when raw rows must move, e.g. collecting distinct pairs.
     """
     keys_l = [keys] if isinstance(keys, str) else list(keys)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(keys_l, as_index=False, sort=False).agg(**named_aggs)
 
-    return grouped_map(ds, keys_l, agg, num_buckets=num_buckets)
+    if salt is None or salt <= 1:
+        return grouped_map(ds, keys_l, agg, num_buckets=num_buckets)
+
+    bad = {n: f for n, (c, f) in named_aggs.items()
+           if f not in _SALT_REAGG}
+    if bad:
+        raise ValueError(
+            f"salted grouped_agg supports only algebraic aggregations "
+            f"{sorted(_SALT_REAGG)}; got {bad}")
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # any row->[0,S) spread works (aggregation is invariant to the
+        # assignment); arange keeps it deterministic and loop-free
+        df["__salt"] = np.arange(len(df), dtype="int64") % salt
+        return df
+
+    part = grouped_map(ds.map_batches(add_salt, batch_format="pandas"),
+                       keys_l + ["__salt"],
+                       lambda df: df.groupby(
+                           keys_l + ["__salt"], as_index=False,
+                           sort=False).agg(**named_aggs),
+                       num_buckets=num_buckets)
+    part = part.map_batches(
+        lambda df: df.drop(columns="__salt"), batch_format="pandas")
+    reaggs = {n: (n, _SALT_REAGG[f]) for n, (c, f) in named_aggs.items()}
+    return grouped_map(part, keys_l,
+                       lambda df: df.groupby(
+                           keys_l, as_index=False, sort=False)
+                       .agg(**reaggs),
+                       num_buckets=num_buckets)
 
 
 def lookup_map(ds_or_df, key: str, value: str) -> Dict:

@@ -343,3 +343,33 @@ def test_hash_join_right_outer(ray_session, how):
     pd.testing.assert_frame_equal(_norm(got).fillna("<na>"),
                                   _norm(want).fillna("<na>"),
                                   check_dtype=False)
+
+
+def test_grouped_agg_salted_matches_unsalted(ray_session):
+    """Hot-key salting: a power-law key aggregated with salt=8 equals
+    the unsalted result for every algebraic aggregation; non-algebraic
+    aggregations are rejected."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import grouped_agg
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    keys = np.where(rng.rand(n) < 0.6, "hot",
+                    rng.randint(0, 50, n).astype(str))
+    df = pd.DataFrame({"k": pd.Series(keys, dtype="string"),
+                       "v": rng.randint(-100, 100, n)})
+    ds = rd.from_pandas(df)
+    kw = dict(total=("v", "sum"), n=("v", "count"),
+              lo=("v", "min"), hi=("v", "max"))
+    plain = grouped_agg(ds, "k", **kw).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    salted = grouped_agg(ds, "k", salt=8, **kw).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+    with pytest.raises(ValueError, match="algebraic"):
+        grouped_agg(ds, "k", salt=8, m=("v", "mean"))
