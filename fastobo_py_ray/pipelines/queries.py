@@ -1309,19 +1309,18 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
-_PAGERANK_ROUND = 10
 _PAGERANK_K = 20
 
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Top-20 PageRank over the order->customer->nation->region entity
     graph (plus supplier->nation), node ids namespaced by a one-letter
-    prefix.  Engine: stages/graph.py:pagerank — fixed-iteration power
-    method with per-iteration decimal rounding so the distributed float
-    summation order can never diverge from the oracle's; broadcast-rank
-    tier here (the node set is SF-bounded; mode="join" is the
-    node-set-exceeds-a-worker path, parity-tested).  Oracle: the same
-    recurrence as chained CTEs."""
+    prefix.  Engine: stages/graph.py:pagerank — fixed-point integer
+    power method (ranks in 1e-12 units), bit-exact under any summation
+    order in any engine; broadcast-rank tier here (the node set is
+    SF-bounded; mode="join" is the node-set-exceeds-a-worker path,
+    parity-tested).  Oracle: the same integer recurrence as chained
+    CTEs over BIGINT."""
     from ..stages.graph import pagerank
 
     def pfx(table, a, pa_, b, pb):
@@ -1337,20 +1336,29 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         .union(pfx("supplier", "s_suppkey", "s:", "s_nationkey", "n:")) \
         .union(pfx("nation", "n_nationkey", "n:", "n_regionkey", "r:"))
     out = pagerank(edges, num_iters=_PAGERANK_ITERS,
-                   damping=_PAGERANK_DAMPING,
-                   round_to=_PAGERANK_ROUND).to_pandas()
+                   damping=_PAGERANK_DAMPING).to_pandas()
     out["node"] = out["node"].astype(str)
-    out["rank"] = out["rank"].astype("float64")
-    return out.sort_values(["rank", "node"], ascending=[False, True],
+    out["rank_micro"] = out["rank_micro"].astype("int64")
+    return out.sort_values(["rank_micro", "node"],
+                           ascending=[False, True],
                            kind="stable").head(_PAGERANK_K) \
-        .reset_index(drop=True)
+        [["node", "rank_micro"]].reset_index(drop=True)
 
 
 def _pagerank_sql(num_iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING,
-                  round_to=_PAGERANK_ROUND, k=_PAGERANK_K) -> str:
+                  k=_PAGERANK_K) -> str:
     """Chained-CTE PageRank: one (dangling-mass, contribution, rank)
-    CTE triple per iteration — the exact recurrence of
-    stages/graph.py:pagerank, decimal-rounded at every step."""
+    CTE triple per iteration — the exact fixed-point integer recurrence
+    of stages/graph.py:pagerank (BIGINT units of 1e-12, floor
+    division), so the match is bit-exact, not tolerance-based."""
+    from fractions import Fraction
+
+    from ..stages.graph import PAGERANK_UNIT
+
+    fr = Fraction(str(damping))
+    num, den = fr.numerator, fr.denominator
+    tele_num = den - num
+    unit = PAGERANK_UNIT
     it = ""
     prev = "r0"
     for i in range(1, num_iters + 1):
@@ -1358,16 +1366,16 @@ def _pagerank_sql(num_iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING,
 d{i} AS (SELECT coalesce(sum(r.rank), 0) AS mass
          FROM {prev} r LEFT JOIN deg g ON r.node = g.node
          WHERE g.node IS NULL),
-c{i} AS (SELECT e.dst AS node, sum(r.rank / g.outdeg) AS s
+c{i} AS (SELECT e.dst AS node, sum(r.rank // g.outdeg) AS s
          FROM edges e JOIN {prev} r ON e.src = r.node
                       JOIN deg g ON e.src = g.node
          GROUP BY e.dst),
 r{i} AS (SELECT n.node,
-           round((1.0 - {damping}) / (SELECT n FROM nn)
-                 + {damping} * (coalesce(c.s, 0)
-                                + (SELECT mass FROM d{i})
-                                  / (SELECT n FROM nn)),
-                 {round_to}) AS rank
+           (({tele_num} * {unit}) // ({den} * (SELECT n FROM nn))
+            + ({num} * (coalesce(c.s, 0)
+                        + (SELECT mass FROM d{i})
+                          // (SELECT n FROM nn))) // {den})::BIGINT
+             AS rank
          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
         prev = f"r{i}"
     return f"""
@@ -1381,13 +1389,13 @@ WITH edges AS (
   SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
 ),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src AS node, count(*)::DOUBLE AS outdeg
+deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
         FROM edges GROUP BY src),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {round_to}) AS rank
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, ({unit} // (SELECT n FROM nn))::BIGINT AS rank
        FROM nodes){it}
-SELECT node, rank FROM {prev}
-ORDER BY rank DESC, node LIMIT {k}
+SELECT node, rank AS rank_micro FROM {prev}
+ORDER BY rank_micro DESC, node LIMIT {k}
 """
 
 

@@ -133,24 +133,37 @@ def descendants_ds(edges_ds, roots: Sequence[str],
 # PageRank over an adjacency Dataset
 # ---------------------------------------------------------------------------
 
+PAGERANK_UNIT = 10 ** 12
+
+
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
              num_iters: int = 5, damping: float = 0.85,
-             round_to: int = 10, mode: str = "broadcast",
+             mode: str = "broadcast",
              max_nodes: int = 5_000_000, num_buckets: int = 64):
     """Distributed PageRank over a (src, dst) edge Dataset; returns a
-    Dataset of ``(node, rank)`` covering every node of the graph.
+    Dataset of ``(node, rank_micro, rank)`` covering every node.
 
-    Semantics (fixed-iteration power method, so two engines can agree
-    bit-for-bit): ranks start at ``round(1/N, round_to)``; each of the
-    ``num_iters`` rounds computes
+    Semantics: fixed-iteration power method in FIXED-POINT integer
+    arithmetic — ranks are int64 multiples of 1/``PAGERANK_UNIT``
+    (1e-12), ``damping`` is taken as the exact decimal fraction of its
+    string form (0.85 -> 17/20), and each round computes, in integers,
 
-        rank'(v) = round((1-d)/N + d*(sum_{(u,v)} rank(u)/outdeg(u)
-                                      + dangling_mass/N), round_to)
+        rank'(v) = (den-num)*UNIT // (den*N)
+                   + num*(sum_{(u,v)} rank(u)//outdeg(u)
+                          + dangling_mass//N) // den
 
-    where ``dangling_mass`` is the rank held by nodes with no
-    out-edges, redistributed uniformly.  Rounding after EVERY iteration
-    makes the result independent of float summation order, so a
-    SQL engine evaluating the same recurrence matches exactly.
+    with dangling mass (rank held by nodes with no out-edges)
+    redistributed uniformly.  Why integers: per-iteration DECIMAL
+    rounding of floats is NOT engine-independent — a sum landing
+    within a few ulp of a rounding-grid midpoint resolves differently
+    under different summation orders (observed as 1e-10 grid-step
+    divergences at the 100k-node scale) — whereas integer sums and
+    floor divisions are exact in any order, in any engine: numpy,
+    pandas, and SQL BIGINT arithmetic agree bit-for-bit, and all
+    intermediates stay < 2^53, so they even survive float64 transport
+    (NaN-widening joins) losslessly.  ``rank = rank_micro / UNIT`` is
+    derived once at the end.  Quantization floor-loss per iteration is
+    < (outdeg+2)/UNIT per node — PageRank to ~12 significant digits.
 
     Two tiers, identical results (parity-tested):
 
@@ -168,9 +181,14 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
       mass is an anti-join + sum scalar.  Use when the node set itself
       exceeds a worker's heap.
     """
+    from fractions import Fraction
+
     import ray
 
-    teleport_base = 1.0 - damping
+    fr = Fraction(str(damping))
+    num, den = fr.numerator, fr.denominator
+    tele_num = den - num
+    unit = PAGERANK_UNIT
 
     def to_sd(df: pd.DataFrame) -> pd.DataFrame:
         # "string" dtype (not object) end-to-end: Ray's size estimator
@@ -199,7 +217,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
                 f"exceeds max_nodes={max_nodes}; use mode='join' (no "
                 f"driver-side node vector).")
         nodes = deg.index.to_numpy()
-        outdeg = deg.to_numpy().astype("float64")
+        outdeg = deg.to_numpy().astype("int64")
         n = len(nodes)
         idx_ref = ray.put({v: i for i, v in enumerate(nodes)})
 
@@ -212,29 +230,32 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         iedges = edges.map_batches(encode,
                                    batch_format="pandas").materialize()
 
-        rank = np.round(np.full(n, 1.0 / n), round_to)
+        rank = np.full(n, unit // n, dtype="int64")
         dangling = outdeg == 0
-        safe_deg = np.where(dangling, 1.0, outdeg)
+        safe_deg = np.where(dangling, 1, outdeg)  # dangling w is unused
+        tele = (tele_num * unit) // (den * n)
         for _ in range(num_iters):
-            w_ref = ray.put(rank / safe_deg)
+            w_ref = ray.put(rank // safe_deg)
 
             def contrib(df: pd.DataFrame) -> pd.DataFrame:
                 w = ray.get(w_ref)
                 di = df["di"].to_numpy()
+                # float64 bincount of int weights is EXACT here: every
+                # partial stays < 2^53
                 c = np.bincount(di, weights=w[df["si"].to_numpy()])
                 nz = np.nonzero(c)[0]
                 return pd.DataFrame({"di": nz.astype("int32"),
-                                     "c": c[nz]})
+                                     "c": c[nz].astype("int64")})
 
             part = iedges.map_batches(contrib,
                                       batch_format="pandas").to_pandas()
-            s = np.zeros(n)
+            s = np.zeros(n, dtype="int64")
             np.add.at(s, part["di"].to_numpy(), part["c"].to_numpy())
-            mass = float(rank[dangling].sum())
-            rank = np.round(teleport_base / n
-                            + damping * (s + mass / n), round_to)
+            mass = int(rank[dangling].sum())
+            rank = tele + (num * (s + mass // n)) // den
         out = pd.DataFrame({"node": pd.Series(nodes, dtype="string"),
-                            "rank": rank})
+                            "rank_micro": rank.astype("int64"),
+                            "rank": rank / unit})
         import ray.data as rd
         return rd.from_pandas(out)
 
@@ -259,25 +280,29 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
                      lcols=["src", "dst"], rcols=["src", "outdeg"],
                      num_buckets=num_buckets).materialize()
 
-    r0 = round(1.0 / n, round_to)
+    r0 = unit // n
+    tele = (tele_num * unit) // (den * n)
     ranks = nodes_ds.map_batches(
-        lambda df: df.assign(rank=r0), batch_format="pandas") \
-        .materialize()
+        lambda df: df.assign(rank=np.int64(r0)),
+        batch_format="pandas").materialize()
 
     for _ in range(num_iters):
-        # dangling mass: rank of nodes with no out-edge (anti join on deg)
+        # dangling mass: rank of nodes with no out-edge (anti join on
+        # deg).  NaN-widening may float the rank column in transit —
+        # harmless, the int values stay < 2^53 (exact in float64).
         mass_rows = hash_join(
             ranks, deg_ds.map_batches(
                 lambda df: df.rename(columns={"src": "node"})[["node"]],
                 batch_format="pandas"),
             on="node", how="anti", lcols=["node", "rank"],
             rcols=["node"], num_buckets=num_buckets)
-        mass = mass_rows.sum("rank") or 0.0
+        mass = int(mass_rows.sum("rank") or 0)
 
         def j_finalize(df: pd.DataFrame) -> pd.DataFrame:
             # combiner: pre-reduce contributions per dst inside the
             # src-keyed join bucket before the dst exchange
-            df = df.assign(c=df["rank"] / df["outdeg"])
+            df = df.assign(c=np.floor_divide(df["rank"].to_numpy(),
+                                             df["outdeg"].to_numpy()))
             return df.groupby("dst", as_index=False, sort=False)["c"].sum()
 
         contrib = hash_join(
@@ -292,10 +317,9 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
         def apply_rank(df: pd.DataFrame, m=mass) -> pd.DataFrame:
             c = df["c"].fillna(0.0).to_numpy()
-            return pd.DataFrame({
-                "node": df["node"],
-                "rank": np.round(teleport_base / n
-                                 + damping * (c + m / n), round_to)})
+            r = tele + np.floor_divide(num * (c + m // n), den)
+            return pd.DataFrame({"node": df["node"],
+                                 "rank": r.astype("int64")})
 
         ranks = hash_join(
             nodes_ds, summed.map_batches(
@@ -304,4 +328,9 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             on="node", how="left", lcols=["node"], rcols=["node", "c"],
             num_buckets=num_buckets,
             bucket_finalize=apply_rank).materialize()
-    return ranks
+    return ranks.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"],
+            "rank_micro": df["rank"].astype("int64"),
+            "rank": df["rank"].astype("int64") / unit}),
+        batch_format="pandas")

@@ -47,14 +47,15 @@ def test_distributed_descendants_matches_driver(ray_session):
 
 
 def test_pagerank_modes_match_dense_reference(ray_session):
-    """Broadcast and join tiers both equal a dense numpy power
-    iteration with the same per-iteration rounding, on a graph with a
-    cycle, a dangling node, and a source-only node."""
+    """Broadcast and join tiers both EXACTLY equal a pure-Python
+    fixed-point power iteration (integer units of 1e-12), on a graph
+    with a cycle, a dangling node, and a source-only node — and the
+    integer result approximates true float PageRank."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
 
-    from fastobo_py_ray.stages.graph import pagerank
+    from fastobo_py_ray.stages.graph import PAGERANK_UNIT, pagerank
 
     edges = pd.DataFrame({"src": list("aabbce"),
                           "dst": list("bccdda")})
@@ -67,22 +68,33 @@ def test_pagerank_modes_match_dense_reference(ray_session):
     nodes = sorted(set(edges["src"]) | set(edges["dst"]))
     ix = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
-    outdeg = np.zeros(n)
+    outdeg = [0] * n
     for s in edges["src"]:
         outdeg[ix[s]] += 1
-    r = np.round(np.full(n, 1 / n), 10)
+    # pure-Python int reference (damping 0.85 = 17/20)
+    U = PAGERANK_UNIT
+    r = [U // n] * n
+    fr = [1.0 / n] * n  # float shadow (no rounding)
     for _ in range(5):
-        s = np.zeros(n)
+        s = [0] * n
+        fs = [0.0] * n
         for a, b in zip(edges["src"], edges["dst"]):
-            s[ix[b]] += r[ix[a]] / outdeg[ix[a]]
-        mass = r[outdeg == 0].sum()
-        r = np.round((1.0 - 0.85) / n + 0.85 * (s + mass / n), 10)
+            s[ix[b]] += r[ix[a]] // outdeg[ix[a]]
+            fs[ix[b]] += fr[ix[a]] / outdeg[ix[a]]
+        mass = sum(r[i] for i in range(n) if outdeg[i] == 0)
+        fmass = sum(fr[i] for i in range(n) if outdeg[i] == 0)
+        r = [(3 * U) // (20 * n) + (17 * (s[i] + mass // n)) // 20
+             for i in range(n)]
+        fr = [0.15 / n + 0.85 * (fs[i] + fmass / n) for i in range(n)]
 
     assert got_b["node"].tolist() == nodes
     assert got_j["node"].tolist() == nodes
-    assert np.allclose(got_b["rank"], r, atol=1e-12)
-    assert np.allclose(got_j["rank"], r, atol=1e-12)
-    # total rank is conserved (teleport + dangling redistribution)
+    # EXACT integer equality, both tiers
+    assert got_b["rank_micro"].tolist() == r
+    assert got_j["rank_micro"].tolist() == r
+    # the quantized result tracks true float PageRank to ~1e-10
+    assert np.allclose(got_b["rank"], fr, atol=1e-9)
+    # total rank is conserved up to quantization floor-loss
     assert abs(got_b["rank"].sum() - 1.0) < 1e-6
 
 
