@@ -264,16 +264,27 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     from ..functions.relops import grouped_agg, hash_join
 
-    nodes_ds = grouped_agg(
+    nodes_raw = grouped_agg(
         edges.map_batches(
             lambda df: pd.DataFrame({"node": pd.concat(
                 [df["src"], df["dst"]], ignore_index=True).unique()}),
             batch_format="pandas"),
-        "node", num_buckets=num_buckets, node=("node", "first")) \
-        .materialize()
-    n = nodes_ds.count()
+        "node", num_buckets=num_buckets, node=("node", "first"))
     deg_ds = grouped_agg(edges, "src", num_buckets=num_buckets,
                          outdeg=("dst", "count"))
+    # the dangling set is STATIC: flag it once on the node table (one
+    # left join) instead of an anti-join every iteration
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "dang": df["outdeg"].isna()})
+
+    nodes_ds = hash_join(
+        nodes_raw, deg_ds.map_batches(
+            lambda df: df.rename(columns={"src": "node"}),
+            batch_format="pandas"),
+        on="node", how="left", lcols=["node"], rcols=["node", "outdeg"],
+        num_buckets=num_buckets, bucket_finalize=flag).materialize()
+    n = nodes_ds.count()
     # degree rides with the edges once; the per-iteration join then only
     # moves (node, rank) + the static edge partition
     edeg = hash_join(edges, deg_ds, on="src",
@@ -287,16 +298,14 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         batch_format="pandas").materialize()
 
     for _ in range(num_iters):
-        # dangling mass: rank of nodes with no out-edge (anti join on
-        # deg).  NaN-widening may float the rank column in transit —
-        # harmless, the int values stay < 2^53 (exact in float64).
-        mass_rows = hash_join(
-            ranks, deg_ds.map_batches(
-                lambda df: df.rename(columns={"src": "node"})[["node"]],
-                batch_format="pandas"),
-            on="node", how="anti", lcols=["node", "rank"],
-            rcols=["node"], num_buckets=num_buckets)
-        mass = int(mass_rows.sum("rank") or 0)
+        # dangling mass: one shuffle-free filtered scan of the (small,
+        # pre-flagged) rank table.  NaN-widening may float the rank
+        # column in transit — harmless, the int values stay < 2^53
+        # (exact in float64).
+        mass = int(ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [df.loc[df["dang"].astype(bool), "rank"].sum()]}),
+            batch_format="pandas").sum("m") or 0)
 
         def j_finalize(df: pd.DataFrame) -> pd.DataFrame:
             # combiner: pre-reduce contributions per dst inside the
@@ -307,26 +316,33 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
         contrib = hash_join(
             edeg, ranks.map_batches(
-                lambda df: df.rename(columns={"node": "src"}),
+                lambda df: df.rename(columns={"node": "src"})
+                [["src", "rank"]],
                 batch_format="pandas"),
             on="src", lcols=["src", "dst", "outdeg"],
             rcols=["src", "rank"], num_buckets=num_buckets,
             bucket_finalize=j_finalize)
-        summed = grouped_agg(contrib, "dst", num_buckets=num_buckets,
-                             c=("c", "sum"))
 
         def apply_rank(df: pd.DataFrame, m=mass) -> pd.DataFrame:
-            c = df["c"].fillna(0.0).to_numpy()
+            # the contrib side carries <= num_buckets pre-reduced
+            # partials per dst; summing them HERE piggybacks the final
+            # reduce on the join exchange (2 exchanges/iteration, not 3)
+            g = df.groupby(["node", "dang"], as_index=False,
+                           sort=False)["c"].sum()
+            c = g["c"].fillna(0.0).to_numpy()
             r = tele + np.floor_divide(num * (c + m // n), den)
-            return pd.DataFrame({"node": df["node"],
+            # the union-side NaN-fill widens dang to float in transit;
+            # re-coerce so the mass scan can mask on it
+            return pd.DataFrame({"node": g["node"],
+                                 "dang": g["dang"].astype(bool),
                                  "rank": r.astype("int64")})
 
         ranks = hash_join(
-            nodes_ds, summed.map_batches(
+            nodes_ds, contrib.map_batches(
                 lambda df: df.rename(columns={"dst": "node"}),
                 batch_format="pandas"),
-            on="node", how="left", lcols=["node"], rcols=["node", "c"],
-            num_buckets=num_buckets,
+            on="node", how="left", lcols=["node", "dang"],
+            rcols=["node", "c"], num_buckets=num_buckets,
             bucket_finalize=apply_rank).materialize()
     return ranks.map_batches(
         lambda df: pd.DataFrame({
