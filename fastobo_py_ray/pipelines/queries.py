@@ -1399,6 +1399,28 @@ ORDER BY rank_micro DESC, node LIMIT {k}
 """
 
 
+def q_semantic_link(sf_dir: str) -> pd.DataFrame:
+    """Embedding-based document->term linking (the fuzzy sibling of
+    kg_mentions' exact dictionary annotator): every document assigned
+    its cosine-nearest ontology term over hashed-TF embeddings
+    (stages/mentions.py:semantic_link_documents — broadcast term
+    matrix, one shuffle-free streaming pass).  Rows-only: feature
+    hashing has no SQL equivalent; value semantics are pytest-gated
+    (a doc dominated by a term's name links to that term)."""
+    from ..obo import loads as obo_loads
+    from ..stages.mentions import semantic_link_documents
+
+    onto = obo_loads(docs_obo()).ontology
+    term_texts = {f.id: (f.name or "") for f in onto.frames
+                  if f.kind == "term" and f.name}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = semantic_link_documents(ds, term_texts).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["term_id"] = out["term_id"].astype(str)
+    out["cos_sim"] = out["cos_sim"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     """Bucketed (distributed) approximate variant of q_embedding_neardup;
     rows-only (subset-of-exact + recall asserted in tests)."""
@@ -2156,6 +2178,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_graph_cc": q_graph_cc,
         "q_pagerank": q_pagerank,
+        "q_semantic_link": q_semantic_link,
         "q_running_total": q_running_total,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
@@ -2239,6 +2262,8 @@ def oracles() -> Dict[str, str]:
         # q_seq_packing is rows-only: the greedy pack assignment is an
         # algorithmic artifact (invariants pytest-checked), not a SQL
         # relation.
+        # q_semantic_link is rows-only: feature-hashed embeddings have
+        # no SQL equivalent; value semantics are pytest-gated.
         # q_minhash_clusters / q_simhash / q_fingerprint / q_langid /
         # q_ann_lsh (approximate) / q_media_features / q_qa_ontology are
         # intentionally omitted: stateful hashing / heuristics /

@@ -525,3 +525,53 @@ class PageAnnotator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _annotate_table(self.index, batch, self.emit, self.url_col,
                                self.text_col, self.canonicalize)
+
+
+# ---------------------------------------------------------------------------
+# embedding-based semantic linking (document -> nearest ontology term)
+# ---------------------------------------------------------------------------
+
+def semantic_link_documents(ds, term_texts: Dict[str, str],
+                            id_col: str = "doc_id",
+                            text_col: str = "text", dim: int = 256,
+                            round_to: int = 6):
+    """Semantic (embedding) document->term linking — the fuzzy sibling
+    of the exact dictionary annotator above: each document is assigned
+    the ontology term whose (name + synonyms) hashed-TF embedding is
+    cosine-nearest to the document's own embedding.
+
+    Scale shape: the term matrix is ontology-bounded, so it is embedded
+    ONCE on the driver and broadcast via ``ray.put``; the corpus side is
+    a single stateless streaming ``map_batches`` pass (embed batch ->
+    one matmul against the broadcast matrix -> argmax) — no shuffle,
+    no per-row work.  Ties resolve to the smallest term id (terms are
+    sorted, argmax takes the first maximum).  Returns
+    ``(id_col, term_id, cos_sim)`` with ``cos_sim`` rounded to
+    ``round_to`` decimals.
+    """
+    import pandas as pd
+    import ray
+
+    from .textstats import hashed_tf_embed_batch
+
+    import numpy as np
+
+    tids = sorted(term_texts)
+    tdf = pd.DataFrame({"text": [term_texts[t] for t in tids]})
+    tmat = np.stack(hashed_tf_embed_batch(
+        tdf, dim=dim)["embedding"].to_numpy())
+    ref = ray.put((np.asarray(tids, dtype=object), tmat))
+
+    def link(df: pd.DataFrame) -> pd.DataFrame:
+        tids_, tmat_ = ray.get(ref)
+        emb = hashed_tf_embed_batch(df, text_col=text_col, dim=dim)
+        m = np.stack(emb["embedding"].to_numpy())
+        sims = m @ tmat_.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "term_id": pd.Series(tids_[best], dtype="string"),
+            "cos_sim": np.round(sims[np.arange(len(best)), best],
+                                round_to)})
+
+    return ds.map_batches(link, batch_format="pandas")

@@ -257,3 +257,23 @@ def test_tfidf_topk_values(ray_session):
     # 'common' appears in every doc -> idf 0 -> never a top keyword
     # unless forced; with k=2 it should not beat the distinctive words
     assert ("common" not in {w for _, w, s in got if s > 0})
+
+
+def test_semantic_link_documents_values(ray_session):
+    """A doc dominated by one term's name links to that term with high
+    cosine; an exact single-word doc scores 1.0; ties break to the
+    smallest term id."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.mentions import semantic_link_documents
+
+    terms = {"T:1": "alpha", "T:2": "beta", "T:3": "gamma"}
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta beta other words here",
+                 "alpha beta"]}))  # doc 3: exact tie -> T:1
+    out = semantic_link_documents(ds, terms).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["term_id"].tolist() == ["T:1", "T:2", "T:1"]
+    assert out.loc[0, "cos_sim"] == 1.0
+    assert 0 < out.loc[1, "cos_sim"] < 1.0
