@@ -1399,6 +1399,46 @@ ORDER BY rank_micro DESC, node LIMIT {k}
 """
 
 
+def q_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic source-reweighted subsample — the 'data mixture'
+    step of a training corpus: each source contributes quota(source)
+    documents (a per-source weight formula both engines compute),
+    selected in content-blind md5(doc_id) hash order so the pick is
+    reproducible across engines, runs, and partitionings.  One keyed
+    exchange on source; in-bucket C sort + cumcount cut."""
+    from ..functions.relops import grouped_map
+    from ..stages.traindata import _md5_hex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _md5_hex(df["doc_id"])
+        k = df["source"].str.slice(3).astype(int)
+        df["__q"] = np.minimum(3 + 4 * (k % 7), 25)
+        df = df.sort_values(["source", "__h", "doc_id"], kind="stable")
+        keep = df.groupby("source", sort=False).cumcount() < df["__q"]
+        return df.loc[keep, ["doc_id", "source"]]
+
+    out = grouped_map(ds, "source", bucket).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["source"] = out["source"].astype(str)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+Q_SOURCE_MIX_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)
+           AS rn,
+         least(3 + 4 * (CAST(substr(source, 4) AS INT) % 7), 25) AS q
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rn <= q
+ORDER BY source, doc_id
+"""
+
+
 def q_semantic_link(sf_dir: str) -> pd.DataFrame:
     """Embedding-based document->term linking (the fuzzy sibling of
     kg_mentions' exact dictionary annotator): every document assigned
@@ -2179,6 +2219,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_graph_cc": q_graph_cc,
         "q_pagerank": q_pagerank,
         "q_semantic_link": q_semantic_link,
+        "q_source_mix": q_source_mix,
         "q_running_total": q_running_total,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
@@ -2243,6 +2284,7 @@ def oracles() -> Dict[str, str]:
         "q_pagerank": _pagerank_sql(),
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,
+        "q_source_mix": Q_SOURCE_MIX_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
