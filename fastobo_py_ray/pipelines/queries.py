@@ -1085,6 +1085,42 @@ FROM events ORDER BY event_id
 """
 
 
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-event time since the user's previous event — the LAG window.
+    Same exchange shape as q_running_total (one keyed exchange on
+    user_id, C-speed in-bucket sort + groupby diff).  Timestamps are
+    microsecond integers, so the delta is EXACT integer arithmetic —
+    no rounding contract needed; a user's first event gets -1 (instead
+    of NULL, keeping the column int64 end-to-end)."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = df.groupby("user_id", sort=False, dropna=False)["ts"] \
+            .diff()
+        us = gaps.to_numpy().astype("timedelta64[us]").astype("int64")
+        us[gaps.isna().to_numpy()] = -1  # NaT casts to int64-min
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "gap_us": us})
+
+    out = grouped_map(ds, "user_id", bucket).to_pandas()
+    out["gap_us"] = out["gap_us"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_EVENT_GAPS_SQL = """
+SELECT event_id, user_id,
+       coalesce(date_diff('microsecond',
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts), -1)::BIGINT AS gap_us
+FROM events ORDER BY event_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean token log-probability under the corpus unigram
     model — the classic cheap LM-quality score (low = rare-token-heavy
@@ -2221,6 +2257,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
         "q_running_total": q_running_total,
+        "q_event_gaps": q_event_gaps,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2285,6 +2322,7 @@ def oracles() -> Dict[str, str]:
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,
         "q_source_mix": Q_SOURCE_MIX_SQL,
+        "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
