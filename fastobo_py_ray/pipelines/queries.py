@@ -1475,6 +1475,47 @@ ORDER BY source, doc_id
 """
 
 
+def q_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation (lineitem quantity vs extended
+    price by return flag) computed from MERGEABLE MOMENT PARTIALS: each
+    batch emits (n, Σx, Σy, Σxy, Σx², Σy²) per group — six numbers, the
+    classic algebraic sketch for second-order statistics — so the
+    exchange moves KB-scale partials and the driver folds a
+    group-count-sized table.  Pearson r is invariant to the n vs n-1
+    convention (the factors cancel), so the closed form matches SQL's
+    corr() exactly; rounded to 6 to absorb float association order."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].astype("float64")
+        y = df["l_extendedprice"].astype("float64")
+        t = pd.DataFrame({"g": df["l_returnflag"], "n": 1.0, "sx": x,
+                          "sy": y, "sxy": x * y, "sxx": x * x,
+                          "syy": y * y})
+        return t.groupby("g", as_index=False, sort=False).sum()
+
+    part = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    m = part.groupby("g", as_index=False, sort=False).sum()
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    cov = m["sxy"] - sx * sy / n
+    vx = m["sxx"] - sx * sx / n
+    vy = m["syy"] - sy * sy / n
+    out = pd.DataFrame({
+        "l_returnflag": m["g"].astype(str),
+        "corr_qty_price": (cov / np.sqrt(vx * vy)).round(6),
+        "n_rows": n.astype("int64")})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_semantic_link(sf_dir: str) -> pd.DataFrame:
     """Embedding-based document->term linking (the fuzzy sibling of
     kg_mentions' exact dictionary annotator): every document assigned
@@ -2258,6 +2299,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_source_mix": q_source_mix,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
+        "q_corr": q_corr,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2323,6 +2365,7 @@ def oracles() -> Dict[str, str]:
         "q_chunk": Q_CHUNK_SQL,
         "q_source_mix": Q_SOURCE_MIX_SQL,
         "q_event_gaps": Q_EVENT_GAPS_SQL,
+        "q_corr": Q_CORR_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
