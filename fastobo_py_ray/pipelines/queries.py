@@ -1475,6 +1475,39 @@ ORDER BY source, doc_id
 """
 
 
+def q_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distributed fixed-width histogram of event values: per-batch
+    bincount combiner (the exchange moves at most n_bins rows per
+    batch, never events), tiny driver fold.  Bin ids go through
+    ``floor(value)`` (float->exact integer) THEN integer division, so
+    the bin edge arithmetic is integer-exact in both engines — a float
+    ``floor(value/width)`` could straddle an ulp at bin boundaries."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def binc(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy()).astype("int64") // 50
+        c = np.bincount(b)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"bin": nz.astype("int64"),
+                             "n_events": c[nz].astype("int64")})
+
+    part = ds.map_batches(binc, batch_format="pandas").to_pandas()
+    out = part.groupby("bin", as_index=False, sort=False)["n_events"] \
+        .sum()
+    out["lo"] = out["bin"] * 50.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["bin", "lo", "n_events"]].sort_values("bin") \
+        .reset_index(drop=True)
+
+
+Q_HISTOGRAM_SQL = """
+SELECT (CAST(floor(value) AS BIGINT) // 50) AS bin,
+       ((CAST(floor(value) AS BIGINT) // 50) * 50.0) AS lo,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+
 def q_corr(sf_dir: str) -> pd.DataFrame:
     """Per-group Pearson correlation (lineitem quantity vs extended
     price by return flag) computed from MERGEABLE MOMENT PARTIALS: each
@@ -2300,6 +2333,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
         "q_corr": q_corr,
+        "q_histogram": q_histogram,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2366,6 +2400,7 @@ def oracles() -> Dict[str, str]:
         "q_source_mix": Q_SOURCE_MIX_SQL,
         "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_corr": Q_CORR_SQL,
+        "q_histogram": Q_HISTOGRAM_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
