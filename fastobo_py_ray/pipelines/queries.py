@@ -1475,6 +1475,105 @@ ORDER BY source, doc_id
 """
 
 
+_WATERMARK_LATE_US = 600 * 3_600_000_000  # allowed lateness: 600 hours
+
+
+def q_watermark(sf_dir: str) -> pd.DataFrame:
+    """Event-time tumbling window with WATERMARK late-data semantics —
+    the streaming-engine discipline expressed as a deterministic batch
+    recurrence: events 'arrive' in a deterministic pseudo-random order
+    (md5 of the event id), the watermark at each arrival is the max
+    event time seen strictly earlier minus the allowed lateness, and
+    events older than the watermark are DROPPED before the hourly
+    count.
+
+    The watermark is a global PREFIX MAX over arrival order — computed
+    distributed in two streaming passes with no sort and no
+    materialization:
+
+    1. a combiner-only pass folds per-range-bucket max timestamps
+       (arrival order is bucketed by the md5's first byte, which is
+       order-aligned by construction), and the driver prefix-maxes the
+       256 bucket summaries into exclusive per-bucket offsets;
+    2. one keyed exchange on the range bucket: inside a bucket the
+       local exclusive running max (np.maximum.accumulate, shifted) is
+       exact, and max(local, bucket offset) is the global watermark;
+       the late filter and the per-batch hourly-count combiner ride
+       the same task.
+
+    All comparisons are integer microseconds — no float anywhere."""
+    from ..functions.relops import grouped_map
+    from ..stages.traindata import _md5_hex
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(_md5_hex(df["event_id"]), index=df.index,
+                      dtype="string")
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "h": h,
+            "rb": h.str.slice(0, 2).apply(lambda s: int(s, 16))
+                   .astype("int64")})
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    # pass 1: per-bucket max via per-batch partials (KB-scale collect)
+    bmax = ds.map_batches(
+        lambda df: keyed(df).groupby("rb", as_index=False)["ts_us"]
+        .max(), batch_format="pandas").to_pandas() \
+        .groupby("rb")["ts_us"].max()
+    offs = np.full(256, -1, dtype="int64")
+    run = -1
+    for rb in range(256):
+        offs[rb] = run  # exclusive: max of all buckets BEFORE rb
+        if rb in bmax.index:
+            run = max(run, int(bmax.loc[rb]))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket may hold SEVERAL rb range groups; the prefix
+        # max is per rb (<=256 segments in total, so the segment loop
+        # is bounded by the bucket count, not by rows)
+        df = df.sort_values(["rb", "h", "event_id"], kind="stable")
+        ts = df["ts_us"].to_numpy()
+        rbv = df["rb"].to_numpy()
+        wm = np.empty_like(ts)
+        starts = np.flatnonzero(np.r_[True, rbv[1:] != rbv[:-1]])
+        bounds = np.r_[starts, len(ts)]
+        for i in range(len(starts)):
+            a, b = bounds[i], bounds[i + 1]
+            wm[a] = offs[int(rbv[a])]
+            np.maximum.accumulate(
+                np.maximum(ts[a:b - 1], wm[a]) if b - a > 1 else ts[a:a],
+                out=wm[a + 1:b])
+        keep = (wm == -1) | (ts >= wm - _WATERMARK_LATE_US)
+        hour = ts[keep] // 3_600_000_000 * 3_600_000_000
+        out = pd.DataFrame({"window_start": hour}) \
+            .groupby("window_start", as_index=False).size() \
+            .rename(columns={"size": "n_events"})
+        return out
+
+    part = grouped_map(ds.map_batches(keyed, batch_format="pandas"),
+                       "rb", bucket, num_buckets=64).to_pandas()
+    out = part.groupby("window_start", as_index=False)["n_events"].sum()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+Q_WATERMARK_SQL = """
+WITH w AS (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY md5(event_id::VARCHAR), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT date_trunc('hour', ts) AS window_start, count(*)::BIGINT
+         AS n_events
+FROM w WHERE wm IS NULL OR ts >= wm - INTERVAL 600 HOURS
+GROUP BY 1 ORDER BY window_start
+"""
+
+
 def q_histogram(sf_dir: str) -> pd.DataFrame:
     """Distributed fixed-width histogram of event values: per-batch
     bincount combiner (the exchange moves at most n_bins rows per
@@ -2334,6 +2433,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_event_gaps": q_event_gaps,
         "q_corr": q_corr,
         "q_histogram": q_histogram,
+        "q_watermark": q_watermark,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2401,6 +2501,7 @@ def oracles() -> Dict[str, str]:
         "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
+        "q_watermark": Q_WATERMARK_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
