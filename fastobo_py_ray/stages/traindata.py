@@ -311,8 +311,16 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
     all offset arithmetic is vectorized over the exploded token table.
 
     Returns columns ``(id_col, chunk_id, n_words, chunk_text)``.
+    ``stride > window`` would silently skip words between chunks, so it
+    is rejected.
     """
     from ..functions.relops import typed_empty
+
+    if stride > window or stride < 1:
+        raise ValueError(
+            f"chunk_documents requires 1 <= stride <= window "
+            f"(got stride={stride}, window={window}); a stride larger "
+            f"than the window leaves words covered by no chunk.")
 
     def chunk_batch(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].astype(str)

@@ -158,3 +158,83 @@ def test_minhash_segmented_matches_per_doc(texts):
                                  params)
     for i, t in enumerate(texts):
         assert (sigs[i] == minhash_signature(t, 16, params)).all()
+
+
+class _FakeDS:
+    """Minimal map_batches shim so batch-local stages are property-
+    testable without a Ray session."""
+
+    def __init__(self, df):
+        self.df = df
+
+    def map_batches(self, fn, **kw):
+        return _FakeDS(fn(self.df))
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " ",
+                        max_size=60), min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=6))
+def test_chunk_documents_covers_every_word(texts, window, stride):
+    import pandas as pd
+    import pytest
+
+    from fastobo_py_ray.stages.traindata import chunk_documents
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    if stride > window:
+        # gap-producing configs are rejected, not silently lossy
+        with pytest.raises(ValueError, match="stride"):
+            chunk_documents(_FakeDS(df), window=window, stride=stride)
+        return
+    out = chunk_documents(_FakeDS(df), window=window, stride=stride).df
+    for did, text in enumerate(texts):
+        words = str(text).split(" ")
+        g = out[out["doc_id"] == did].sort_values("chunk_id")
+        # chunk ids are dense from 0; every chunk is the exact slice
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        covered = set()
+        for r in g.itertuples():
+            lo = r.chunk_id * stride
+            want = words[lo:lo + window]
+            assert r.chunk_text == " ".join(want)
+            assert r.n_words == len(want)
+            covered |= set(range(lo, lo + r.n_words))
+        assert covered == set(range(len(words)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=20))
+def test_pagerank_fixed_point_matches_reference(ray_session, edge_list):
+    """Random small graphs: the distributed broadcast tier equals the
+    pure-Python integer recurrence EXACTLY (no tolerance)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import PAGERANK_UNIT, pagerank
+
+    edges = pd.DataFrame(
+        {"src": [f"n{a}" for a, _ in edge_list],
+         "dst": [f"n{b}" for _, b in edge_list]})
+    got = pagerank(rd.from_pandas(edges), num_iters=3,
+                   mode="broadcast").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = [0] * n
+    for a in edges["src"]:
+        deg[ix[a]] += 1
+    U = PAGERANK_UNIT
+    r = [U // n] * n
+    for _ in range(3):
+        s = [0] * n
+        for a, b in zip(edges["src"], edges["dst"]):
+            s[ix[b]] += r[ix[a]] // deg[ix[a]]
+        mass = sum(r[i] for i in range(n) if deg[i] == 0)
+        r = [(3 * U) // (20 * n) + (17 * (s[i] + mass // n)) // 20
+             for i in range(n)]
+    assert got["node"].tolist() == nodes
+    assert got["rank_micro"].tolist() == r
