@@ -1478,6 +1478,45 @@ ORDER BY source, doc_id
 _WATERMARK_LATE_US = 600 * 3_600_000_000  # allowed lateness: 600 hours
 
 
+def q_pivot(sf_dir: str) -> pd.DataFrame:
+    """Conditional-aggregation pivot (the FILTER/crosstab pattern):
+    per event type, weekend vs weekday counts and mean value — three
+    algebraic partials per batch, so the exchange is combiner-sized.
+    Day-of-week parity note: pandas ``dayofweek`` is 0=Monday, DuckDB
+    ``dayofweek`` is 0=Sunday; weekend is {5,6} here, {0,6} there."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].dt.dayofweek.to_numpy()
+        wend = (wk >= 5)
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "n_weekend": wend.astype("int64"),
+                          "n_weekday": (~wend).astype("int64"),
+                          "sv": df["value"].astype("float64"),
+                          "n": 1})
+        return t.groupby("event_type", as_index=False, sort=False).sum()
+
+    m = ds.map_batches(part, batch_format="pandas").to_pandas() \
+        .groupby("event_type", as_index=False, sort=False).sum()
+    out = pd.DataFrame({
+        "event_type": m["event_type"].astype(str),
+        "n_weekend": m["n_weekend"].astype("int64"),
+        "n_weekday": m["n_weekday"].astype("int64"),
+        "avg_value": (m["sv"] / m["n"]).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_PIVOT_SQL = """
+SELECT event_type,
+       count(*) FILTER (WHERE dayofweek(ts) IN (0, 6))::BIGINT
+         AS n_weekend,
+       count(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6))::BIGINT
+         AS n_weekday,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_watermark(sf_dir: str) -> pd.DataFrame:
     """Event-time tumbling window with WATERMARK late-data semantics —
     the streaming-engine discipline expressed as a deterministic batch
@@ -2434,6 +2473,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_corr": q_corr,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
+        "q_pivot": q_pivot,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2502,6 +2542,7 @@ def oracles() -> Dict[str, str]:
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
+        "q_pivot": Q_PIVOT_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
