@@ -1131,19 +1131,9 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     before one doc-keyed aggregate.  The corpus token total T is a
     driver scalar off the (vocab-sized) frequency table."""
     from ..functions.relops import grouped_agg, grouped_map, hash_join
+    from ..stages.textstats import token_counts_batch as tf_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].astype(str).str.split(" ")
-        lens = s.str.len().fillna(0).astype("int64").to_numpy()
-        ids = np.repeat(df["doc_id"].to_numpy(), lens)
-        out = pd.DataFrame({
-            "doc_id": ids,
-            "word": pd.Series(s.explode().to_numpy(), dtype="string")})
-        return out.groupby(["doc_id", "word"], as_index=False,
-                           sort=False, observed=True).size() \
-            .rename(columns={"size": "tf"})
 
     # tf is NOT materialized: the score join below re-streams the
     # token partials from the parquet read instead of pinning a
@@ -1489,11 +1479,14 @@ def q_pivot(sf_dir: str) -> pd.DataFrame:
     def part(df: pd.DataFrame) -> pd.DataFrame:
         wk = df["ts"].dt.dayofweek.to_numpy()
         wend = (wk >= 5)
+        v = df["value"].astype("float64")
         t = pd.DataFrame({"event_type": df["event_type"],
                           "n_weekend": wend.astype("int64"),
                           "n_weekday": (~wend).astype("int64"),
-                          "sv": df["value"].astype("float64"),
-                          "n": 1})
+                          "sv": v,
+                          # avg() divides by the NON-NULL count — count
+                          # present values, not rows
+                          "n": v.notna().astype("int64")})
         return t.groupby("event_type", as_index=False, sort=False).sum()
 
     m = ds.map_batches(part, batch_format="pandas").to_pandas() \
@@ -1554,11 +1547,15 @@ def q_watermark(sf_dir: str) -> pd.DataFrame:
             "rb": h.str.slice(0, 2).apply(lambda s: int(s, 16))
                    .astype("int64")})
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    # the keyed projection runs the per-row md5 once: materialize the
+    # four narrow columns and feed BOTH passes from it (halves the
+    # dominant per-row cost for a small object-store footprint)
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"]) \
+        .map_batches(keyed, batch_format="pandas").materialize()
 
     # pass 1: per-bucket max via per-batch partials (KB-scale collect)
     bmax = ds.map_batches(
-        lambda df: keyed(df).groupby("rb", as_index=False)["ts_us"]
+        lambda df: df.groupby("rb", as_index=False)["ts_us"]
         .max(), batch_format="pandas").to_pandas() \
         .groupby("rb")["ts_us"].max()
     offs = np.full(256, -1, dtype="int64")
@@ -1591,8 +1588,7 @@ def q_watermark(sf_dir: str) -> pd.DataFrame:
             .rename(columns={"size": "n_events"})
         return out
 
-    part = grouped_map(ds.map_batches(keyed, batch_format="pandas"),
-                       "rb", bucket, num_buckets=64).to_pandas()
+    part = grouped_map(ds, "rb", bucket, num_buckets=64).to_pandas()
     out = part.groupby("window_start", as_index=False)["n_events"].sum()
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
@@ -1623,11 +1619,14 @@ def q_histogram(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["value"])
 
     def binc(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.floor(df["value"].to_numpy()).astype("int64") // 50
-        c = np.bincount(b)
-        nz = np.nonzero(c)[0]
-        return pd.DataFrame({"bin": nz.astype("int64"),
-                             "n_events": c[nz].astype("int64")})
+        v = df["value"].to_numpy()
+        v = v[~np.isnan(v)]  # oracle filters NULLs the same way
+        # groupby (not bincount) so negative bins are first-class
+        b = pd.Series(np.floor(v).astype("int64") // 50, name="bin")
+        out = b.value_counts().rename_axis("bin") \
+            .reset_index(name="n_events")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
     part = ds.map_batches(binc, batch_format="pandas").to_pandas()
     out = part.groupby("bin", as_index=False, sort=False)["n_events"] \
@@ -1638,11 +1637,14 @@ def q_histogram(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+# floor(x)/50 then floor again = FLOOR division (numpy's semantics for
+# negative bins) — DuckDB's integer `//` truncates toward zero instead,
+# so the oracle must spell the floor out
 Q_HISTOGRAM_SQL = """
-SELECT (CAST(floor(value) AS BIGINT) // 50) AS bin,
-       ((CAST(floor(value) AS BIGINT) // 50) * 50.0) AS lo,
+SELECT CAST(floor(floor(value) / 50.0) AS BIGINT) AS bin,
+       (CAST(floor(floor(value) / 50.0) AS BIGINT) * 50.0) AS lo,
        count(*)::BIGINT AS n_events
-FROM events GROUP BY 1 ORDER BY bin
+FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin
 """
 
 
@@ -1661,9 +1663,16 @@ def q_corr(sf_dir: str) -> pd.DataFrame:
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         x = df["l_quantity"].astype("float64")
         y = df["l_extendedprice"].astype("float64")
-        t = pd.DataFrame({"g": df["l_returnflag"], "n": 1.0, "sx": x,
-                          "sy": y, "sxy": x * y, "sxx": x * x,
-                          "syy": y * y})
+        # corr() is pairwise-complete: a row counts only when BOTH
+        # values are present.  Masked (not dropped) so a group whose
+        # rows are all incomplete still surfaces, with n=0 -> NaN corr
+        # — exactly SQL's NULL for that group.
+        ok = x.notna() & y.notna()
+        xm, ym = x.where(ok, 0.0), y.where(ok, 0.0)
+        t = pd.DataFrame({"g": df["l_returnflag"],
+                          "n": ok.astype("float64"), "sx": xm,
+                          "sy": ym, "sxy": xm * ym, "sxx": xm * xm,
+                          "syy": ym * ym})
         return t.groupby("g", as_index=False, sort=False).sum()
 
     part = ds.map_batches(moments, batch_format="pandas").to_pandas()
@@ -1682,7 +1691,9 @@ def q_corr(sf_dir: str) -> pd.DataFrame:
 Q_CORR_SQL = """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       count(*)::BIGINT AS n_rows
+       count(*) FILTER (WHERE l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL)::BIGINT
+         AS n_rows
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -563,6 +563,11 @@ def semantic_link_documents(ds, term_texts: Dict[str, str],
     ref = ray.put((np.asarray(tids, dtype=object), tmat))
 
     def link(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # np.stack rejects zero arrays
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "term_id": pd.Series(dtype="string"),
+                "cos_sim": pd.Series(dtype="float64")})
         tids_, tmat_ = ray.get(ref)
         emb = hashed_tf_embed_batch(df, text_col=text_col, dim=dim)
         m = np.stack(emb["embedding"].to_numpy())

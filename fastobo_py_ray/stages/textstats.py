@@ -246,6 +246,25 @@ def hashed_tf_embed(ds, text_col: str = "text", dim: int = 256,
 # TF-IDF keyword extraction
 # ---------------------------------------------------------------------------
 
+def token_counts_batch(df: pd.DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> pd.DataFrame:
+    """Per-batch exact ``(id_col, word, tf)`` term-frequency partials
+    over space-tokenized text (a document lives in one row, so the
+    per-batch count is globally exact).  THE single tokenization used
+    by tfidf_topk and the unigram-LM query — keep any tokenizer change
+    here so every consumer stays value-identical to the shared SQL
+    ``string_split(text, ' ')`` contract."""
+    s = df[text_col].astype(str).str.split(" ")
+    lens = s.str.len().fillna(0).astype("int64").to_numpy()
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    out = pd.DataFrame({id_col: ids,
+                        "word": pd.Series(s.explode().to_numpy(),
+                                          dtype="string")})
+    return out.groupby([id_col, "word"], as_index=False,
+                       sort=False, observed=True).size() \
+        .rename(columns={"size": "tf"})
+
+
 def tfidf_topk(ds, n_docs: int, text_col: str = "text",
                id_col: str = "doc_id", k: int = 3,
                num_buckets: int = 64, round_to: int = 6):
@@ -271,19 +290,9 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
     """
     from ..functions.relops import grouped_map
 
-    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str).str.split(" ")
-        lens = s.str.len().fillna(0).astype("int64").to_numpy()
-        ids = np.repeat(df[id_col].to_numpy(), lens)
-        toks = s.explode().to_numpy()
-        out = pd.DataFrame({id_col: ids,
-                            "word": pd.Series(toks, dtype="string")})
-        out = out.groupby([id_col, "word"], as_index=False,
-                          sort=False, observed=True).size() \
-                 .rename(columns={"size": "tf"})
-        return out
-
-    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    tf = ds.map_batches(
+        lambda df: token_counts_batch(df, id_col, text_col),
+        batch_format="pandas")
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct (doc, word) pairs, so the group size per
