@@ -88,6 +88,13 @@ def hash_join(left, right, on: Union[str, List[str]],
     kept / dropped by key membership in the right side; output columns =
     ``lcols`` only — the scale shape for NOT EXISTS / IN subqueries).
 
+    NULL-key caveat: the ``semi``/``anti`` branch implements SQL NULL
+    semantics (a null key never matches), but the pandas ``merge``
+    behind inner/left/right/outer MATCHES NaN keys to each other —
+    null-keyed rows join where SQL would leave them unmatched.  Filter
+    null keys out (or to distinct sentinels) first when the input can
+    carry them; every engine call site feeds non-null keys.
+
     ``bucket_finalize(df) -> df`` runs on each bucket's joined frame
     inside the same task.  Because a bucket holds EVERY row of its keys,
     key-grouped aggregation and per-key top-k are exact here — use it to
@@ -244,10 +251,22 @@ def range_join(left, right, by: str, on: str, lo: str, hi: str,
     and add the chunk id to ``by`` (turns the blowup into per-chunk
     work); ``num_buckets`` remains the skew/parallelism knob.
     """
+    if closed not in ("both", "left", "right"):
+        raise ValueError(
+            f"range_join closed must be 'both', 'left' or 'right' "
+            f"(got {closed!r}) — a typo here would silently change "
+            f"boundary semantics")
     if lcols is None:
         lcols = [c for c in left.schema().names]
     if rcols is None:
         rcols = [c for c in right.schema().names]
+    overlap = (set(lcols) & set(rcols)) - {by}
+    if overlap:
+        raise ValueError(
+            f"range_join: columns {sorted(overlap)} exist on BOTH "
+            f"sides; pandas would suffix them _x/_y and the interval "
+            f"mask could silently read the wrong one — rename before "
+            f"joining (only the `by` key may be shared)")
     all_cols = list(dict.fromkeys(lcols + rcols))
 
     def tag(side: str, cols: List[str]):

@@ -99,7 +99,12 @@ def safe_load(text: str) -> Any:
             continue
         if line.strip() == "---":
             continue
-        toks.append((len(line) - len(line.lstrip(" ")), line.strip()))
+        body = line.strip()
+        # a tab AFTER the block-sequence dash is legal separation
+        # white space (unlike tab indentation) — normalize to "- "
+        if body.startswith("-\t"):
+            body = "- " + body[2:].lstrip(" \t")
+        toks.append((len(line) - len(line.lstrip(" ")), body))
     if not toks:
         return None
     val, i = _parse(toks, 0, toks[0][0])
@@ -121,7 +126,7 @@ def _parse(toks: List[Tuple[int, str]], i: int, indent: int):
                     val, i = _parse(toks, i + 1, toks[i + 1][0])
                 else:
                     val, i = None, i + 1
-            elif item == "-" or item.startswith("- "):
+            elif item == "-" or item.startswith(("- ", "-\t")):
                 # nested compact sequence ("- - a"): unsupported — raise
                 # per the module contract instead of silently yielding
                 # the literal string "- a"

@@ -47,16 +47,36 @@ def _pq_rows(path: str) -> int:
     return total
 
 
-def _ckpt(ds, path: str):
+def _ckpt(ds, path: str, empty_cols=None):
     """Write a stage boundary to parquet; return (re-read handle, rows).
 
     The count is parquet metadata — zero-cost, no execution barrier
     beyond the write that the stage needs anyway for resumability.
+
+    Zero-row stages are first-class: Ray's parquet datasink DELETES the
+    output directory when nothing was written (file_datasink
+    ``on_write_complete``), which would crash the immediate re-read —
+    so an all-empty write is replaced by one schema-typed empty file
+    (``ds.schema()`` on the just-executed plan) and the funnel
+    continues with an empty Dataset.
     """
     import ray.data as rd
 
     shutil.rmtree(path, ignore_errors=True)
     ds.write_parquet(path)
+    if not os.path.isdir(path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # an all-empty dataset has NO recoverable schema
+        # (ds.schema() is None), so the stage declares its output
+        # columns via empty_cols
+        os.makedirs(path, exist_ok=True)
+        tbl = pa.Table.from_pandas(pd.DataFrame({
+            n: pd.Series(dtype=t) for n, t in (empty_cols or {}).items()
+        }), preserve_index=False)
+        pq.write_table(tbl, os.path.join(path, "empty.parquet"))
     return rd.read_parquet(path), _pq_rows(path)
 
 
@@ -92,6 +112,8 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     # metadata-only for parquet-backed / materialized inputs (the usual
     # case); a lazy non-parquet upstream pays one extra pass here.
     stats["input"] = ds.count()
+    # declared stage schema for the all-empty checkpoint path (_ckpt)
+    doc_cols = {id_col: "int64", text_col: "string"}
 
     # -- stage 1: fused quality gates (stateless; one pass) -----------
     langid = LangId(text_col=text_col)
@@ -112,7 +134,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
 
     kept, stats["after_quality"] = _ckpt(
         ds.map_batches(gates, batch_format="pandas"),
-        os.path.join(work_dir, "s1_quality"))
+        os.path.join(work_dir, "s1_quality"), empty_cols=doc_cols)
 
     # -- stage 2: exact dedup (winners -> semi join) ------------------
     winners = exact_dedup(kept, id_col=id_col, text_col=text_col) \
@@ -121,7 +143,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     kept, stats["after_exact_dedup"] = _ckpt(
         hash_join(kept, winners, on=id_col, how="semi",
                   lcols=[id_col, text_col], rcols=[id_col]),
-        os.path.join(work_dir, "s2_exact"))
+        os.path.join(work_dir, "s2_exact"), empty_cols=doc_cols)
 
     # -- stage 3: near-dup removal (keep cluster representatives) -----
     clusters = minhash_dedup(kept, id_col=id_col, text_col=text_col,
@@ -132,7 +154,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     kept, stats["after_near_dedup"] = _ckpt(
         hash_join(kept, losers, on=id_col, how="anti",
                   lcols=[id_col, text_col], rcols=[id_col]),
-        os.path.join(work_dir, "s3_neardup"))
+        os.path.join(work_dir, "s3_neardup"), empty_cols=doc_cols)
 
     # -- stage 4: decontamination -------------------------------------
     if bench_ds is not None:
@@ -141,12 +163,10 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
         contaminated = flags.map_batches(
             lambda df: df.loc[df["contaminated"] == 1, [id_col]],
             batch_format="pandas")
-        kept, _ = _ckpt(
+        kept, stats["after_decontam"] = _ckpt(
             hash_join(kept, contaminated, on=id_col, how="anti",
                       lcols=[id_col, text_col], rcols=[id_col]),
-            os.path.join(work_dir, "s4_decontam"))
-        stats["after_decontam"] = _pq_rows(
-            os.path.join(work_dir, "s4_decontam"))
+            os.path.join(work_dir, "s4_decontam"), empty_cols=doc_cols)
     else:
         stats["after_decontam"] = stats["after_near_dedup"]
 
@@ -157,7 +177,8 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
         return df.assign(split=train_val_assign(df[id_col]))
 
     tagged, _ = _ckpt(kept.map_batches(split, batch_format="pandas"),
-                      os.path.join(work_dir, "s5_tagged"))
+                      os.path.join(work_dir, "s5_tagged"),
+                      empty_cols={**doc_cols, "split": "string"})
     packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,
                            budget=pack_budget)
     packed, stats["packed_docs"] = _ckpt(
@@ -168,5 +189,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
             # restore the ints the join's NA-widening floated
             lambda df: df.astype({"n_tokens": "int64"}),
             batch_format="pandas"),
-        os.path.join(work_dir, "packed"))
+        os.path.join(work_dir, "packed"),
+        empty_cols={id_col: "int64", "n_tokens": "int64",
+                    "pack_id": "string", "split": "string"})
     return packed, stats

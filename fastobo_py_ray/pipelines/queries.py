@@ -2169,11 +2169,13 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
     """Range (interval) join — events within the hour BEFORE each
     purchase by the same user. One hash exchange on user_id; equi-merge
     + vectorized interval mask inside buckets (exact: a bucket holds
-    every row of its user_ids). Timestamps travel as float64 epoch ticks
-    so the tagged union stays single-dtype; all three tick columns are
-    normalized to ns FIRST (Timedelta arithmetic silently promotes a
-    datetime64[us] column to ns, so mixing converted units would shift
-    one side by 1000x)."""
+    every row of its user_ids). Timestamps travel as float64 epoch
+    MICROSECOND ticks so the tagged union stays single-dtype AND the
+    ticks stay exactly representable (~1.7e15 < 2^53; ns epochs would
+    round to a 256-ns grid and could flip boundary comparisons on
+    sub-us data).  The hour offset is integer arithmetic on the us
+    ticks — no Timedelta, whose arithmetic silently promotes
+    datetime64[us] to ns."""
     import pyarrow.dataset as pds
 
     from ..functions.relops import range_join
@@ -2192,7 +2194,7 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
     def to_point(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_id": df["event_id"], "user_id": df["user_id"],
-            "ts_t": df["ts"].astype("datetime64[ns]")
+            "ts_t": df["ts"].astype("datetime64[us]")
                 .astype("int64").astype("float64"),
             "et_code": df["event_type"].map(code_of).astype("int64")})
 
@@ -2200,12 +2202,11 @@ def q_range_join(sf_dir: str) -> pd.DataFrame:
                   filter=pds.field("event_type") == "purchase")
 
     def to_window(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("datetime64[ns]")
+        us = df["ts"].astype("datetime64[us]").astype("int64")
         return pd.DataFrame({
             "purchase_id": df["event_id"], "user_id": df["user_id"],
-            "lo": (ns - pd.Timedelta(hours=1)).astype("int64")
-                .astype("float64"),
-            "hi": ns.astype("int64").astype("float64")})
+            "lo": (us - 3_600_000_000).astype("float64"),
+            "hi": us.astype("float64")})
 
     out = range_join(
         ev.map_batches(to_point, batch_format="pandas"),

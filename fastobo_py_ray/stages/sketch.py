@@ -234,9 +234,11 @@ def heavy_hitters(ds, value_col: str, k: int = 10,
     final = mg_compress(
         pd.Series(summed["est_count"].to_numpy(),
                   index=summed["value"]), capacity)
-    top = final.sort_values(ascending=False).head(max(k * 4, k))
-    out = pd.DataFrame({"value": top.index.to_numpy(),
-                        "est_count": top.to_numpy().astype("int64")})
+    out = pd.DataFrame({"value": final.index.to_numpy(),
+                        "est_count": final.to_numpy().astype("int64")})
+    # ONE deterministic (count desc, value asc) sort over the
+    # capacity-bounded summary — a count-only pre-truncation would
+    # keep an arbitrary subset of boundary ties
     out = out.sort_values(["est_count", "value"],
                           ascending=[False, True], kind="stable")
     return out.head(k).reset_index(drop=True)

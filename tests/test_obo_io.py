@@ -467,3 +467,16 @@ def test_miniyaml_nested_sequence_raises():
     assert miniyaml.safe_load("x:\n  - a\n  - b") == {"x": ["a", "b"]}
     with pytest.raises(ValueError, match="nested compact"):
         miniyaml.safe_load("x:\n  - - a")
+
+
+def test_miniyaml_tab_after_dash_and_colon():
+    """Tabs are legal separation white space AFTER '-' and ':'
+    indicators (only tab INDENTATION is rejected)."""
+    import pytest
+
+    from fastobo_py_ray.obo.miniyaml import safe_load
+
+    assert safe_load("- a\n-\tb") == ["a", "b"]
+    assert safe_load("k:\tv") == {"k": "v"}
+    with pytest.raises(ValueError, match="tab indentation"):
+        safe_load("k:\n\t- a")

@@ -206,3 +206,22 @@ def test_chunk_documents_invariants(ray_session):
             covered |= set(range(r.chunk_id * 2,
                                  r.chunk_id * 2 + r.n_words))
         assert covered == set(range(len(words)))
+
+
+def test_curate_survives_all_filtered_corpus(ray_session, tmp_path):
+    """A corpus where the quality gates drop EVERYTHING must flow
+    through the funnel as empty stages, not crash on Ray's deleted
+    empty-write directory (datasink on_write_complete removes the dir
+    when zero rows were written)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.curation import curate
+
+    # texts short enough that every quality gate rejects them
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["x", "y"]}))
+    packed, stats = curate(ds, work_dir=str(tmp_path / "w"))
+    assert packed.count() == 0
+    assert stats["after_quality"] == 0
+    assert stats["packed_docs"] == 0
