@@ -1468,6 +1468,84 @@ ORDER BY source, doc_id
 _WATERMARK_LATE_US = 600 * 3_600_000_000  # allowed lateness: 600 hours
 
 
+def q10_returned(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    items, with name and nation.  A three-table join tree built from
+    the engine's scale primitives: returnflag pushed into the lineitem
+    scan, per-batch revenue pre-aggregation BEFORE the first exchange,
+    the per-order and per-customer reduces piggybacked on their join
+    exchanges (bucket_finalize), nation broadcast (25 rows), and the
+    top-20 taken per bucket before a rows*20 driver merge."""
+    import pyarrow.dataset as pds
+
+    from ..functions.relops import broadcast_join, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               rows_per_block=25_000,
+               filter=pds.field("l_returnflag") == "R")
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("l_orderkey", as_index=False, sort=False)[
+            "rev"].sum().rename(columns={"l_orderkey": "o_orderkey"})
+
+    rev = li.map_batches(li_pre, batch_format="pandas")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   rows_per_block=50_000)
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False)[
+            "rev"].sum().rename(columns={"o_custkey": "c_custkey"})
+
+    cust_rev = hash_join(orders, rev, on="o_orderkey",
+                         lcols=["o_orderkey", "o_custkey"],
+                         rcols=["o_orderkey", "rev"],
+                         bucket_finalize=per_cust)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_custkey", "c_name", "c_nationkey"],
+                       as_index=False, sort=False)["rev"].sum()
+        g["revenue"] = g["rev"].round(2)
+        g = g.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True], kind="stable")
+        return g.head(20)[["c_custkey", "c_name", "c_nationkey",
+                           "revenue"]]
+
+    top = hash_join(cust, cust_rev, on="c_custkey",
+                    lcols=["c_custkey", "c_name", "c_nationkey"],
+                    rcols=["c_custkey", "rev"],
+                    bucket_finalize=finalize)
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas() \
+        .rename(columns={"n_nationkey": "c_nationkey"})
+    out = broadcast_join(top, nation, on="c_nationkey").to_pandas()
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True], kind="stable") \
+        .head(20)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["c_name"] = out["c_name"].astype(str)
+    out["n_name"] = out["n_name"].astype(str)
+    out["revenue"] = out["revenue"].astype("float64")
+    return out[["c_custkey", "c_name", "n_name", "revenue"]] \
+        .reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q_pivot(sf_dir: str) -> pd.DataFrame:
     """Conditional-aggregation pivot (the FILTER/crosstab pattern):
     per event type, weekend vs weekday counts and mean value — three
@@ -2486,6 +2564,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
+        "q10_returned": q10_returned,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2555,6 +2634,7 @@ def oracles() -> Dict[str, str]:
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
         "q_pivot": Q_PIVOT_SQL,
+        "q10_returned": Q10_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
