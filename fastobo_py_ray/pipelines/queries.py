@@ -1468,6 +1468,33 @@ ORDER BY source, doc_id
 _WATERMARK_LATE_US = 600 * 3_600_000_000  # allowed lateness: 600 hours
 
 
+def q6_forecast(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — a SCALAR filtered aggregate: all predicates
+    pushed into the parquet scan (only two columns leave storage for
+    qualifying row groups), one per-batch product-sum partial per
+    block, one driver add.  The narrowest possible scan-aggregate."""
+    import pyarrow.dataset as pds
+
+    f = ((pds.field("l_discount") >= 0.05)
+         & (pds.field("l_discount") <= 0.07)
+         & (pds.field("l_quantity") < 24))
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount"], filter=f)
+    part = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [(df["l_extendedprice"] * df["l_discount"]).sum()]}),
+        batch_format="pandas")
+    total = part.sum("s") or 0.0
+    return pd.DataFrame({"revenue_effect": [round(total, 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 def q10_returned(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q10 shape — top-20 customers by revenue lost to returned
     items, with name and nation.  A three-table join tree built from
@@ -2565,6 +2592,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
         "q10_returned": q10_returned,
+        "q6_forecast": q6_forecast,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_inverted_index": q_inverted_index,
@@ -2635,6 +2663,7 @@ def oracles() -> Dict[str, str]:
         "q_watermark": Q_WATERMARK_SQL,
         "q_pivot": Q_PIVOT_SQL,
         "q10_returned": Q10_SQL,
+        "q6_forecast": Q6_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
