@@ -1173,6 +1173,114 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_BIGRAM_LAMBDA = 0.7
+
+
+def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability — the
+    next LM-quality rung above q_unigram_logprob:
+
+        p(w2 | w1) = 0.7 * c(w1 w2)/c(w1)  +  0.3 * c(w2)/T
+
+    averaged as ln p over every adjacent pair.  Engine shape: the
+    bigram and unigram count tables are built by keyed combiner
+    exchanges (same streaming two-pass discipline as the unigram
+    query — nothing corpus-shaped is pinned); the per-position table
+    is pre-aggregated per (doc, w1, w2) in-batch, then THREE keyed
+    joins attach c(w1 w2), c(w1), c(w2), each pre-reducing per-doc
+    partial sums inside its final join bucket.  Every count is an
+    exact integer on both engines, and the per-position float
+    expression is written identically in the SQL, so only the final
+    mean needs a rounding contract."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigram_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        ids = np.repeat(df["doc_id"].to_numpy(), lens)
+        toks = s.explode().to_numpy().astype("U")
+        if len(toks) < 2:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "w1": pd.Series(dtype="string"),
+                "w2": pd.Series(dtype="string"),
+                "m": pd.Series(dtype="int64")})
+        same = ids[:-1] == ids[1:]
+        out = pd.DataFrame({
+            "doc_id": ids[:-1][same],
+            "w1": pd.Series(toks[:-1][same], dtype="string"),
+            "w2": pd.Series(toks[1:][same], dtype="string")})
+        return out.groupby(["doc_id", "w1", "w2"], as_index=False,
+                           sort=False, observed=True).size() \
+            .rename(columns={"size": "m"})
+
+    from ..stages.textstats import token_counts_batch
+
+    pos = ds.map_batches(bigram_batch, batch_format="pandas")
+    bi = grouped_agg(
+        pos.map_batches(lambda df: df[["w1", "w2", "m"]],
+                        batch_format="pandas"),
+        ["w1", "w2"], c12=("m", "sum")).materialize()
+    uni = grouped_agg(
+        ds.map_batches(token_counts_batch, batch_format="pandas"),
+        "word", c=("tf", "sum")).materialize()
+    total = float(uni.sum("c"))
+
+    j1 = hash_join(pos, bi, on=["w1", "w2"],
+                   lcols=["doc_id", "w1", "w2", "m"],
+                   rcols=["w1", "w2", "c12"])
+    j2 = hash_join(j1, uni.map_batches(
+        lambda df: df.rename(columns={"word": "w1", "c": "c1"}),
+        batch_format="pandas"), on="w1",
+        lcols=["doc_id", "w1", "w2", "m", "c12"], rcols=["w1", "c1"])
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(_BIGRAM_LAMBDA * df["c12"].to_numpy()
+                    / df["c1"].to_numpy()
+                    + (1 - _BIGRAM_LAMBDA) * df["c2"].to_numpy() / total)
+        part = pd.DataFrame({"doc_id": df["doc_id"],
+                             "lp": lp * df["m"].to_numpy(),
+                             "n": df["m"]})
+        return part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(lp=("lp", "sum"), n=("n", "sum"))
+
+    j3 = hash_join(j2, uni.map_batches(
+        lambda df: df.rename(columns={"word": "w2", "c": "c2"}),
+        batch_format="pandas"), on="w2",
+        lcols=["doc_id", "w1", "w2", "m", "c12", "c1"],
+        rcols=["w2", "c2"], bucket_finalize=doc_partial)
+    out = grouped_agg(j3, "doc_id", lp=("lp", "sum"), n=("n", "sum")) \
+        .to_pandas()
+    out["logprob2"] = (out["lp"] / out["n"]).round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "logprob2"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+Q_BIGRAM_LOGPROB_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM t)),
+toks AS (SELECT doc_id, unnest(w) AS word FROM t),
+bi AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT word, count(*)::DOUBLE AS c FROM toks GROUP BY word),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks)
+SELECT p.doc_id,
+       round(avg(ln(0.7 * bi.c12 / u1.c
+                    + (1.0 - 0.7) * u2.c / (SELECT t FROM tot))), 6)
+         AS logprob2
+FROM pairs p
+JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+JOIN uni u1 ON p.w1 = u1.word
+JOIN uni u2 ON p.w2 = u2.word
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 _INVIDX_MIN_DF = 5
 _INVIDX_MAX_DF = 50
 
@@ -2595,6 +2703,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q6_forecast": q6_forecast,
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_bigram_logprob": q_bigram_logprob,
         "q_inverted_index": q_inverted_index,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2665,6 +2774,7 @@ def oracles() -> Dict[str, str]:
         "q10_returned": Q10_SQL,
         "q6_forecast": Q6_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
+        "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
