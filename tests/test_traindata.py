@@ -225,3 +225,24 @@ def test_curate_survives_all_filtered_corpus(ray_session, tmp_path):
     assert packed.count() == 0
     assert stats["after_quality"] == 0
     assert stats["packed_docs"] == 0
+
+
+def test_md5_hex_duckdb_tier_matches_loop_and_order():
+    """The large-array DuckDB md5 path must be value- AND
+    order-identical to the hashlib loop (the tier threshold is a pure
+    performance crossover, never a semantic switch)."""
+    import hashlib
+
+    from fastobo_py_ray.stages import traindata as td
+
+    ids = [f"doc-{i}" for i in range(1000)] + [123, -5, "x y z"]
+    loop = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+    assert td._md5_hex(ids) == loop
+    old = td._MD5_DUCKDB_MIN
+    td._MD5_DUCKDB_MIN = 1  # force the DuckDB tier
+    try:
+        assert td._md5_hex(ids) == loop
+        assert td.train_val_assign(ids) == [
+            "val" if h[:2] < "1a" else "train" for h in loop]
+    finally:
+        td._MD5_DUCKDB_MIN = old
