@@ -2661,6 +2661,205 @@ FROM (SELECT c_custkey FROM urgent EXCEPT SELECT c_custkey FROM low)
 # registry
 # ---------------------------------------------------------------------------
 
+_Q18_MIN_QTY = 180.0
+
+
+def q18_big_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape — HAVING on a group sum, joined back through the
+    fact tree: orders whose total line quantity exceeds a threshold,
+    with customer name, top-10 by order value.
+
+    Scale shape: the per-order quantity sum is a per-batch combiner +
+    one coarse exchange (``grouped_agg``); the HAVING filter keeps ~1%
+    of orders, still SF-linear, so BOTH join-backs are partitioned
+    ``hash_join``s (never a driver collect / broadcast of an SF-linear
+    set).  The global top-10 is pre-reduced to a per-bucket top-10
+    inside the second join's exchange (``bucket_finalize``), so the
+    driver merges ``num_buckets x 10`` rows."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    qty = grouped_agg(
+        line.map_batches(
+            lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas"),
+        "o_orderkey", sum_qty=("l_quantity", "sum"))
+    big = qty.map_batches(
+        lambda df: df[df["sum_qty"] > _Q18_MIN_QTY],
+        batch_format="pandas")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+    j1 = hash_join(big, orders, on="o_orderkey",
+                   lcols=["o_orderkey", "sum_qty"],
+                   rcols=["o_orderkey", "o_custkey", "o_totalprice",
+                          "o_orderdate"])
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j1 = j1.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True]).head(10)
+
+    out = hash_join(
+        j1, cust, on="c_custkey",
+        lcols=["o_orderkey", "sum_qty", "c_custkey", "o_totalprice",
+               "o_orderdate"],
+        rcols=["c_custkey", "c_name"],
+        bucket_finalize=topk).to_pandas()
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(10)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity) > {_Q18_MIN_QTY}) q
+JOIN orders USING (o_orderkey)
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
+def q_rank_windows(sf_dir: str) -> pd.DataFrame:
+    """RANK / DENSE_RANK / NTILE in one pass: per market segment,
+    customers ranked by their account-balance hundreds band (a banded
+    key so rank vs dense_rank diverge on REAL ties).  One keyed
+    exchange on the bounded segment key; everything inside the bucket
+    is C-speed sorts + vectorized rank/tile arithmetic.
+
+    Determinism contracts: NTILE rides a TOTAL order (band, custkey)
+    because SQL leaves intra-tie order engine-defined; the band is
+    ``floor(floor(bal)/100)`` spelled with two floors because DuckDB's
+    integer ``//`` truncates toward zero while numpy floors (negative
+    balances exist)."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bal_bucket"] = np.floor(
+            np.floor(df["c_acctbal"].to_numpy()) / 100).astype("int64")
+        df = df.sort_values(["c_mktsegment", "bal_bucket", "c_custkey"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("c_mktsegment", sort=False)
+        df["rnk"] = g["bal_bucket"].rank(
+            method="min", ascending=False).astype("int64")
+        df["drnk"] = g["bal_bucket"].rank(
+            method="dense", ascending=False).astype("int64")
+        p = g.cumcount().to_numpy()
+        n = g["c_custkey"].transform("size").to_numpy()
+        k = 4
+        base, big = n // k, n % k
+        size_big = base + 1
+        cut = big * size_big
+        # np.where evaluates both branches: guard base=0 (n < k groups)
+        safe = np.where(base > 0, base, 1)
+        tile = np.where(p < cut, p // size_big,
+                        big + (p - cut) // safe) + 1
+        df["tile4"] = tile.astype("int64")
+        return df.drop(columns="c_acctbal")
+
+    out = grouped_map(ds, "c_mktsegment", bucket, num_buckets=8) \
+        .to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_mktsegment", "bal_bucket", "rnk",
+                "drnk", "tile4"]].sort_values("c_custkey") \
+        .reset_index(drop=True)
+
+
+Q_RANK_WINDOWS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       floor(floor(c_acctbal) / 100)::BIGINT AS bal_bucket,
+       rank() OVER (PARTITION BY c_mktsegment
+                    ORDER BY floor(floor(c_acctbal) / 100) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment
+                    ORDER BY floor(floor(c_acctbal) / 100) DESC) AS drnk,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY floor(floor(c_acctbal) / 100) DESC,
+                               c_custkey) AS tile4
+FROM customer ORDER BY c_custkey
+"""
+
+
+_WSAMPLE_K = 80
+_WSAMPLE_MAXW = 8
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement under the
+    integer-ticket model: a document of weight w holds w md5 lottery
+    tickets ``md5(id || '-' || j)``; its key is its smallest ticket and
+    the k smallest keys across the corpus win.  For k=1 this is exact
+    weighted sampling (every ticket is equally likely to be the global
+    minimum); for k>1 it is the ticket analogue of the
+    Efraimidis-Spirakis ``u^(1/w)`` key (min of w uniforms instead of a
+    root) — chosen because ticket comparison is EXACT string/integer
+    work that any engine reproduces bit-for-bit, where ``pow``/``ln``
+    keys would need a cross-engine float-rounding contract.  Weight =
+    the document's length band ``1 + min(n_chars // 100, 7)`` — the
+    data-mixing knob (longer docs sampled up to 8x more often).
+
+    Scale shape: tickets never leave their batch — per-doc min via the
+    factorize ``group_min`` (C path for strings), then a per-batch
+    top-k partial, so the driver merges ``k x blocks`` rows (the same
+    bounded merge as ANN brute-force top-k)."""
+    from ..functions.relops import group_min
+    from ..stages.traindata import _md5_hex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "ticket": pd.Series(dtype="string")})
+        w = 1 + np.minimum(df["n_chars"].to_numpy() // 100,
+                           _WSAMPLE_MAXW - 1)
+        ids = np.repeat(df["doc_id"].to_numpy(), w)
+        ends = np.cumsum(w)
+        j = np.arange(int(ends[-1]), dtype="int64") \
+            - np.repeat(ends - w, w) + 1
+        tickets = np.char.add(
+            np.char.add(ids.astype("U20"), "-"), j.astype("U2"))
+        t = pd.DataFrame({"doc_id": ids,
+                          "ticket": pd.Series(_md5_hex(tickets),
+                                              dtype="string")})
+        best = group_min(t, ["doc_id"], "ticket")
+        best = best.sort_values("ticket").head(_WSAMPLE_K)
+        best["ticket"] = best["ticket"].astype("string")
+        return best
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = out.sort_values("ticket").head(_WSAMPLE_K)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ticket"] = out["ticket"].astype(str)
+    return out.reset_index(drop=True)
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (SELECT doc_id,
+                  1 + least(n_chars // 100, {_WSAMPLE_MAXW - 1}) AS w
+           FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, w)) AS j FROM w),
+k AS (SELECT doc_id,
+             min(md5(doc_id::VARCHAR || '-' || j::VARCHAR)) AS ticket
+      FROM t GROUP BY doc_id)
+SELECT doc_id, ticket FROM k ORDER BY ticket LIMIT {_WSAMPLE_K}
+"""
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -2729,6 +2928,9 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_text_embed_neardup": q_text_embed_neardup,
         "q_rollup": q_rollup,
         "q_set_ops": q_set_ops,
+        "q18_big_orders": q18_big_orders,
+        "q_rank_windows": q_rank_windows,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -2788,6 +2990,9 @@ def oracles() -> Dict[str, str]:
         "q_full_outer": Q_FULL_OUTER_SQL,
         "q_rollup": Q_ROLLUP_SQL,
         "q_set_ops": Q_SET_OPS_SQL,
+        "q18_big_orders": Q18_SQL,
+        "q_rank_windows": Q_RANK_WINDOWS_SQL,
+        "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
