@@ -2860,6 +2860,26 @@ SELECT doc_id, ticket FROM k ORDER BY ticket LIMIT {_WSAMPLE_K}
 """
 
 
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed FULL-DATA k-means assignments (k=10, 5 Lloyd
+    iterations, deterministic md5-order init) over the embeddings
+    table — corpus clustering for mixture analysis / SemDeDup-style
+    bucketing.  Scale shape: per iteration one streaming pass emitting
+    k x (d+2) partials per block, a bounded driver fold, zero shuffles
+    (see stages/cluster.py).  Rows-only: the iterative fixed point has
+    no faithful ANSI-SQL equivalent; determinism, numpy-mirror
+    assignment parity, and Lloyd monotonicity are pytest-gated
+    (tests/test_cluster.py)."""
+    from ..stages.cluster import kmeans
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _cent, assign, _hist = kmeans(ds, k=10, iters=5)
+    out = assign.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -2931,6 +2951,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q18_big_orders": q18_big_orders,
         "q_rank_windows": q_rank_windows,
         "q_weighted_sample": q_weighted_sample,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -3000,6 +3021,9 @@ def oracles() -> Dict[str, str]:
         # relation.
         # q_semantic_link is rows-only: feature-hashed embeddings have
         # no SQL equivalent; value semantics are pytest-gated.
+        # q_kmeans is rows-only: an iterative fixed point (Lloyd's) has
+        # no faithful ANSI-SQL equivalent; determinism + numpy-mirror
+        # parity + monotone inertia are pytest-gated.
         # q_minhash_clusters / q_simhash / q_fingerprint / q_langid /
         # q_ann_lsh (approximate) / q_media_features / q_qa_ontology are
         # intentionally omitted: stateful hashing / heuristics /

@@ -1,0 +1,121 @@
+"""Distributed document/embedding clustering.
+
+:func:`kmeans` is full-data Lloyd's — the corpus-clustering sibling of
+the bounded-sample ``ann.kmeans_centroids`` (which trains IVF routing on
+a driver-side sample).  Here every row participates:
+
+* per iteration ONE streaming assignment pass — each batch computes
+  squared-Euclidean argmin against the broadcast ``k x d`` centroid
+  matrix and emits a ``k x (d+2)`` partial (per-centroid vector sums,
+  counts, inertia).  Block partials are KB-scale regardless of corpus
+  size, so the driver fold is a bounded merge, exactly like the ANN
+  brute-force top-k merge.
+* NO shuffle at any point, at any scale: the only data movement is the
+  ``ray.put`` centroid broadcast down and the tiny partials up.
+* the projected ``(id, vec)`` working set is materialized once and
+  re-streamed per iteration — iterative refinement re-reads blocks from
+  the object store instead of re-running the upstream pipeline per
+  iteration (spill-backed; nothing corpus-scale is ever collected).
+
+Determinism contract (cross-run AND cross-engine): init picks the k rows
+with the smallest ``md5(str(id))`` (engine-independent, computed with
+bounded per-batch top-k partials); argmin ties break to the lowest
+centroid index; block partials fold in Dataset block order, which Ray
+keeps deterministic.  Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .ann import _as_matrix
+
+
+def _assign(m: np.ndarray, cent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Squared-Euclidean argmin of rows ``m`` against centroids ``cent``
+    -> (assignment, squared distance).  The ||m||^2 term is folded in so
+    the reported inertia is the true sum of squared distances."""
+    d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
+          + (cent * cent).sum(axis=1)[None, :])
+    a = d2.argmin(axis=1)
+    return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
+
+
+def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
+           id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means.  Returns
+    ``(centroids, assignments_ds, inertia_history)`` where
+    ``assignments_ds`` is a Dataset of ``(id_col, cluster)`` and
+    ``inertia_history`` has one entry per iteration (non-increasing —
+    Lloyd's monotonicity, asserted in tests)."""
+    import ray
+
+    from .traindata import _md5_hex
+
+    work = ds.map_batches(
+        lambda df: df[[id_col, vec_col]], batch_format="pandas") \
+        .materialize()
+
+    # ---- deterministic init: k smallest md5(str(id)) rows ------------
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[id_col, vec_col]].copy()
+        sub["__h"] = pd.Series(_md5_hex(sub[id_col]), index=sub.index,
+                               dtype="string")
+        return sub.sort_values("__h").head(k)
+
+    seeds = work.map_batches(seed_partial, batch_format="pandas") \
+        .to_pandas().sort_values("__h").head(k)
+    cent = _as_matrix(seeds[vec_col])
+    if len(cent) < k:
+        raise ValueError(f"kmeans: k={k} exceeds dataset size {len(cent)}")
+    dim = cent.shape[1]
+    scols = [f"s{j}" for j in range(dim)]
+
+    inertia_history: List[float] = []
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            if df.empty:
+                return pd.DataFrame(
+                    {"cid": pd.Series(dtype="int64"),
+                     "n": pd.Series(dtype="int64"),
+                     "inertia": pd.Series(dtype="float64"),
+                     **{s: pd.Series(dtype="float64") for s in scols}})
+            m = _as_matrix(df[vec_col])
+            a, d = _assign(m, c)
+            sums = np.zeros((len(c), m.shape[1]))
+            np.add.at(sums, a, m)
+            out = pd.DataFrame(
+                {"cid": np.arange(len(c), dtype="int64"),
+                 "n": np.bincount(a, minlength=len(c)).astype("int64"),
+                 "inertia": np.bincount(a, weights=d, minlength=len(c))})
+            for j, s in enumerate(scols):
+                out[s] = sums[:, j]
+            return out
+
+        fold = work.map_batches(partial, batch_format="pandas") \
+            .to_pandas().groupby("cid", sort=True).sum()
+        inertia_history.append(float(fold["inertia"].sum()))
+        n = fold["n"].to_numpy()
+        sums = fold[scols].to_numpy()
+        nz = n > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / n[nz, None]
+
+    cent_ref = ray.put(cent)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": a.astype("int64")})
+
+    return cent, work.map_batches(label, batch_format="pandas"), \
+        inertia_history
