@@ -2880,6 +2880,24 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (cluster with distributed k-means, prune cosine near-dups within
+    clusters only — arXiv:2303.09540; see stages/cluster.py).  Same
+    0.4 threshold as q_embedding_neardup so the prune is exercised on
+    this corpus.  Rows-only: iterative clustering + greedy keep-first
+    have no ANSI-SQL equivalent; in-cluster exactness, soundness and
+    completeness are pytest-gated (tests/test_cluster.py)."""
+    from ..stages.cluster import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=10, iters=5, threshold=0.4).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -2952,6 +2970,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_rank_windows": q_rank_windows,
         "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
+        "q_semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3021,6 +3040,9 @@ def oracles() -> Dict[str, str]:
         # relation.
         # q_semantic_link is rows-only: feature-hashed embeddings have
         # no SQL equivalent; value semantics are pytest-gated.
+        # q_semantic_dedup is rows-only: SemDeDup composes the k-means
+        # fixed point with a greedy keep-first prune; pytest gates
+        # in-cluster exactness/soundness/completeness.
         # q_kmeans is rows-only: an iterative fixed point (Lloyd's) has
         # no faithful ANSI-SQL equivalent; determinism + numpy-mirror
         # parity + monotone inertia are pytest-gated.

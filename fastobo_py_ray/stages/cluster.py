@@ -119,3 +119,71 @@ def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
 
     return cent, work.map_batches(label, batch_format="pandas"), \
         inertia_history
+
+
+def semantic_dedup(ds, k: int = 10, iters: int = 5,
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the distributed
+    k-means above, then prune cosine near-duplicates WITHIN each
+    cluster only — the published trade that turns the all-pairs O(N^2)
+    cosine matrix into k blocks of O((N/k)^2), sharded across the
+    cluster by ONE keyed exchange on the cluster id (cross-cluster
+    near-dups are deliberately out of scope; that is the algorithm, not
+    a shortcut).
+
+    In-cluster rule (deterministic keep-first): ids ascending, a row is
+    dropped iff its cosine similarity — rounded to 6 decimals, the
+    engine-wide float contract — to an already-KEPT lower id reaches
+    ``threshold``.  The greedy scan is per-row Python but each step is
+    one numpy matvec against the kept matrix, and the loop is bounded
+    by the cluster size (~N/k), which the clustering exists to bound.
+
+    Returns a Dataset of ``(id, cluster, keep)`` covering every row."""
+    from ..functions.relops import grouped_map
+    from .ann import _normalize
+
+    import ray
+
+    cent, _assign_ds, _hist = kmeans(ds, k=k, iters=iters,
+                                     vec_col=vec_col, id_col=id_col)
+    cent_ref = ray.put(cent)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 vec_col: pd.Series(dtype="object"),
+                                 "cluster": pd.Series(dtype="int64")})
+        a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             vec_col: df[vec_col].to_numpy(),
+                             "cluster": a.astype("int64")})
+
+    stamped = ds.map_batches(
+        lambda df: stamp(df[[id_col, vec_col]]), batch_format="pandas")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, g in df.groupby("cluster", sort=False):
+            g = g.sort_values(id_col, kind="stable")
+            m = _normalize(_as_matrix(g[vec_col]))
+            keep = np.zeros(len(g), dtype=bool)
+            kept_rows: list = []
+            for i in range(len(g)):
+                if not kept_rows or float(
+                        np.round(np.vstack(kept_rows) @ m[i], 6).max()) \
+                        < threshold:
+                    keep[i] = True
+                    kept_rows.append(m[i])
+            outs.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "cluster": np.full(len(g), cid, dtype="int64"),
+                "keep": keep}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "keep": pd.Series(dtype="bool")})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_map(stamped, "cluster", prune, num_buckets=min(k, 64))

@@ -75,3 +75,62 @@ def test_kmeans_k_exceeding_rows_raises(ray_session):
                        "embedding": [[0.0, 1.0], [1.0, 0.0]]})
     with pytest.raises(ValueError):
         kmeans(rd.from_pandas(df), k=5, iters=1)
+
+
+def test_semantic_dedup_in_cluster_exact_sound_complete(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import _as_matrix, _normalize
+    from fastobo_py_ray.stages.cluster import semantic_dedup
+
+    thr = 0.4
+    ds = rd.read_parquet(SF)
+    out = semantic_dedup(ds, k=10, iters=5, threshold=thr).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    df = pd.read_parquet(SF).sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(df)
+    m = _normalize(_as_matrix(df["embedding"]))
+    ids = df["vec_id"].to_numpy()
+    pos = {v: i for i, v in enumerate(ids)}
+
+    dropped = 0
+    for cid, g in out.groupby("cluster"):
+        rows = [pos[v] for v in g["vec_id"]]
+        sub = m[rows]
+        sims = np.round(sub @ sub.T, 6)
+        keep = g["keep"].to_numpy()
+        # mirror the greedy keep-first rule exactly
+        ref = np.zeros(len(g), dtype=bool)
+        kept = []
+        for i in range(len(g)):
+            if not kept or sims[i, kept].max() < thr:
+                ref[i] = True
+                kept.append(i)
+        assert (keep == ref).all()
+        # soundness: every dropped row is >= thr to a kept LOWER id
+        for i in np.where(~keep)[0]:
+            assert sims[i, :i][keep[:i]].max() >= thr
+        # completeness: kept rows pairwise < thr within the cluster
+        ki = np.where(keep)[0]
+        if len(ki) > 1:
+            kk = sims[np.ix_(ki, ki)]
+            np.fill_diagonal(kk, 0)
+            assert kk.max() < thr
+        dropped += int((~keep).sum())
+    assert dropped > 0  # threshold 0.4 does prune on this corpus
+
+
+def test_semantic_dedup_drops_exact_duplicates(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.cluster import semantic_dedup
+
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5, 6],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0],
+                      [-1.0, 0.5], [0.5, -1.0]]})
+    out = semantic_dedup(rd.from_pandas(df), k=2, iters=2,
+                         threshold=0.99).to_pandas() \
+        .set_index("vec_id")["keep"]
+    assert bool(out[1]) and not bool(out[2])
+    assert bool(out[3]) and not bool(out[4])
