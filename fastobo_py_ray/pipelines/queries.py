@@ -2679,11 +2679,14 @@ def q18_big_orders(sf_dir: str) -> pd.DataFrame:
     from ..functions.relops import grouped_agg, hash_join
 
     line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    qty = grouped_agg(
-        line.map_batches(
-            lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
-            batch_format="pandas"),
-        "o_orderkey", sum_qty=("l_quantity", "sum"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False, sort=False) \
+            .agg(sum_qty=("l_quantity", "sum")) \
+            .rename(columns={"l_orderkey": "o_orderkey"})
+
+    qty = grouped_agg(line.map_batches(combine, batch_format="pandas"),
+                      "o_orderkey", sum_qty=("sum_qty", "sum"))
     big = qty.map_batches(
         lambda df: df[df["sum_qty"] > _Q18_MIN_QTY],
         batch_format="pandas")
