@@ -2863,6 +2863,183 @@ SELECT doc_id, ticket FROM k ORDER BY ticket LIMIT {_WSAMPLE_K}
 """
 
 
+def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (argmax-of-count): each user's most frequent
+    event type, ties to the lexicographically smallest type — the
+    deterministic tiebreak both engines can honor.  Scale shape:
+    per-batch combine to (user, type, n) partials, ONE coarse exchange
+    on user_id (a bucket holds every partial of its users), in-bucket
+    C-speed sum + idxmax."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False) \
+            .agg(n=("event_type", "size"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.groupby(["user_id", "event_type"], as_index=False) \
+            .agg(n=("n", "sum"))
+        # argmax with (count desc, type asc) tiebreak: sort then head(1)
+        full = full.sort_values(["user_id", "n", "event_type"],
+                                ascending=[True, False, True],
+                                kind="stable")
+        top = full.groupby("user_id", sort=False, as_index=False).head(1)
+        return top.rename(columns={"event_type": "top_event"})
+
+    out = grouped_map(ds.map_batches(combine, batch_format="pandas"),
+                      "user_id", bucket, num_buckets=32).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "top_event", "n"]].sort_values("user_id") \
+        .reset_index(drop=True)
+
+
+Q_MODE_PER_USER_SQL = """
+SELECT user_id, event_type AS top_event, n FROM (
+    SELECT user_id, event_type, count(*)::BIGINT AS n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    classic repetitiveness signal (low entropy = boilerplate / repeated
+    tokens; complements q_repetition's top-word ratios).  Zero
+    exchanges: a document lives wholly in one batch row, so the
+    per-doc term frequencies and the entropy sum are exact per batch
+    (one explode + two C-speed groupbys inside the batch)."""
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        tf = tf_batch(df)
+        if tf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "entropy": pd.Series(dtype="float64")})
+        n = tf.groupby("doc_id", sort=False)["tf"].transform("sum") \
+            .to_numpy().astype("float64")
+        p = tf["tf"].to_numpy() / n
+        part = pd.DataFrame({"doc_id": tf["doc_id"],
+                             "h": -p * np.log(p)})
+        out = part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(entropy=("h", "sum"))
+        out["entropy"] = out["entropy"].round(6)
+        return out
+
+    out = ds.map_batches(entropy, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_TOKEN_ENTROPY_SQL = """
+WITH tf AS (SELECT doc_id, w, count(*)::DOUBLE AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w),
+n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+SELECT doc_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
+FROM tf JOIN n USING (doc_id) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus) — every grouping-set
+    combination, including the column-only marginals ROLLUP cannot
+    express.  Same scale shape as q_rollup: ONE corpus pass combined
+    per batch to the finest level; all three coarser grouping sets
+    re-aggregate the finest result, which is bounded by the key-domain
+    product, never the corpus."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+
+    fin = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["l_returnflag", "l_linestatus"], num_buckets=8,
+                      sum_qty=("sum_qty", "sum"), n=("n", "sum")) \
+        .to_pandas()
+    by_flag = fin.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fin.groupby("l_linestatus", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame([{
+        "l_returnflag": "ALL", "l_linestatus": "ALL",
+        "sum_qty": fin["sum_qty"].sum(), "n": fin["n"].sum()}])
+    out = pd.concat([fin, by_flag, by_status, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "n"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+Q_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q4_priority_count(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape — EXISTS-subquery count: orders with at least one
+    returned line item, counted per order priority.  Scale shape: the
+    returnflag predicate is pushed into the lineitem parquet scan
+    (only l_orderkey leaves storage), per-batch distinct pre-reduces
+    the exchange, the semi hash_join keeps matching orders, and the
+    bounded-domain priority count is a per-batch combiner + tiny
+    aggregate."""
+    import pyarrow.dataset as pds
+
+    from ..functions.relops import grouped_agg, hash_join
+
+    ret = _read(sf_dir, "lineitem", columns=["l_orderkey"],
+                filter=(pds.field("l_returnflag") == "R"))
+    ret = ret.map_batches(
+        lambda df: df.drop_duplicates()
+        .rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    hit = hash_join(orders, ret, on="o_orderkey", how="semi",
+                    lcols=["o_orderkey", "o_orderpriority"],
+                    rcols=["o_orderkey"])
+    out = grouped_agg(
+        hit.map_batches(
+            lambda df: df.groupby("o_orderpriority", as_index=False)
+            .agg(order_count=("o_orderkey", "size")),
+            batch_format="pandas"),
+        "o_orderpriority", num_buckets=4,
+        order_count=("order_count", "sum")).to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed FULL-DATA k-means assignments (k=10, 5 Lloyd
     iterations, deterministic md5-order init) over the embeddings
@@ -2974,6 +3151,10 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_mode_per_user": q_mode_per_user,
+        "q_token_entropy": q_token_entropy,
+        "q_cube": q_cube,
+        "q4_priority_count": q4_priority_count,
     }
 
 
@@ -3036,6 +3217,10 @@ def oracles() -> Dict[str, str]:
         "q18_big_orders": Q18_SQL,
         "q_rank_windows": Q_RANK_WINDOWS_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "q_mode_per_user": Q_MODE_PER_USER_SQL,
+        "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
+        "q_cube": Q_CUBE_SQL,
+        "q4_priority_count": Q4_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
