@@ -3040,6 +3040,75 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column and aggregate it per event type — the
+    log-processing staple (typed columns from JSON payloads).  The
+    extraction is ONE vectorized regex over the batch (C-speed
+    ``Series.str.extract``; never a per-row json.loads), the aggregate
+    is a per-batch combiner over the bounded event-type domain + a tiny
+    exchange.  avg is derived from (sum, count) partials so it stays
+    algebraic; malformed / missing ``k`` rows are counted, not summed
+    (SQL NULL semantics)."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].astype(str).str.extract(
+            r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
+        part = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        g = part.groupby("event_type", as_index=False)
+        out = g.agg(sum_k=("k", "sum"), n_k=("k", "count"),
+                    n=("k", "size"))
+        return out
+
+    agg = grouped_agg(ds.map_batches(combine, batch_format="pandas"),
+                      "event_type", num_buckets=4,
+                      sum_k=("sum_k", "sum"), n_k=("n_k", "sum"),
+                      n=("n", "sum")).to_pandas()
+    agg["avg_k"] = (agg["sum_k"] / agg["n_k"]).round(6)
+    agg["sum_k"] = agg["sum_k"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["event_type", "n", "sum_k", "avg_k"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_bloom_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingestion dedup: flag documents from the second half
+    of the corpus (sources src10..src19) whose text already occurs in
+    the previously-ingested first half (src0..src9), via the
+    distributed-Bloom + exact-verify pattern (`stages/dedup.py`
+    ``dedup_against``): constant-size bitmap OR-folded from per-batch
+    partials, broadcast once, bloom-negative rows never enter an
+    exchange, candidates verified by a semi join.  Rows-only: sketch
+    membership is stateful hashing; exactness of the ``dup`` flag (no
+    false negatives, FP pruning) is pytest-gated
+    (tests/test_dedup_ann.py)."""
+    import pyarrow.dataset as pds
+
+    from ..stages.dedup import dedup_against
+
+    first = [f"src{i}" for i in range(10)]
+    seen = _read(sf_dir, "documents", columns=["text"],
+                 filter=pds.field("source").isin(first))
+    new = _read(sf_dir, "documents", columns=["doc_id", "text", "source"],
+                filter=~pds.field("source").isin(first))
+    out = dedup_against(new, seen).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bloom_hit"] = out["bloom_hit"].astype(bool)
+    out["dup"] = out["dup"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed FULL-DATA k-means assignments (k=10, 5 Lloyd
     iterations, deterministic md5-order init) over the embeddings
@@ -3155,6 +3224,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
         "q4_priority_count": q4_priority_count,
+        "q_json_extract": q_json_extract,
+        "q_bloom_dedup": q_bloom_dedup,
     }
 
 
@@ -3221,6 +3292,7 @@ def oracles() -> Dict[str, str]:
         "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
         "q_cube": Q_CUBE_SQL,
         "q4_priority_count": Q4_SQL,
+        "q_json_extract": Q_JSON_EXTRACT_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an

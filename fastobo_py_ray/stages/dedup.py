@@ -803,3 +803,71 @@ def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          num_buckets=num_buckets)
     return grouped_map(marked, id_col, reassemble,
                        num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) dedup — Bloom + exact-verify
+# ---------------------------------------------------------------------------
+
+def dedup_against(new_ds, seen_ds, text_col: str = "text",
+                  id_col: str = "doc_id", m_bits: int = 1 << 20,
+                  k: int = 4):
+    """Drop-new-docs-already-seen (continual-training ingestion): flag
+    each row of ``new_ds`` whose ``text_col`` already occurs in
+    ``seen_ds`` — the BLOOM + EXACT-VERIFY scale pattern.
+
+    Why not a plain anti-join: at 100 TB the seen side is too big to
+    broadcast and a full text-keyed exchange moves BOTH corpora.  Here
+    a constant-size Bloom bitmap (``m_bits/8`` bytes regardless of
+    corpus size) is built over the seen side DISTRIBUTED (per-batch
+    bitmap partials, associative OR fold — `stages/sketch.py`),
+    broadcast once with ``ray.put``, and probed in-batch on the new
+    side.  Bloom-NEGATIVE rows (the overwhelming majority; no false
+    negatives by construction) never enter any exchange; only the
+    bloom-positive candidates — true dups plus ~(1-e^(-kn/m))^k false
+    positives — pay the exact verification semi/anti join against the
+    seen texts.
+
+    Returns a Dataset of ``(id_col, bloom_hit, dup)`` covering every
+    new row: ``dup`` is EXACT (the verify join removes the Bloom FPs).
+    """
+    import ray
+
+    from ..functions.relops import hash_join
+    from .sketch import bloom_build, bloom_contains
+
+    seen_txt = seen_ds.map_batches(
+        lambda df: df[[text_col]].drop_duplicates(),
+        batch_format="pandas")
+    words = bloom_build(seen_txt, text_col, m_bits=m_bits, k=k)
+    words_ref = ray.put(words)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(words_ref)
+        hit = bloom_contains(df[text_col].to_numpy(), w, k=k)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             text_col: df[text_col].to_numpy(),
+                             "bloom_hit": hit})
+
+    stamped = new_ds.map_batches(stamp, batch_format="pandas")
+
+    clear = stamped.map_batches(
+        lambda df: df.loc[~df["bloom_hit"], [id_col, "bloom_hit"]]
+        .assign(dup=False),
+        batch_format="pandas")
+    cand = stamped.map_batches(
+        lambda df: df.loc[df["bloom_hit"],
+                          [id_col, text_col, "bloom_hit"]],
+        batch_format="pandas")
+
+    confirmed = hash_join(cand, seen_txt, on=text_col, how="semi",
+                          lcols=[id_col, text_col, "bloom_hit"],
+                          rcols=[text_col], num_buckets=8) \
+        .map_batches(lambda df: df[[id_col, "bloom_hit"]]
+                     .assign(dup=True), batch_format="pandas")
+    fps = hash_join(cand, seen_txt, on=text_col, how="anti",
+                    lcols=[id_col, text_col, "bloom_hit"],
+                    rcols=[text_col], num_buckets=8) \
+        .map_batches(lambda df: df[[id_col, "bloom_hit"]]
+                     .assign(dup=False), batch_format="pandas")
+    return clear.union(confirmed).union(fps)

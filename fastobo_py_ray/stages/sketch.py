@@ -242,3 +242,75 @@ def heavy_hitters(ds, value_col: str, k: int = 10,
     out = out.sort_values(["est_count", "value"],
                           ascending=[False, True], kind="stable")
     return out.head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+
+def _bloom_key(j: int) -> str:
+    # pd.util.hash_array requires exactly 16 bytes of hash key; one
+    # distinct key per hash function
+    return f"fastobomray-bl{j:02d}"
+
+
+def bloom_bits(values, m_bits: int, k: int = 4) -> np.ndarray:
+    """One batch of values -> Bloom bitmap as uint64 words
+    (``m_bits`` must be a multiple of 64).  The k hash functions are k
+    independently-keyed pandas siphash calls — one C pass over the
+    batch each, no per-row Python."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    vals = np.asarray(values)
+    if len(vals) == 0:
+        return words
+    for j in range(k):
+        h = pd.util.hash_array(vals, hash_key=_bloom_key(j))
+        pos = h % np.uint64(m_bits)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_merge(words_list) -> np.ndarray:
+    """Bitmaps merge by elementwise OR — associative and commutative,
+    so partials combine in any tree shape."""
+    return np.bitwise_or.reduce(
+        [np.asarray(w, dtype=np.uint64) for w in words_list])
+
+
+def bloom_contains(values, words: np.ndarray, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe -> bool array.  NO false negatives;
+    false-positive rate ~= (1 - exp(-k*n/m))^k for n inserted keys."""
+    vals = np.asarray(values)
+    if len(vals) == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = len(words) * 64
+    hit = np.ones(len(vals), dtype=bool)
+    for j in range(k):
+        h = pd.util.hash_array(vals, hash_key=_bloom_key(j))
+        pos = h % np.uint64(m_bits)
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        hit &= bit.astype(bool)
+    return hit
+
+
+def bloom_build(ds, value_col: str, m_bits: int = 1 << 20,
+                k: int = 4) -> np.ndarray:
+    """DISTRIBUTED Bloom build over a corpus-scale column: each batch
+    contributes one ``m_bits/8``-byte bitmap partial, partials OR-fold
+    on the driver (associative — a tree reduce at extreme block
+    counts; the bitmap itself is constant-size regardless of corpus
+    size, which is the point of the sketch).  Returns the uint64 word
+    array; broadcast it with ``ray.put`` and probe inside
+    ``map_batches`` via :func:`bloom_contains` — the scale pattern for
+    membership against a seen-set too big to ship exactly."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = bloom_bits(df[value_col].to_numpy(), m_bits, k)
+        return pd.DataFrame({"words": [w.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.zeros(m_bits // 64, dtype=np.uint64)
+    return bloom_merge([np.frombuffer(b, dtype=np.uint64)
+                        for b in parts["words"]])

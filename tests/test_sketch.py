@@ -129,3 +129,60 @@ def test_mg_guarantee_and_exact_regime(ray_session):
         assert exact[hv] > n / (cap + 1)
         assert hv in got, (hv, lossy)
         assert got[hv] <= exact[hv]  # lower bound
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    import numpy as np
+
+    from fastobo_py_ray.stages.sketch import (bloom_bits, bloom_contains,
+                                              bloom_merge)
+
+    vals = np.array([f"key-{i}" for i in range(50_000)])
+    w = bloom_bits(vals, 1 << 20, 4)
+    assert bloom_contains(vals, w, 4).all()  # NEVER a false negative
+    fresh = np.array([f"new-{i}" for i in range(50_000)])
+    fpr = float(bloom_contains(fresh, w, 4).mean())
+    theory = (1 - np.exp(-4 * 50_000 / (1 << 20))) ** 4
+    assert fpr <= 3 * theory + 1e-4
+    # associative merge == single build
+    w2 = bloom_merge([bloom_bits(vals[:25_000], 1 << 20, 4),
+                      bloom_bits(vals[25_000:], 1 << 20, 4)])
+    assert (w2 == w).all()
+
+
+def test_dedup_against_exact_flags(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dedup_against
+
+    seen = rd.from_pandas(pd.DataFrame(
+        {"text": ["alpha beta", "gamma delta", "epsilon"]}))
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta", "fresh text", "epsilon", "other"]}))
+    out = dedup_against(new, seen).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out["dup"].tolist() == [True, False, True, False]
+    # dup rows must also be bloom hits (no false negatives end-to-end)
+    assert out.loc[out["dup"], "bloom_hit"].all()
+
+
+def test_dedup_against_prunes_bloom_false_positives(ray_session):
+    """A deliberately tiny bitmap forces Bloom false positives; the
+    exact verify join must still leave `dup` correct."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dedup_against
+
+    seen = rd.from_pandas(pd.DataFrame(
+        {"text": [f"seen-{i}" for i in range(200)]}))
+    new_df = pd.DataFrame({
+        "doc_id": range(300),
+        "text": [f"unseen-{i}" for i in range(300)]})
+    out = dedup_against(rd.from_pandas(new_df), seen,
+                        m_bits=256, k=2).to_pandas()
+    assert len(out) == 300
+    assert not out["dup"].any()          # exact despite saturation
+    assert out["bloom_hit"].any()        # the tiny filter DID lie
