@@ -248,26 +248,33 @@ def heavy_hitters(ds, value_col: str, k: int = 10,
 # Bloom filter — mergeable set-membership sketch
 # ---------------------------------------------------------------------------
 
-def _bloom_key(j: int) -> str:
-    # pd.util.hash_array requires exactly 16 bytes of hash key; one
-    # distinct key per hash function
-    return f"fastobomray-bl{j:02d}"
+def _bloom_pos(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per value via Kirsch-Mitzenmacher double hashing
+    ``g_j = h1 + j*h2 mod m`` — ONE siphash pass over the strings (the
+    measured cost: 0.78s/M strings vs 0.18s for the whole bit scatter),
+    with the stride ``h2`` derived from ``h1`` by the splitmix64
+    finalizer (forced odd so it never degenerates); K-M preserves the
+    Bloom FPR asymptotics (Kirsch & Mitzenmacher 2006)."""
+    h1 = pd.util.hash_array(vals, hash_key="fastobomray-bl00")
+    z = h1 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    j = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + j * h2[None, :]) % np.uint64(m_bits)).ravel()
 
 
 def bloom_bits(values, m_bits: int, k: int = 4) -> np.ndarray:
     """One batch of values -> Bloom bitmap as uint64 words
-    (``m_bits`` must be a multiple of 64).  The k hash functions are k
-    independently-keyed pandas siphash calls — one C pass over the
-    batch each, no per-row Python."""
+    (``m_bits`` must be a multiple of 64).  One C hash pass over the
+    batch (see :func:`_bloom_pos`), one unbuffered scatter-OR."""
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     vals = np.asarray(values)
     if len(vals) == 0:
         return words
-    for j in range(k):
-        h = pd.util.hash_array(vals, hash_key=_bloom_key(j))
-        pos = h % np.uint64(m_bits)
-        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
+    pos = _bloom_pos(vals, m_bits, k)
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
     return words
 
 
@@ -285,14 +292,10 @@ def bloom_contains(values, words: np.ndarray, k: int = 4) -> np.ndarray:
     if len(vals) == 0:
         return np.zeros(0, dtype=bool)
     m_bits = len(words) * 64
-    hit = np.ones(len(vals), dtype=bool)
-    for j in range(k):
-        h = pd.util.hash_array(vals, hash_key=_bloom_key(j))
-        pos = h % np.uint64(m_bits)
-        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
-               >> (pos & np.uint64(63))) & np.uint64(1)
-        hit &= bit.astype(bool)
-    return hit
+    pos = _bloom_pos(vals, m_bits, k).reshape(k, len(vals))
+    bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    return bit.astype(bool).all(axis=0)
 
 
 def bloom_build(ds, value_col: str, m_bits: int = 1 << 20,
