@@ -3049,7 +3049,14 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
     is a per-batch combiner over the bounded event-type domain + a tiny
     exchange.  avg is derived from (sum, count) partials so it stays
     algebraic; malformed / missing ``k`` rows are counted, not summed
-    (SQL NULL semantics)."""
+    (SQL NULL semantics; an all-missing group sums to 0 — COALESCE'd
+    identically in the oracle).
+
+    Parity contract (the q_pii_redact precedent): the oracle runs the
+    IDENTICAL regex via regexp_extract rather than json_extract, so
+    engine and oracle agree by construction on every input — including
+    nested keys and non-integer values, where a first-match regex and
+    a real JSON path differ."""
     from ..functions.relops import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
@@ -3074,11 +3081,15 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
-Q_JSON_EXTRACT_SQL = """
+Q_JSON_EXTRACT_SQL = r"""
+WITH x AS (SELECT event_type,
+                  CAST(NULLIF(regexp_extract(
+                      props, '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS k
+           FROM events)
 SELECT event_type, count(*)::BIGINT AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
-       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
-FROM events GROUP BY event_type ORDER BY event_type
+       coalesce(sum(k), 0)::BIGINT AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM x GROUP BY event_type ORDER BY event_type
 """
 
 

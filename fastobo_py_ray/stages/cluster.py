@@ -44,13 +44,12 @@ def _assign(m: np.ndarray, cent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
 
 
-def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
-           id_col: str = "vec_id"):
-    """Distributed Lloyd's k-means.  Returns
-    ``(centroids, assignments_ds, inertia_history)`` where
-    ``assignments_ds`` is a Dataset of ``(id_col, cluster)`` and
-    ``inertia_history`` has one entry per iteration (non-increasing —
-    Lloyd's monotonicity, asserted in tests)."""
+def _kmeans_fit(ds, k: int, iters: int, vec_col: str, id_col: str):
+    """Shared fit path: returns ``(centroids, work, inertia_history)``
+    where ``work`` is the MATERIALIZED (id, vec) projection the
+    iterations streamed over — callers that need another full pass
+    (labeling, SemDeDup stamping) reuse it instead of re-executing the
+    upstream pipeline."""
     import ray
 
     from .traindata import _md5_hex
@@ -68,9 +67,9 @@ def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
 
     seeds = work.map_batches(seed_partial, batch_format="pandas") \
         .to_pandas().sort_values("__h").head(k)
+    if len(seeds) < k:
+        raise ValueError(f"kmeans: k={k} exceeds dataset size {len(seeds)}")
     cent = _as_matrix(seeds[vec_col])
-    if len(cent) < k:
-        raise ValueError(f"kmeans: k={k} exceeds dataset size {len(cent)}")
     dim = cent.shape[1]
     scols = [f"s{j}" for j in range(dim)]
 
@@ -107,18 +106,42 @@ def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
         cent = cent.copy()
         cent[nz] = sums[nz] / n[nz, None]
 
+    return cent, work, inertia_history
+
+
+def _label_stage(cent, id_col: str, vec_col: str, extra_cols=()):
+    """Batch fn assigning rows to broadcast centroids -> (id, [extras],
+    cluster).  Shared by :func:`kmeans` and :func:`semantic_dedup`."""
+    import ray
+
     cent_ref = ray.put(cent)
+    cols = [id_col, *extra_cols]
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "cluster": pd.Series(dtype="int64")})
+            out = {c: df[c] if c in df.columns else pd.Series(dtype="object")
+                   for c in cols}
+            out["cluster"] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
         a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref))
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             "cluster": a.astype("int64")})
+        out = {c: df[c].to_numpy() for c in cols}
+        out["cluster"] = a.astype("int64")
+        return pd.DataFrame(out)
 
-    return cent, work.map_batches(label, batch_format="pandas"), \
-        inertia_history
+    return label
+
+
+def kmeans(ds, k: int = 10, iters: int = 5, vec_col: str = "embedding",
+           id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means.  Returns
+    ``(centroids, assignments_ds, inertia_history)`` where
+    ``assignments_ds`` is a Dataset of ``(id_col, cluster)`` and
+    ``inertia_history`` has one entry per iteration (non-increasing —
+    Lloyd's monotonicity, asserted in tests)."""
+    cent, work, hist = _kmeans_fit(ds, k, iters, vec_col, id_col)
+    assign = work.map_batches(_label_stage(cent, id_col, vec_col),
+                              batch_format="pandas")
+    return cent, assign, hist
 
 
 def semantic_dedup(ds, k: int = 10, iters: int = 5,
@@ -144,24 +167,12 @@ def semantic_dedup(ds, k: int = 10, iters: int = 5,
     from ..functions.relops import grouped_map
     from .ann import _normalize
 
-    import ray
-
-    cent, _assign_ds, _hist = kmeans(ds, k=k, iters=iters,
-                                     vec_col=vec_col, id_col=id_col)
-    cent_ref = ray.put(cent)
-
-    def stamp(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 vec_col: pd.Series(dtype="object"),
-                                 "cluster": pd.Series(dtype="int64")})
-        a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref))
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             vec_col: df[vec_col].to_numpy(),
-                             "cluster": a.astype("int64")})
-
-    stamped = ds.map_batches(
-        lambda df: stamp(df[[id_col, vec_col]]), batch_format="pandas")
+    # fit once, then stamp clusters over the SAME materialized (id, vec)
+    # working set the iterations streamed — no second upstream read
+    cent, work, _hist = _kmeans_fit(ds, k, iters, vec_col, id_col)
+    stamped = work.map_batches(
+        _label_stage(cent, id_col, vec_col, extra_cols=(vec_col,)),
+        batch_format="pandas")
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -169,13 +180,15 @@ def semantic_dedup(ds, k: int = 10, iters: int = 5,
             g = g.sort_values(id_col, kind="stable")
             m = _normalize(_as_matrix(g[vec_col]))
             keep = np.zeros(len(g), dtype=bool)
-            kept_rows: list = []
+            kept = np.empty_like(m)  # prefix buffer: no per-row vstack
+            n_kept = 0
             for i in range(len(g)):
-                if not kept_rows or float(
-                        np.round(np.vstack(kept_rows) @ m[i], 6).max()) \
+                if n_kept == 0 or float(
+                        np.round(kept[:n_kept] @ m[i], 6).max()) \
                         < threshold:
                     keep[i] = True
-                    kept_rows.append(m[i])
+                    kept[n_kept] = m[i]
+                    n_kept += 1
             outs.append(pd.DataFrame({
                 id_col: g[id_col].to_numpy(),
                 "cluster": np.full(len(g), cid, dtype="int64"),

@@ -825,49 +825,88 @@ def dedup_against(new_ds, seen_ds, text_col: str = "text",
     side.  Bloom-NEGATIVE rows (the overwhelming majority; no false
     negatives by construction) never enter any exchange; only the
     bloom-positive candidates — true dups plus ~(1-e^(-kn/m))^k false
-    positives — pay the exact verification semi/anti join against the
-    seen texts.
+    positives — pay the exact text-keyed verification exchange.
+
+    The verify leg is symmetric: the (tiny) candidate set is itself
+    Bloom-summarized, so SEEN rows that cannot match any candidate are
+    filtered IN-SCAN and never exchange either — the one all-to-all
+    moves only candidates + seen-side survivors (true dups and two
+    sketches' worth of false positives), KB-scale against a 100 TB
+    corpus on either side.  Multiply-consumed corpus-scale datasets are
+    re-scanned, never materialized (two cheap scans beat pinning a
+    corpus in the object store — engine-wide policy); only the bounded
+    candidate set is pinned.
 
     Returns a Dataset of ``(id_col, bloom_hit, dup)`` covering every
-    new row: ``dup`` is EXACT (the verify join removes the Bloom FPs).
+    new row: ``dup`` is EXACT (the verify exchange removes Bloom FPs).
     """
     import ray
 
-    from ..functions.relops import hash_join
+    from ..functions.relops import grouped_map
     from .sketch import bloom_build, bloom_contains
 
     seen_txt = seen_ds.map_batches(
         lambda df: df[[text_col]].drop_duplicates(),
         batch_format="pandas")
-    words = bloom_build(seen_txt, text_col, m_bits=m_bits, k=k)
-    words_ref = ray.put(words)
+    words_ref = ray.put(bloom_build(seen_txt, text_col,
+                                    m_bits=m_bits, k=k))
 
-    def stamp(df: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(words_ref)
-        hit = bloom_contains(df[text_col].to_numpy(), w, k=k)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             text_col: df[text_col].to_numpy(),
-                             "bloom_hit": hit})
+    def split(hit_side: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            hit = bloom_contains(df[text_col].to_numpy(),
+                                 ray.get(words_ref), k=k)
+            sub = df.loc[hit == hit_side]
+            if hit_side:
+                return pd.DataFrame(
+                    {id_col: sub[id_col].to_numpy(),
+                     text_col: pd.Series(sub[text_col].to_numpy(),
+                                         dtype="string"),
+                     "__seen": np.zeros(len(sub), dtype=bool)})
+            return pd.DataFrame(
+                {id_col: sub[id_col].to_numpy(),
+                 "bloom_hit": np.zeros(len(sub), dtype=bool),
+                 "dup": np.zeros(len(sub), dtype=bool)})
+        return fn
 
-    stamped = new_ds.map_batches(stamp, batch_format="pandas")
+    # scan new #1: bloom-negative rows are finished — no exchange ever
+    clear = new_ds.map_batches(split(False), batch_format="pandas")
+    # scan new #2: candidates are bounded (true dups + FPR x corpus);
+    # pin THEM, not the corpus
+    cand = new_ds.map_batches(split(True), batch_format="pandas") \
+        .materialize()
 
-    clear = stamped.map_batches(
-        lambda df: df.loc[~df["bloom_hit"], [id_col, "bloom_hit"]]
-        .assign(dup=False),
-        batch_format="pandas")
-    cand = stamped.map_batches(
-        lambda df: df.loc[df["bloom_hit"],
-                          [id_col, text_col, "bloom_hit"]],
-        batch_format="pandas")
+    # summarize the candidates and filter the SEEN scan by it, so the
+    # seen corpus never exchanges either
+    cwords_ref = ray.put(bloom_build(cand, text_col,
+                                     m_bits=m_bits, k=k))
 
-    confirmed = hash_join(cand, seen_txt, on=text_col, how="semi",
-                          lcols=[id_col, text_col, "bloom_hit"],
-                          rcols=[text_col], num_buckets=8) \
-        .map_batches(lambda df: df[[id_col, "bloom_hit"]]
-                     .assign(dup=True), batch_format="pandas")
-    fps = hash_join(cand, seen_txt, on=text_col, how="anti",
-                    lcols=[id_col, text_col, "bloom_hit"],
-                    rcols=[text_col], num_buckets=8) \
-        .map_batches(lambda df: df[[id_col, "bloom_hit"]]
-                     .assign(dup=False), batch_format="pandas")
-    return clear.union(confirmed).union(fps)
+    def seen_survivors(df: pd.DataFrame) -> pd.DataFrame:
+        hit = bloom_contains(df[text_col].to_numpy(),
+                             ray.get(cwords_ref), k=k)
+        sub = df.loc[hit]
+        # id_col as NaN: pd.concat in the bucket widens int ids to
+        # float64 (< 2^53 exact — the engine's join idiom) and leaves
+        # string ids as object; the marker column carries the side
+        return pd.DataFrame(
+            {id_col: np.full(len(sub), np.nan),
+             text_col: pd.Series(sub[text_col].to_numpy(),
+                                 dtype="string"),
+             "__seen": np.ones(len(sub), dtype=bool)})
+
+    survivors = seen_txt.map_batches(seen_survivors,
+                                     batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # a text group holds all its candidate rows plus any marker
+        # rows from the seen side: dup iff a marker is present
+        dup = df.groupby(text_col, sort=False)["__seen"] \
+            .transform("max").to_numpy().astype(bool)
+        keep = ~df["__seen"].to_numpy().astype(bool)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[keep],
+             "bloom_hit": np.ones(int(keep.sum()), dtype=bool),
+             "dup": dup[keep]})
+
+    flagged = grouped_map(cand.union(survivors), text_col, verify,
+                          num_buckets=8)
+    return clear.union(flagged)

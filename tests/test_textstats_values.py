@@ -277,3 +277,38 @@ def test_semantic_link_documents_values(ray_session):
     assert out["term_id"].tolist() == ["T:1", "T:2", "T:1"]
     assert out.loc[0, "cos_sim"] == 1.0
     assert 0 < out.loc[1, "cos_sim"] < 1.0
+
+
+def test_json_extract_regex_parity_on_edge_inputs():
+    """q_json_extract's parity contract: the engine regex and the
+    oracle's regexp_extract agree BY CONSTRUCTION on inputs the corpus
+    never exercises — nested keys, float k, all-missing groups."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "event_type": ["nested", "floatk", "missing", "flat", "flat"],
+        "props": ['{"a": {"k": 5}}', '{"k": 1.5}', '{"x": 1}',
+                  '{"k": 87}', '{"k": -3}']})
+    k = df["props"].astype(str).str.extract(
+        r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
+    g = pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+        .groupby("event_type")
+    eng = g.agg(n=("k", "size"), sum_k=("k", "sum"),
+                n_k=("k", "count")).reset_index()
+    eng["avg_k"] = (eng["sum_k"] / eng["n_k"]).round(6)
+    sql = duckdb.query(r"""
+        WITH x AS (SELECT event_type,
+                          CAST(NULLIF(regexp_extract(
+                              props, '"k"\s*:\s*(-?\d+)', 1), '')
+                              AS BIGINT) AS k FROM df)
+        SELECT event_type, count(*)::BIGINT AS n,
+               coalesce(sum(k), 0)::BIGINT AS sum_k,
+               round(avg(k), 6) AS avg_k
+        FROM x GROUP BY event_type ORDER BY event_type""").df()
+    assert eng["event_type"].tolist() == sql["event_type"].tolist()
+    assert eng["n"].astype(int).tolist() == sql["n"].astype(int).tolist()
+    assert eng["sum_k"].astype(int).tolist() == \
+        sql["sum_k"].astype(int).tolist()
+    np.testing.assert_allclose(eng["avg_k"], sql["avg_k"])
