@@ -3093,6 +3093,56 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Scalar statistics over a VECTOR column: per label, the count and
+    the avg/min/max L2 norm of the embeddings — the sanity scan every
+    embedding pipeline runs before ANN/dedup (catches unnormalized or
+    degenerate vectors).  One streaming pass: per-batch norms via a
+    single einsum, algebraic (sum, count, min, max) partials per label,
+    a tiny bounded-domain exchange.  Per-row norms are rounded to the
+    engine-wide 6-decimal grid BEFORE aggregation on both sides so the
+    avg sums identical values in any order."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.ann import _as_matrix
+        m = _as_matrix(df["embedding"])
+        nrm = np.round(np.sqrt(np.einsum("ij,ij->i", m, m)), 6)
+        part = pd.DataFrame({"label": df["label"].to_numpy(),
+                             "nrm": nrm})
+        return part.groupby("label", as_index=False).agg(
+            n=("nrm", "size"), s=("nrm", "sum"),
+            mn=("nrm", "min"), mx=("nrm", "max"))
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                      "label", num_buckets=4,
+                      n=("n", "sum"), s=("s", "sum"),
+                      mn=("mn", "min"), mx=("mx", "max")).to_pandas()
+    agg["avg_norm"] = (agg["s"] / agg["n"]).round(6)
+    agg["min_norm"] = agg["mn"].round(6)
+    agg["max_norm"] = agg["mx"].round(6)
+    agg["label"] = agg["label"].astype("int32")
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["label", "n", "avg_norm", "min_norm", "max_norm"]] \
+        .sort_values("label").reset_index(drop=True)
+
+
+Q_EMBEDDING_STATS_SQL = """
+WITH x AS (SELECT label,
+                  round(sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))), 6) AS nrm
+           FROM embeddings)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM x GROUP BY label ORDER BY label
+"""
+
+
 def q_bloom_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental-ingestion dedup: flag documents from the second half
     of the corpus (sources src10..src19) whose text already occurs in
@@ -3237,6 +3287,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q4_priority_count": q4_priority_count,
         "q_json_extract": q_json_extract,
         "q_bloom_dedup": q_bloom_dedup,
+        "q_embedding_stats": q_embedding_stats,
     }
 
 
@@ -3304,6 +3355,7 @@ def oracles() -> Dict[str, str]:
         "q_cube": Q_CUBE_SQL,
         "q4_priority_count": Q4_SQL,
         "q_json_extract": Q_JSON_EXTRACT_SQL,
+        "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
