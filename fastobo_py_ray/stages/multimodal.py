@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode step that needs PIL/ffmpeg is STUBBED (this container has no
-image/audio libs): ``decoder="real"`` raises ``NotImplementedError`` with
-the dependency named, ``decoder="fake"`` is a deterministic pure-Python
-decode (payload bytes -> pseudo-pixel array) so the Ray-side plumbing —
-schema, broadcast config, actor signature, batch sizing, output layout —
-is real and tested end-to-end.  Byte-histogram features and frame
-sampling are NOT stubs: they are honest, vectorized computations on the
-binary payload (usable for content-based near-dup on any media).
+Image decode is REAL for binary netpbm (``decoder="ppm"`` ->
+:func:`decode_netpbm`: P5/P6 incl. comments and 16-bit samples, pure
+numpy, roundtrip-tested); the JPEG/PNG/ffmpeg path that needs
+PIL/pillow is STUBBED (this container has no image/audio libs):
+``decoder="real"`` raises ``NotImplementedError`` with the dependency
+named, ``decoder="fake"`` is a deterministic pure-Python decode
+(payload bytes -> pseudo-pixel array) for arbitrary payloads so the
+Ray-side plumbing — schema, broadcast config, actor signature, batch
+sizing, output layout — is exercised end-to-end on any input.
+Byte-histogram features and frame sampling are NOT stubs: they are
+honest, vectorized computations on the binary payload (usable for
+content-based near-dup on any media).
 
 Scale notes: media payloads are fat — callers should pass a small
 ``batch_size`` (64-512) so batch x concurrency fits worker heaps, and
@@ -70,6 +74,69 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
     return tiled.reshape(side, side, 3)
 
 
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """REAL image decode — binary netpbm (P5 grayscale / P6 RGB), pure
+    numpy, no image library: header tokens (with ``#`` comment support)
+    then one ``frombuffer`` over the raster.  Returns uint8 (maxval <=
+    255) or uint16 (big-endian two-byte samples per the spec) arrays of
+    shape (h, w) / (h, w, 3).  Raises ValueError on malformed input —
+    callers in collect-don't-raise pipelines wrap it like any decoder.
+    """
+    if len(payload) < 2 or payload[0:1] != b"P" or \
+            payload[1:2] not in b"56":
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    color = payload[1:2] == b"6"
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3:
+        while i < n and payload[i] in b" \t\r\n":
+            i += 1
+        if i < n and payload[i] in b"#":
+            while i < n and payload[i] not in b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j] not in b" \t\r\n#":
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(payload[i:j])
+        i = j
+    if i >= n:
+        raise ValueError("truncated netpbm header")
+    i += 1  # exactly ONE whitespace byte separates header and raster
+    w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad netpbm dimensions {w}x{h} maxval={maxval}")
+    ch = 3 if color else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    need = w * h * ch * dt.itemsize
+    if n - i < need:
+        raise ValueError(f"netpbm raster truncated: {n - i} < {need}")
+    img = np.frombuffer(payload, dtype=dt, count=w * h * ch, offset=i)
+    img = img.reshape(h, w, 3) if color else img.reshape(h, w)
+    return img.astype(np.uint16) if maxval > 255 else img
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """P5/P6 encoder — the test-fixture sibling of
+    :func:`decode_netpbm` (roundtrip-tested)."""
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    elif img.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {img.shape}")
+    if img.dtype == np.uint16:
+        maxval, body = 65535, img.astype(">u2").tobytes()
+    else:
+        maxval, body = 255, img.astype("u1").tobytes()
+    hdr = b"%s\n%d %d\n%d\n" % (magic, img.shape[1], img.shape[0],
+                                maxval)
+    return hdr + body
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbour resize, pure numpy (no PIL needed) — real code,
     fake only insofar as the input came from :func:`fake_decode_image`."""
@@ -90,17 +157,22 @@ class ImageFeatures:
                        concurrency=(2, 8), batch_size=128)
 
     ``__init__`` (once per actor) resolves the decoder; ``__call__`` is
-    per batch.  ``decoder="real"`` is the PIL path — stubbed here.
+    per batch.  Decoders: ``"ppm"`` — REAL binary-netpbm decode
+    (:func:`decode_netpbm`, pure numpy); ``"fake"`` — deterministic
+    byte-tiling stand-in for arbitrary payloads; ``"real"`` — the
+    PIL/pillow path for JPEG/PNG etc., stubbed in this container.
     """
 
     def __init__(self, decoder: str = "fake", thumb: Optional[int] = 8):
         if decoder == "real":
             raise NotImplementedError(
-                "real image decode requires PIL/pillow, which is not in "
-                "this container; pass decoder='fake' for the deterministic "
-                "test decode")
-        if decoder != "fake":
+                "real JPEG/PNG decode requires PIL/pillow, which is not in "
+                "this container; pass decoder='ppm' for real netpbm decode "
+                "or decoder='fake' for the deterministic test decode")
+        if decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decode = decode_netpbm if decoder == "ppm" \
+            else fake_decode_image
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -109,7 +181,7 @@ class ImageFeatures:
         rows = {k: [] for k in IMAGE_FEATURES_SCHEMA.names}
         for mid, payload in zip(ids, payloads):
             payload = payload or b""
-            img = fake_decode_image(payload)
+            img = self.decode(payload)
             if self.thumb:
                 img = resize_nearest(img, self.thumb, self.thumb)
             rows["media_id"].append(mid)

@@ -96,3 +96,60 @@ def test_video_frame_sampler_stride_and_schema(ray_session):
     import pytest
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         VideoFrameSampler(decoder="real")
+
+
+def test_netpbm_roundtrip_and_header_quirks():
+    import numpy as np
+
+    from fastobo_py_ray.stages.multimodal import (decode_netpbm,
+                                                  encode_netpbm)
+
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint64) * 37 % 256) \
+        .astype(np.uint8).reshape(5, 7, 3)
+    assert (decode_netpbm(encode_netpbm(rgb)) == rgb).all()
+    gray = rgb[:, :, 0]
+    out = decode_netpbm(encode_netpbm(gray))
+    assert out.ndim == 2 and (out == gray).all()
+    # 16-bit samples are big-endian per spec
+    deep = (np.arange(12, dtype=np.uint32) * 4999 % 65536) \
+        .astype(np.uint16).reshape(3, 4)
+    assert (decode_netpbm(encode_netpbm(deep)) == deep).all()
+    # comments + arbitrary whitespace in the header
+    body = bytes(range(2 * 2 * 3))
+    quirky = b"P6 # comment\n# another\n 2\t2\n255\n" + body
+    img = decode_netpbm(quirky)
+    assert img.shape == (2, 2, 3) and img.tobytes() == body
+
+    import pytest
+    with pytest.raises(ValueError):
+        decode_netpbm(b"JFIF....")
+    with pytest.raises(ValueError):
+        decode_netpbm(encode_netpbm(rgb)[:-3])  # truncated raster
+
+
+def test_image_features_ppm_decoder_reports_true_dims(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.multimodal import (MEDIA_SCHEMA,
+                                                  ImageFeatures,
+                                                  encode_netpbm)
+
+    imgs = [(np.arange(h * w * 3, dtype=np.uint64) * 13 % 256)
+            .astype(np.uint8).reshape(h, w, 3)
+            for h, w in [(6, 9), (12, 5), (3, 3)]]
+    tbl = pa.table({
+        "media_id": [f"m{i}" for i in range(3)],
+        "kind": ["image"] * 3,
+        "mime": ["image/x-portable-pixmap"] * 3,
+        "payload": [encode_netpbm(im) for im in imgs]},
+        schema=MEDIA_SCHEMA)
+    out = rd.from_arrow(tbl).map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        fn_constructor_kwargs={"decoder": "ppm", "thumb": None},
+        concurrency=1, batch_size=8).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    # REAL decode: true dimensions, not payload-length heuristics
+    assert out["height"].tolist() == [6, 12, 3]
+    assert out["width"].tolist() == [9, 5, 3]
