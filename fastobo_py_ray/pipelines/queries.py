@@ -3093,6 +3093,44 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_media_ppm(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode through the driver contract: each document's
+    bytes are rendered into an actual binary-netpbm P6 image
+    (``encode_netpbm`` over the deterministic byte tile) and decoded
+    back inside the actor-pool stage by the pure-numpy netpbm decoder —
+    width/height come from the IMAGE HEADER, not payload-length
+    heuristics (contrast q_media_features' fake-decode plumbing run).
+    Rows-only: binary plumbing has no SQL relation; decoder roundtrip
+    exactness is pytest-gated (tests/test_multimodal.py)."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import (ImageFeatures, encode_netpbm,
+                                     fake_decode_image)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "media_id": _pa.compute.cast(t["doc_id"], _pa.string()),
+            "kind": ["image"] * t.num_rows,
+            "mime": ["image/x-portable-pixmap"] * t.num_rows,
+            "payload": _pa.array(
+                [encode_netpbm(fake_decode_image(s.encode()))
+                 for s in t["text"].to_pylist()], _pa.binary()),
+        })
+
+    out = ds.map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(ImageFeatures, batch_format="pyarrow",
+                     fn_constructor_kwargs={"decoder": "ppm",
+                                            "thumb": 8},
+                     concurrency=2, batch_size=128).to_pandas()
+    out["byte_entropy"] = out["byte_entropy"].astype("float64").round(4)
+    out = out[["media_id", "width", "height", "n_bytes",
+               "byte_entropy"]]
+    out["media_id"] = out["media_id"].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
     """Scalar statistics over a VECTOR column: per label, the count and
     the avg/min/max L2 norm of the embeddings — the sanity scan every
@@ -3288,6 +3326,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_bloom_dedup": q_bloom_dedup,
         "q_embedding_stats": q_embedding_stats,
+        "q_media_ppm": q_media_ppm,
     }
 
 
@@ -3363,6 +3402,11 @@ def oracles() -> Dict[str, str]:
         # relation.
         # q_semantic_link is rows-only: feature-hashed embeddings have
         # no SQL equivalent; value semantics are pytest-gated.
+        # q_media_ppm is rows-only: binary image plumbing has no SQL
+        # relation; the netpbm decoder's roundtrip exactness is
+        # pytest-gated.
+        # q_bloom_dedup is rows-only: sketch membership is stateful
+        # hashing; end-to-end dup-flag exactness is pytest-gated.
         # q_semantic_dedup is rows-only: SemDeDup composes the k-means
         # fixed point with a greedy keep-first prune; pytest gates
         # in-cluster exactness/soundness/completeness.
