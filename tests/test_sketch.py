@@ -186,3 +186,28 @@ def test_dedup_against_prunes_bloom_false_positives(ray_session):
     assert len(out) == 300
     assert not out["dup"].any()          # exact despite saturation
     assert out["bloom_hit"].any()        # the tiny filter DID lie
+
+
+def test_dedup_against_parity_vs_exact_set_membership(ray_session):
+    """Randomized-shape parity: dup flags must equal exact set
+    membership for every row, including texts duplicated WITHIN the
+    new side and a bitmap small enough to generate false positives."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dedup_against
+
+    seen_texts = [f"t{j}" for j in range(0, 150, 2)] + \
+        [f"only-seen-{j}" for j in range(40)]
+    new_texts = [f"t{i % 90}" for i in range(300)] + \
+        [f"only-new-{i}" for i in range(200)]
+    seen = rd.from_pandas(pd.DataFrame({"text": seen_texts}))
+    new = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(new_texts)), "text": new_texts}))
+    out = dedup_against(new, seen, m_bits=1024, k=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == len(new_texts)
+    truth = [t in set(seen_texts) for t in new_texts]
+    assert out["dup"].tolist() == truth
+    # bloom hits are a superset of true dups
+    assert (out["bloom_hit"] | ~out["dup"]).all()
