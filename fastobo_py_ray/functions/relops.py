@@ -74,7 +74,8 @@ def hash_join(left, right, on: Union[str, List[str]],
               num_buckets: int = 16, how: str = "inner",
               suffixes=("_l", "_r"), bucket_finalize=None,
               lcols: Optional[List[str]] = None,
-              rcols: Optional[List[str]] = None):
+              rcols: Optional[List[str]] = None,
+              salt: Optional[int] = None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Both sides are hash-bucketed on the key, unioned with a side tag, and
@@ -105,9 +106,33 @@ def hash_join(left, right, on: Union[str, List[str]],
     the ``schema()`` probes — on an unexecuted upstream a schema probe
     runs part of the plan, and a second consumption re-executes it.
     ``num_buckets`` is also the merge-stage parallelism knob: size it to
-    at least the cluster's core count (and raise it to salt hot keys).
+    at least the cluster's core count.
+
+    ``salt=S`` is the HOT-KEY remedy for power-law join keys (raising
+    ``num_buckets`` only thins the cold keys — one hot key still lands
+    wholly in one task): left rows spread across S synthetic sub-keys,
+    right rows REPLICATE S times, and the exchange buckets on
+    (key, salt), so the hottest key's rows split across S tasks at the
+    price of an S-fold copy of the (assumed modest) right side.  Exact
+    for ``inner``/``left``/``semi``/``anti``; ``right``/``outer`` raise
+    (a replicated right row would surface as unmatched S-1 times), and
+    ``bucket_finalize`` raises (a bucket no longer holds every row of
+    its keys, so piggybacked per-key aggregation would be partial —
+    the analogue of ``grouped_agg(salt=)``'s algebraic-only rule).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if salt is not None and salt > 1:
+        if how in ("right", "outer", "full"):
+            raise ValueError(
+                f"salted hash_join supports inner/left/semi/anti, not "
+                f"{how!r}: replicated right rows would each surface as "
+                f"unmatched")
+        if bucket_finalize is not None:
+            raise ValueError(
+                "salted hash_join cannot piggyback bucket_finalize: a "
+                "bucket holds only one salt shard of each key")
+    else:
+        salt = None
     if lcols is None:
         lcols = [c for c in left.schema().names]
     if rcols is None:
@@ -117,13 +142,26 @@ def hash_join(left, right, on: Union[str, List[str]],
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
+            if salt is not None:
+                if side == "r":
+                    # replicate each right row to every salt shard
+                    df = df.iloc[np.repeat(np.arange(len(df)), salt)] \
+                        .reset_index(drop=True)
+                    df["__salt"] = np.tile(
+                        np.arange(salt, dtype="int64"), len(df) // salt)
+                else:
+                    df["__salt"] = np.arange(len(df),
+                                             dtype="int64") % salt
             # vectorized, process-stable row hash (fixed internal hash key,
             # independent of PYTHONHASHSEED) — never a per-row Python loop.
             # Numeric keys hash via float64 so int64 on one side and
             # float64 on the other (e.g. a column NA-widened by an earlier
             # hash_join) still land in the same bucket; a float collision
             # only co-locates keys, the in-bucket merge stays exact.
-            df["__bucket"] = _bucket_ids(df, keys, num_buckets)
+            bkeys = keys if salt is None else keys + ["__salt"]
+            nb = num_buckets if salt is None else num_buckets * salt
+            df["__bucket"] = _bucket_ids(df, bkeys, nb)
+            df = df.drop(columns="__salt", errors="ignore")
             df["__side"] = side
             # widen to the union schema in the same pass (union requires
             # identical schemas; one map stage per side instead of two).

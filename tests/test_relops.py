@@ -373,3 +373,40 @@ def test_grouped_agg_salted_matches_unsalted(ray_session):
 
     with pytest.raises(ValueError, match="algebraic"):
         grouped_agg(ds, "k", salt=8, m=("v", "mean"))
+
+
+def test_salted_hash_join_parity_on_power_law_keys(ray_session):
+    """salt=S must be value-identical to the unsalted join for every
+    supported `how` on skewed keys (one key holds half the rows), and
+    must reject the modes it cannot express."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import hash_join
+
+    n = 4000
+    keys = np.where(np.arange(n) % 2 == 0, 7,
+                    np.arange(n) % 50).astype("int64")
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(40, dtype="int64"),
+                          "w": np.arange(40, dtype="int64") * 10})
+
+    def run(how, salt):
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", how=how, num_buckets=4, salt=salt,
+                        lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+        cols = [c for c in ("k", "v", "w") if c in out.columns]
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    for how in ("inner", "left", "semi", "anti"):
+        pd.testing.assert_frame_equal(run(how, None), run(how, 8),
+                                      check_dtype=False)
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  how="outer", salt=4)
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  salt=4, bucket_finalize=lambda df: df)
