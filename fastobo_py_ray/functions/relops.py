@@ -142,26 +142,33 @@ def hash_join(left, right, on: Union[str, List[str]],
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            if salt is not None:
-                if side == "r":
-                    # replicate each right row to every salt shard
-                    df = df.iloc[np.repeat(np.arange(len(df)), salt)] \
-                        .reset_index(drop=True)
-                    df["__salt"] = np.tile(
-                        np.arange(salt, dtype="int64"), len(df) // salt)
-                else:
-                    df["__salt"] = np.arange(len(df),
-                                             dtype="int64") % salt
             # vectorized, process-stable row hash (fixed internal hash key,
             # independent of PYTHONHASHSEED) — never a per-row Python loop.
             # Numeric keys hash via float64 so int64 on one side and
             # float64 on the other (e.g. a column NA-widened by an earlier
             # hash_join) still land in the same bucket; a float collision
             # only co-locates keys, the in-bucket merge stays exact.
-            bkeys = keys if salt is None else keys + ["__salt"]
-            nb = num_buckets if salt is None else num_buckets * salt
-            df["__bucket"] = _bucket_ids(df, bkeys, nb)
-            df = df.drop(columns="__salt", errors="ignore")
+            if salt is None:
+                df["__bucket"] = _bucket_ids(df, keys, num_buckets)
+            else:
+                # bucket = base*S + shard: each key's S shards occupy S
+                # DISTINCT buckets by construction.  (Hashing (key,
+                # shard) as a pair instead is WRONG: the column-combine
+                # can map two shards of one key to the same bucket, and
+                # a bucket holding two identical right replicas would
+                # double every match there — caught by the 1M-row skew
+                # rehearsal, recorded in BASELINE.md.)
+                base = _bucket_ids(df, keys, num_buckets)
+                if side == "r":
+                    # replicate each right row to every salt shard
+                    rep = np.repeat(np.arange(len(df)), salt)
+                    df = df.iloc[rep].reset_index(drop=True)
+                    shard = np.tile(np.arange(salt, dtype="int64"),
+                                    len(rep) // salt)
+                    base = base[rep] if len(rep) else base
+                else:
+                    shard = np.arange(len(df), dtype="int64") % salt
+                df["__bucket"] = base * salt + shard
             df["__side"] = side
             # widen to the union schema in the same pass (union requires
             # identical schemas; one map stage per side instead of two).

@@ -386,12 +386,15 @@ def test_salted_hash_join_parity_on_power_law_keys(ray_session):
 
     from fastobo_py_ray.functions.relops import hash_join
 
-    n = 4000
+    n = 20_000
     keys = np.where(np.arange(n) % 2 == 0, 7,
                     np.arange(n) % 50).astype("int64")
     left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
-    right = pd.DataFrame({"k": np.arange(40, dtype="int64"),
-                          "w": np.arange(40, dtype="int64") * 10})
+    # right side includes a genuinely DUPLICATED row (k=3 twice):
+    # inner/left must preserve right multiplicity under salting too
+    right = pd.DataFrame({"k": np.r_[np.arange(40), 3].astype("int64"),
+                          "w": np.r_[np.arange(40) * 10, 30]
+                          .astype("int64")})
 
     def run(how, salt):
         out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
@@ -401,8 +404,9 @@ def test_salted_hash_join_parity_on_power_law_keys(ray_session):
         return out[cols].sort_values(cols).reset_index(drop=True)
 
     for how in ("inner", "left", "semi", "anti"):
-        pd.testing.assert_frame_equal(run(how, None), run(how, 8),
-                                      check_dtype=False)
+        for s in (8, 16):   # incl. the salt/bucket combo that exposed
+            pd.testing.assert_frame_equal(run(how, None), run(how, s),
+                                          check_dtype=False)
 
     with pytest.raises(ValueError):
         hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
