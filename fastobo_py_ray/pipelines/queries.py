@@ -2863,6 +2863,100 @@ SELECT doc_id, ticket FROM k ORDER BY ticket LIMIT {_WSAMPLE_K}
 """
 
 
+_PROFILE_COLS = ["l_quantity", "l_discount", "l_returnflag",
+                 "l_shipdate"]
+
+
+def q_profile(sf_dir: str) -> pd.DataFrame:
+    """Dataset profiler (the ``describe`` ingestion staple): one row per
+    column with count / null count / min / max / exact distinct count.
+    Scale shape: counts and min/max fold from per-batch partials (one
+    streaming pass over all columns together); the exact
+    distinct-count per column rides a per-batch ``drop_duplicates``
+    pre-reduction into a value-keyed :func:`grouped_map` count — the
+    exchange moves distinct values only.  min/max/values serialize
+    through ``str`` with a deterministic format so one schema covers
+    heterogeneous columns (the SQL oracle casts identically)."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+
+    def fmt(v, col) -> str:
+        # serializations chosen so STRING order == value order (the
+        # min/max partials re-reduce as string min/max): ISO timestamps
+        # sort chronologically; floats are zero-padded fixed-width
+        # (these columns are non-negative)
+        if col == "l_shipdate":
+            return str(pd.Timestamp(v))
+        if isinstance(v, float):
+            return f"{v:012.4f}"
+        return str(v)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_COLS:
+            s = df[c]
+            nn = s.dropna()
+            rows.append({
+                "column": c, "n": len(s),
+                "n_null": int(s.isna().sum()),
+                "vmin": fmt(nn.min(), c) if len(nn) else "",
+                "vmax": fmt(nn.max(), c) if len(nn) else ""})
+        return pd.DataFrame(rows)
+
+    stats = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), "column",
+        num_buckets=4, n=("n", "sum"), n_null=("n_null", "sum"),
+        vmin=("vmin", "min"), vmax=("vmax", "max")).to_pandas()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in _PROFILE_COLS:
+            u = df[c].dropna().unique()
+            outs.append(pd.DataFrame({
+                "column": c,
+                "value": pd.Series([fmt(v, c) for v in u],
+                                   dtype="string")}))
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return d.groupby("column", as_index=False) \
+            .agg(n_distinct=("value", "size"))
+
+    nd = grouped_agg(
+        grouped_map(ds.map_batches(distinct_partial,
+                                   batch_format="pandas"),
+                    ["column", "value"], count_bucket, num_buckets=16),
+        "column", num_buckets=4,
+        n_distinct=("n_distinct", "sum")).to_pandas()
+
+    out = stats.merge(nd, on="column")
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out[["column", "n", "n_null", "vmin", "vmax", "n_distinct"]] \
+        .sort_values("column").reset_index(drop=True)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "l_shipdate":
+            vmin, vmax = f"min({c})::VARCHAR", f"max({c})::VARCHAR"
+        elif c in ("l_quantity", "l_discount"):
+            vmin = f"format('{{:012.4f}}', min({c}))"
+            vmax = f"format('{{:012.4f}}', max({c}))"
+        else:
+            vmin, vmax = f"min({c})", f"max({c})"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"{vmin} AS vmin, {vmax} AS vmax, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem")
+    return " UNION ALL ".join(parts) + " ORDER BY \"column\""
+
+
 def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-group MODE (argmax-of-count): each user's most frequent
     event type, ties to the lexicographically smallest type — the
@@ -3319,6 +3413,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_profile": q_profile,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
@@ -3389,6 +3484,7 @@ def oracles() -> Dict[str, str]:
         "q18_big_orders": Q18_SQL,
         "q_rank_windows": Q_RANK_WINDOWS_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "q_profile": _profile_sql(),
         "q_mode_per_user": Q_MODE_PER_USER_SQL,
         "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
         "q_cube": Q_CUBE_SQL,
