@@ -2867,6 +2867,83 @@ _PROFILE_COLS = ["l_quantity", "l_discount", "l_returnflag",
                  "l_shipdate"]
 
 
+def q_bag_ops(sf_dir: str) -> pd.DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    multiset siblings of q_set_ops' distinct operators: row
+    multiplicities meet (min) and subtract (clipped), not collapse.
+    Inputs: the (returnflag, linestatus) multisets of low-quantity vs
+    discounted line items.  Scale shape: each side pre-counts per key
+    in-batch (combiner), ONE tagged exchange co-locates both sides'
+    counts, the bag arithmetic is two vectorized ops, and result rows
+    re-explode from counts by ``np.repeat`` — the exchange moves
+    key-count partials, never raw rows."""
+    import pyarrow.dataset as pds
+
+    from ..functions.relops import grouped_map
+
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def side_counts(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(keys, as_index=False).agg(
+                cnt=(keys[0], "size"))
+            out["side"] = side
+            return out
+        return fn
+
+    a = _read(sf_dir, "lineitem", columns=keys + ["l_quantity"],
+              filter=(pds.field("l_quantity") < 25)) \
+        .map_batches(lambda df: side_counts("a")(df[keys]),
+                     batch_format="pandas")
+    b = _read(sf_dir, "lineitem", columns=keys + ["l_discount"],
+              filter=(pds.field("l_discount") > 0.05)) \
+        .map_batches(lambda df: side_counts("b")(df[keys]),
+                     batch_format="pandas")
+
+    def bag(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.groupby(keys + ["side"], as_index=False) \
+            .agg(cnt=("cnt", "sum")) \
+            .pivot_table(index=keys, columns="side", values="cnt",
+                         fill_value=0, aggfunc="sum").reset_index()
+        ca = piv["a"].to_numpy() if "a" in piv.columns else \
+            np.zeros(len(piv), dtype="int64")
+        cb = piv["b"].to_numpy() if "b" in piv.columns else \
+            np.zeros(len(piv), dtype="int64")
+        inter = np.minimum(ca, cb).astype("int64")
+        exc = np.maximum(ca - cb, 0).astype("int64")
+        outs = []
+        for op, cnt in (("intersect", inter), ("except", exc)):
+            rep = piv.loc[np.repeat(np.arange(len(piv)), cnt), keys] \
+                .reset_index(drop=True)
+            rep["op"] = op
+            outs.append(rep)
+        out = pd.concat(outs, ignore_index=True)
+        out[keys[0]] = out[keys[0]].astype("string")
+        out[keys[1]] = out[keys[1]].astype("string")
+        out["op"] = out["op"].astype("string")
+        return out
+
+    out = grouped_map(a.union(b), keys, bag, num_buckets=4).to_pandas()
+    out.columns.name = None  # pivot_table leaves a columns-axis name
+    for c in out.columns:
+        out[c] = out[c].astype(str)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+Q_BAG_OPS_SQL = """
+WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_quantity < 25),
+b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+      WHERE l_discount > 0.05)
+SELECT l_returnflag, l_linestatus, 'intersect' AS op
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'except' AS op
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+ORDER BY l_returnflag, l_linestatus, op
+"""
+
+
 def q_profile(sf_dir: str) -> pd.DataFrame:
     """Dataset profiler (the ``describe`` ingestion staple): one row per
     column with count / null count / min / max / exact distinct count.
@@ -3414,6 +3491,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
         "q_profile": q_profile,
+        "q_bag_ops": q_bag_ops,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
@@ -3485,6 +3563,7 @@ def oracles() -> Dict[str, str]:
         "q_rank_windows": Q_RANK_WINDOWS_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_profile": _profile_sql(),
+        "q_bag_ops": Q_BAG_OPS_SQL,
         "q_mode_per_user": Q_MODE_PER_USER_SQL,
         "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
         "q_cube": Q_CUBE_SQL,
