@@ -167,7 +167,13 @@ def hash_join(left, right, on: Union[str, List[str]],
                                     len(rep) // salt)
                     base = base[rep] if len(rep) else base
                 else:
-                    shard = np.arange(len(df), dtype="int64") % salt
+                    # shard by a WHOLE-ROW hash, not arange % salt: the
+                    # round-robin restarts at shard 0 every batch, so
+                    # blocks smaller than S would pile the hot key into
+                    # low shards; a row-content hash spreads the hot
+                    # key's (distinct) rows uniformly and stays
+                    # deterministic across runs and partitionings
+                    shard = _bucket_ids(df, list(df.columns), salt)
                 df["__bucket"] = base * salt + shard
             df["__side"] = side
             # widen to the union schema in the same pass (union requires

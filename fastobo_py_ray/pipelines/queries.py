@@ -2974,11 +2974,14 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         for c in _PROFILE_COLS:
             s = df[c]
             nn = s.dropna()
+            # np.nan (never "") for a batch with no non-null values:
+            # groupby min/max skip NaN, where "" would win every
+            # string-min and poison the global vmin
             rows.append({
                 "column": c, "n": len(s),
                 "n_null": int(s.isna().sum()),
-                "vmin": fmt(nn.min(), c) if len(nn) else "",
-                "vmax": fmt(nn.max(), c) if len(nn) else ""})
+                "vmin": fmt(nn.min(), c) if len(nn) else np.nan,
+                "vmax": fmt(nn.max(), c) if len(nn) else np.nan})
         return pd.DataFrame(rows)
 
     stats = grouped_agg(
@@ -3008,10 +3011,12 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         "column", num_buckets=4,
         n_distinct=("n_distinct", "sum")).to_pandas()
 
-    out = stats.merge(nd, on="column")
+    # left merge: an all-null column emits no distinct rows but must
+    # still profile (n_distinct = 0), matching the SQL oracle
+    out = stats.merge(nd, on="column", how="left")
     out["n"] = out["n"].astype("int64")
     out["n_null"] = out["n_null"].astype("int64")
-    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out[["column", "n", "n_null", "vmin", "vmax", "n_distinct"]] \
         .sort_values("column").reset_index(drop=True)
 

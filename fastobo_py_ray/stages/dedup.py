@@ -811,7 +811,7 @@ def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def dedup_against(new_ds, seen_ds, text_col: str = "text",
                   id_col: str = "doc_id", m_bits: int = 1 << 20,
-                  k: int = 4):
+                  k: int = 4, id_kind: str = "numeric"):
     """Drop-new-docs-already-seen (continual-training ingestion): flag
     each row of ``new_ds`` whose ``text_col`` already occurs in
     ``seen_ds`` — the BLOOM + EXACT-VERIFY scale pattern.
@@ -839,11 +839,25 @@ def dedup_against(new_ds, seen_ds, text_col: str = "text",
 
     Returns a Dataset of ``(id_col, bloom_hit, dup)`` covering every
     new row: ``dup`` is EXACT (the verify exchange removes Bloom FPs).
+
+    ``id_kind`` ("numeric" | "string") fixes ONE id dtype across every
+    block BEFORE the union (Ray's exchange wants uniform block
+    schemas, the same widen-before-union rule as ``hash_join.tag``):
+    numeric ids transport as float64 (< 2^53 exact — the engine's join
+    idiom; cast back at the call site), string ids as Arrow string.
     """
     import ray
 
     from ..functions.relops import grouped_map
     from .sketch import bloom_build, bloom_contains
+
+    if id_kind not in ("numeric", "string"):
+        raise ValueError(f"id_kind must be numeric|string, got {id_kind!r}")
+
+    def _id(vals) -> pd.Series:
+        return pd.Series(vals).astype(
+            "float64" if id_kind == "numeric" else "string") \
+            .reset_index(drop=True)
 
     seen_txt = seen_ds.map_batches(
         lambda df: df[[text_col]].drop_duplicates(),
@@ -858,12 +872,12 @@ def dedup_against(new_ds, seen_ds, text_col: str = "text",
             sub = df.loc[hit == hit_side]
             if hit_side:
                 return pd.DataFrame(
-                    {id_col: sub[id_col].to_numpy(),
+                    {id_col: _id(sub[id_col].to_numpy()),
                      text_col: pd.Series(sub[text_col].to_numpy(),
                                          dtype="string"),
                      "__seen": np.zeros(len(sub), dtype=bool)})
             return pd.DataFrame(
-                {id_col: sub[id_col].to_numpy(),
+                {id_col: _id(sub[id_col].to_numpy()),
                  "bloom_hit": np.zeros(len(sub), dtype=bool),
                  "dup": np.zeros(len(sub), dtype=bool)})
         return fn
@@ -884,11 +898,11 @@ def dedup_against(new_ds, seen_ds, text_col: str = "text",
         hit = bloom_contains(df[text_col].to_numpy(),
                              ray.get(cwords_ref), k=k)
         sub = df.loc[hit]
-        # id_col as NaN: pd.concat in the bucket widens int ids to
-        # float64 (< 2^53 exact — the engine's join idiom) and leaves
-        # string ids as object; the marker column carries the side
+        # marker rows carry a null id in the SAME dtype as candidates
+        # (id_kind) so every block entering the union has one schema
         return pd.DataFrame(
-            {id_col: np.full(len(sub), np.nan),
+            {id_col: _id([np.nan] * len(sub)) if id_kind == "numeric"
+             else pd.Series([pd.NA] * len(sub), dtype="string"),
              text_col: pd.Series(sub[text_col].to_numpy(),
                                  dtype="string"),
              "__seen": np.ones(len(sub), dtype=bool)})

@@ -41,6 +41,8 @@ IMAGE_FEATURES_SCHEMA = pa.schema([
     ("n_bytes", pa.int64()),
     ("byte_entropy", pa.float32()),
     ("feature", pa.list_(pa.float32(), 64)),   # 64-bin byte histogram
+    ("thumb_mean", pa.float32()),  # mean of the thumb x thumb resize
+    ("decode_ok", pa.bool_()),
 ])
 
 
@@ -105,13 +107,25 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
         i = j
     if i >= n:
         raise ValueError("truncated netpbm header")
-    i += 1  # exactly ONE whitespace byte separates header and raster
+    # exactly ONE whitespace byte separates header and raster; a '#'
+    # here (the token scanner also breaks on it) or any other byte is
+    # a malformed file, never silently-shifted pixel data
+    if payload[i] not in b" \t\r\n":
+        raise ValueError(
+            "netpbm: maxval must be followed by a single whitespace "
+            f"byte, got {payload[i:i + 1]!r}")
+    sep = payload[i]
+    i += 1
     w, h, maxval = (int(t) for t in tokens)
     if w <= 0 or h <= 0 or not 0 < maxval < 65536:
         raise ValueError(f"bad netpbm dimensions {w}x{h} maxval={maxval}")
     ch = 3 if color else 1
     dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     need = w * h * ch * dt.itemsize
+    # CRLF-writing producers: treat \r\n as one separator when the \n
+    # is provably not raster (exactly one surplus byte remains)
+    if sep == 0x0D and i < n and payload[i] == 0x0A and n - i - 1 >= need:
+        i += 1
     if n - i < need:
         raise ValueError(f"netpbm raster truncated: {n - i} < {need}")
     img = np.frombuffer(payload, dtype=dt, count=w * h * ch, offset=i)
@@ -181,15 +195,30 @@ class ImageFeatures:
         rows = {k: [] for k in IMAGE_FEATURES_SCHEMA.names}
         for mid, payload in zip(ids, payloads):
             payload = payload or b""
-            img = self.decode(payload)
-            if self.thumb:
-                img = resize_nearest(img, self.thumb, self.thumb)
+            # collect-don't-raise (engine-wide decoder contract): one
+            # corrupt payload must never kill the actor-pool stage —
+            # byte-level features still compute, dims go to -1
+            try:
+                img = self.decode(payload)
+                h, w = int(img.shape[0]), int(img.shape[1])
+                tmean = float(resize_nearest(
+                    img, self.thumb, self.thumb).mean()) \
+                    if self.thumb else float(img.mean())
+                ok = True
+            except ValueError:
+                h = w = -1
+                tmean = -1.0
+                ok = False
             rows["media_id"].append(mid)
-            rows["height"].append(img.shape[0])
-            rows["width"].append(img.shape[1])
+            # header dims, BEFORE any thumbnail resize — the decode's
+            # ground truth, not the requested thumb size
+            rows["height"].append(h)
+            rows["width"].append(w)
             rows["n_bytes"].append(len(payload))
             rows["byte_entropy"].append(byte_entropy(payload))
             rows["feature"].append(byte_histogram(payload))
+            rows["thumb_mean"].append(tmean)
+            rows["decode_ok"].append(ok)
         return pa.table(rows, schema=IMAGE_FEATURES_SCHEMA)
 
 

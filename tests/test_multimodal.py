@@ -153,3 +153,43 @@ def test_image_features_ppm_decoder_reports_true_dims(ray_session):
     # REAL decode: true dimensions, not payload-length heuristics
     assert out["height"].tolist() == [6, 12, 3]
     assert out["width"].tolist() == [9, 5, 3]
+
+
+def test_netpbm_separator_strictness_and_crlf():
+    import numpy as np
+    import pytest
+
+    from fastobo_py_ray.stages.multimodal import decode_netpbm
+
+    body = bytes(range(2 * 2 * 3))
+    # '#' straight after maxval is malformed, never shifted pixels
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6 2 2 255#comment\n" + body)
+    # CRLF-writing producer: \r\n treated as one separator
+    img = decode_netpbm(b"P6\n2 2\n255\r\n" + body)
+    assert img.shape == (2, 2, 3) and img.tobytes() == body
+
+
+def test_image_features_survives_corrupt_payload(ray_session):
+    import pyarrow as pa
+
+    from fastobo_py_ray.stages.multimodal import (MEDIA_SCHEMA,
+                                                  ImageFeatures,
+                                                  encode_netpbm)
+    import numpy as np
+
+    good = encode_netpbm(np.zeros((4, 6, 3), dtype=np.uint8))
+    t = pa.table({
+        "media_id": ["ok", "bad", "empty"],
+        "kind": ["image"] * 3, "mime": ["image/x-portable-pixmap"] * 3,
+        "payload": [good, b"JUNKJUNKJUNK", b""]}, schema=MEDIA_SCHEMA)
+    out = ImageFeatures(decoder="ppm", thumb=2)(t).to_pandas() \
+        .set_index("media_id")
+    # collect-don't-raise: the stage returns all rows
+    assert out.loc["ok", "decode_ok"] and \
+        out.loc["ok", ["height", "width"]].tolist() == [4, 6]
+    assert not out.loc["bad", "decode_ok"]
+    assert out.loc["bad", ["height", "width"]].tolist() == [-1, -1]
+    assert not out.loc["empty", "decode_ok"]
+    # true header dims even WITH a thumbnail requested
+    assert float(out.loc["ok", "thumb_mean"]) == 0.0

@@ -211,3 +211,19 @@ def test_dedup_against_parity_vs_exact_set_membership(ray_session):
     assert out["dup"].tolist() == truth
     # bloom hits are a superset of true dups
     assert (out["bloom_hit"] | ~out["dup"]).all()
+
+
+def test_dedup_against_string_ids(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dedup_against
+
+    seen = rd.from_pandas(pd.DataFrame({"text": ["aa", "bb"]}))
+    new = rd.from_pandas(pd.DataFrame(
+        {"doc_id": ["x1", "x2", "x3"],
+         "text": ["aa", "cc", "bb"]}))
+    out = dedup_against(new, seen, id_kind="string").to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out["dup"].tolist() == [True, False, True]
+    assert out.index.tolist() == ["x1", "x2", "x3"]
