@@ -1121,6 +1121,46 @@ FROM events ORDER BY event_id
 """
 
 
+def q_first_last(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE per partition: each user's first and
+    last event value under the engine's total event order (ts,
+    event_id).  Same exchange shape as the other window queries (one
+    keyed exchange on user_id, C-speed in-bucket sort + groupby
+    first/last); values pass through exactly — no float contract
+    needed."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["value"]
+        out = pd.DataFrame({"first_val": g.first(), "last_val": g.last(),
+                            "n": g.size().astype("int64")})
+        return out.reset_index()
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "first_val", "last_val", "n"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+Q_FIRST_LAST_SQL = """
+WITH o AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN value END) AS first_val,
+       max(CASE WHEN rn = n THEN value END) AS last_val,
+       max(n)::BIGINT AS n
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean token log-probability under the corpus unigram
     model — the classic cheap LM-quality score (low = rare-token-heavy
@@ -3456,6 +3496,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_source_mix": q_source_mix,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
+        "q_first_last": q_first_last,
         "q_corr": q_corr,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
@@ -3543,6 +3584,7 @@ def oracles() -> Dict[str, str]:
         "q_chunk": Q_CHUNK_SQL,
         "q_source_mix": Q_SOURCE_MIX_SQL,
         "q_event_gaps": Q_EVENT_GAPS_SQL,
+        "q_first_last": Q_FIRST_LAST_SQL,
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
