@@ -3014,15 +3014,20 @@ def q_profile(sf_dir: str) -> pd.DataFrame:
         for c in _PROFILE_COLS:
             s = df[c]
             nn = s.dropna()
-            # np.nan (never "") for a batch with no non-null values:
-            # groupby min/max skip NaN, where "" would win every
-            # string-min and poison the global vmin
+            # NA (never "") for a batch with no non-null values: ""
+            # would win every string-min and poison the global vmin.
+            # The column must be STRING dtype, not object — pandas'
+            # object-min over mixed str/NaN raises TypeError instead
+            # of skipping (caught by the crafted-nulls pytest).
             rows.append({
                 "column": c, "n": len(s),
                 "n_null": int(s.isna().sum()),
-                "vmin": fmt(nn.min(), c) if len(nn) else np.nan,
-                "vmax": fmt(nn.max(), c) if len(nn) else np.nan})
-        return pd.DataFrame(rows)
+                "vmin": fmt(nn.min(), c) if len(nn) else None,
+                "vmax": fmt(nn.max(), c) if len(nn) else None})
+        out = pd.DataFrame(rows)
+        out["vmin"] = out["vmin"].astype("string")
+        out["vmax"] = out["vmax"].astype("string")
+        return out
 
     stats = grouped_agg(
         ds.map_batches(partial, batch_format="pandas"), "column",

@@ -42,3 +42,33 @@ def test_read_table_rejects_unknown_format(ray_session):
 
     with pytest.raises(ValueError):
         read_table("/tmp/x", format="orc")
+
+
+def test_q_profile_handles_nulls_and_all_null_columns(ray_session,
+                                                      tmp_path):
+    """End-to-end on a crafted lineitem with NULLs (incl. one all-null
+    profiled column): engine output must equal the DuckDB oracle —
+    exercises the NaN min/max sentinel and the left-merge n_distinct=0
+    path that the null-free sf tables leave latent."""
+    import duckdb
+    import numpy as np
+
+    from fastobo_py_ray.pipelines.queries import _profile_sql, q_profile
+
+    df = pd.DataFrame({
+        "l_quantity": [1.0, np.nan, 3.0, 3.0, np.nan],
+        "l_discount": [np.nan] * 5,                     # all-null column
+        "l_returnflag": ["A", None, "R", "A", None],
+        "l_shipdate": pd.to_datetime(
+            ["2020-01-02", None, "2021-06-30", "2020-01-02", None]),
+    })
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    got = q_profile(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    want = con.execute(_profile_sql()).df()
+    g = got.fillna("~null~").astype(str)
+    w = want[got.columns].fillna("~null~").astype(str)
+    pd.testing.assert_frame_equal(
+        g.reset_index(drop=True), w.reset_index(drop=True))
