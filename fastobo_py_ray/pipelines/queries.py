@@ -2907,6 +2907,41 @@ _PROFILE_COLS = ["l_quantity", "l_discount", "l_returnflag",
                  "l_shipdate"]
 
 
+def q_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts of the exact 3-gram-Jaccard near-dup
+    graph — the standard graph-quality signal (dense near-dup cliques
+    light up as high triangle counts).  Runs the distributed
+    node-iterator++ algorithm (`stages/graph.py` ``triangle_counts``):
+    degree-oriented wedge generation (arboricity-bounded, the
+    last-reducer skew remedy) + ONE semi join of wedges against the
+    edge set; checked against a three-way self-join SQL oracle over
+    the identical edge CTE."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import triangle_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.rename(
+            columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+        batch_format="pandas")
+    return triangle_counts(edges)
+
+
+Q_TRIANGLES_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS n_tri
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
 def q_bag_ops(sf_dir: str) -> pd.DataFrame:
     """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
     multiset siblings of q_set_ops' distinct operators: row
@@ -3543,6 +3578,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_profile": q_profile,
         "q_bag_ops": q_bag_ops,
+        "q_triangles": q_triangles,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
@@ -3616,6 +3652,7 @@ def oracles() -> Dict[str, str]:
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_profile": _profile_sql(),
         "q_bag_ops": Q_BAG_OPS_SQL,
+        "q_triangles": Q_TRIANGLES_SQL,
         "q_mode_per_user": Q_MODE_PER_USER_SQL,
         "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
         "q_cube": Q_CUBE_SQL,

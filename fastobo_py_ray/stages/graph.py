@@ -350,3 +350,97 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             "rank_micro": df["rank"].astype("int64"),
             "rank": df["rank"].astype("int64") / unit}),
         batch_format="pandas")
+
+
+def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
+                    num_buckets: int = 16):
+    """Distributed triangle counting with per-node counts — the
+    node-iterator++ / MapReduce wedge algorithm (Cohen 2009; Suri &
+    Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+    Reducer"):
+
+    1. DEGREE-ORIENT each undirected edge from its lower-(degree, id)
+       endpoint to the higher — the skew remedy: a hub of degree d
+       generates wedges only from neighbors that outrank it, so
+       per-node wedge work is bounded by arboricity^2, not d^2 (the
+       "last reducer" curse the id-orientation would keep).
+    2. Per-source wedge generation inside a keyed exchange
+       (vectorized index pairs, no per-wedge Python).
+    3. ONE semi hash-join of wedges against the canonical edge set:
+       each surviving wedge is a triangle; its three corners explode
+       into (node, 1) partials and a bounded count reduce.
+
+    Input edges must be canonical (a < b, distinct).  Returns a
+    pandas DataFrame (node, n_tri) for nodes in >= 1 triangle."""
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+
+    ends = edges_ds.map_batches(
+        lambda df: pd.DataFrame({"node": np.concatenate(
+            [df[a_col].to_numpy(), df[b_col].to_numpy()])}),
+        batch_format="pandas")
+    deg = grouped_agg(ends.map_batches(
+        lambda df: df.groupby("node", as_index=False)
+        .agg(d=("node", "size")), batch_format="pandas"),
+        "node", num_buckets=num_buckets, d=("d", "sum"))
+
+    e_a = hash_join(edges_ds, deg.map_batches(
+        lambda df: df.rename(columns={"node": a_col, "d": "da"}),
+        batch_format="pandas"), on=a_col,
+        lcols=[a_col, b_col], rcols=[a_col, "da"],
+        num_buckets=num_buckets)
+    e_ab = hash_join(e_a, deg.map_batches(
+        lambda df: df.rename(columns={"node": b_col, "d": "db"}),
+        batch_format="pandas"), on=b_col,
+        lcols=[a_col, b_col, "da"], rcols=[b_col, "db"],
+        num_buckets=num_buckets)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy()
+        b = df[b_col].to_numpy()
+        da = df["da"].to_numpy()
+        db = df["db"].to_numpy()
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({"src": np.where(fwd, a, b),
+                             "dst": np.where(fwd, b, a)})
+
+    oriented = e_ab.map_batches(orient, batch_format="pandas")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            if len(nb) < 2:
+                continue
+            iu, iv = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({
+                "u": nb[iu], "v": nb[iv],
+                "apex": np.full(len(iu), src)}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "apex": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    wds = grouped_map(oriented, "src", wedges, num_buckets=num_buckets)
+
+    canon = edges_ds.map_batches(
+        lambda df: df.rename(columns={a_col: "u", b_col: "v"}),
+        batch_format="pandas")
+    tri = hash_join(wds, canon, on=["u", "v"], how="semi",
+                    lcols=["u", "v", "apex"], rcols=["u", "v"],
+                    num_buckets=num_buckets)
+
+    corners = tri.map_batches(
+        lambda df: pd.DataFrame({"node": np.concatenate(
+            [df["u"].to_numpy(), df["v"].to_numpy(),
+             df["apex"].to_numpy()]).astype("int64")})
+        if len(df) else pd.DataFrame({"node": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+    out = grouped_agg(corners.map_batches(
+        lambda df: df.groupby("node", as_index=False)
+        .agg(n_tri=("node", "size")), batch_format="pandas"),
+        "node", num_buckets=num_buckets,
+        n_tri=("n_tri", "sum")).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["n_tri"] = out["n_tri"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

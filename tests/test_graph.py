@@ -109,3 +109,22 @@ def test_pagerank_broadcast_guard(ray_session):
                                       "dst": ["b", "c"]}))
     with pytest.raises(ValueError, match="mode='join'"):
         pagerank(ds, max_nodes=2, mode="broadcast")
+
+
+def test_triangle_counts_crafted_graph(ray_session):
+    """Known triangle structure incl. a hub: K4 on {1,2,3,4} (4
+    triangles, 3 per node) plus a star around 1 (no extra triangles)
+    plus the separate triangle {10,11,12}."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(1, n) for n in range(20, 26)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    edges = pd.DataFrame(k4 + star + tri, columns=["a", "b"])
+    out = triangle_counts(rd.from_pandas(edges)) \
+        .set_index("node")["n_tri"]
+    assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3,
+                             10: 1, 11: 1, 12: 1}
