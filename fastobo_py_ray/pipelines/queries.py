@@ -1135,9 +1135,16 @@ def q_first_last(sf_dir: str) -> pd.DataFrame:
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        g = df.groupby("user_id", sort=False)["value"]
-        out = pd.DataFrame({"first_val": g.first(), "last_val": g.last(),
-                            "n": g.size().astype("int64")})
+        # POSITIONAL first/last (drop_duplicates keep=first/last), not
+        # groupby .first()/.last() — those skip nulls where SQL
+        # FIRST_VALUE returns the rn=1 row's value, NULL included
+        f = df.drop_duplicates("user_id", keep="first") \
+            .set_index("user_id")["value"]
+        l = df.drop_duplicates("user_id", keep="last") \
+            .set_index("user_id")["value"]
+        n = df.groupby("user_id", sort=False)["value"] \
+            .size().astype("int64")
+        out = pd.DataFrame({"first_val": f, "last_val": l, "n": n})
         return out.reset_index()
 
     out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()

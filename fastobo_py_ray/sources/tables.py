@@ -49,7 +49,13 @@ def read_table(path: str, format: str = "parquet",
     import ray.data as rd
 
     if format == "parquet":
-        return rd.read_parquet(path, columns=columns, **kwargs)
+        ds = rd.read_parquet(path, columns=columns, **kwargs)
+        # columns already pruned at the scan; the schema cast must
+        # still apply or the contract is asymmetric across formats
+        if schema is None:
+            return ds
+        return ds.map_batches(_project_and_cast(None, schema),
+                              batch_format="pyarrow")
     if format == "jsonl":
         ds = rd.read_json(path, **kwargs)
     elif format == "csv":

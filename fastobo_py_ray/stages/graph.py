@@ -374,6 +374,10 @@ def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
     pandas DataFrame (node, n_tri) for nodes in >= 1 triangle."""
     from ..functions.relops import grouped_agg, grouped_map, hash_join
 
+    # edges feed three consumers (degrees + both join sides) and deg
+    # feeds two — materialize once so the upstream pipeline (e.g. the
+    # Jaccard inverted-index shuffle) doesn't re-execute per consumer
+    edges_ds = edges_ds.materialize()
     ends = edges_ds.map_batches(
         lambda df: pd.DataFrame({"node": np.concatenate(
             [df[a_col].to_numpy(), df[b_col].to_numpy()])}),
@@ -381,7 +385,7 @@ def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
     deg = grouped_agg(ends.map_batches(
         lambda df: df.groupby("node", as_index=False)
         .agg(d=("node", "size")), batch_format="pandas"),
-        "node", num_buckets=num_buckets, d=("d", "sum"))
+        "node", num_buckets=num_buckets, d=("d", "sum")).materialize()
 
     e_a = hash_join(edges_ds, deg.map_batches(
         lambda df: df.rename(columns={"node": a_col, "d": "da"}),
@@ -441,6 +445,11 @@ def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
         .agg(n_tri=("node", "size")), batch_format="pandas"),
         "node", num_buckets=num_buckets,
         n_tri=("n_tri", "sum")).to_pandas()
+    if out.empty:
+        # a triangle-free graph yields a column-less empty frame from
+        # the fold — return the typed empty contract instead
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
     out["node"] = out["node"].astype("int64")
     out["n_tri"] = out["n_tri"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)

@@ -128,3 +128,14 @@ def test_triangle_counts_crafted_graph(ray_session):
         .set_index("node")["n_tri"]
     assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3,
                              10: 1, 11: 1, 12: 1}
+
+
+def test_triangle_counts_triangle_free_graph(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import triangle_counts
+
+    edges = pd.DataFrame([(1, 2), (2, 3), (3, 4)], columns=["a", "b"])
+    out = triangle_counts(rd.from_pandas(edges))
+    assert out.empty and list(out.columns) == ["node", "n_tri"]

@@ -72,3 +72,40 @@ def test_q_profile_handles_nulls_and_all_null_columns(ray_session,
     w = want[got.columns].fillna("~null~").astype(str)
     pd.testing.assert_frame_equal(
         g.reset_index(drop=True), w.reset_index(drop=True))
+
+
+def test_read_table_parquet_applies_schema_cast(ray_session, tmp_path):
+    from fastobo_py_ray.sources.tables import read_table
+
+    pd.DataFrame({"x": pd.array([1, 2], dtype="int32")}) \
+        .to_parquet(tmp_path / "t.parquet")
+    sch = pa.schema([("x", pa.int64())])
+    got = read_table(str(tmp_path / "t.parquet"), format="parquet",
+                     schema=sch).schema()
+    assert got.base_schema.field("x").type == pa.int64()
+
+
+def test_q_first_last_null_values_positional(ray_session, tmp_path):
+    """FIRST_VALUE semantics: a NULL in the first row is the answer,
+    not skipped (pandas groupby.first would skip it)."""
+    import duckdb
+    import numpy as np
+
+    from fastobo_py_ray.pipelines.queries import (Q_FIRST_LAST_SQL,
+                                                  q_first_last)
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-02",
+                              "2020-01-01", "2020-01-02"]),
+        "value": [np.nan, 5.0, 1.0, np.nan]})
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_first_last(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(Q_FIRST_LAST_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns],
+        check_dtype=False)
