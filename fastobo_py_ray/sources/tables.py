@@ -67,3 +67,18 @@ def read_table(path: str, format: str = "parquet",
         return ds
     return ds.map_batches(_project_and_cast(columns, schema),
                           batch_format="pyarrow")
+
+
+def write_table(ds, path: str, format: str = "parquet", **kwargs):
+    """Sink twin of :func:`read_table`: ``parquet`` (the scale format —
+    columnar, partitioned, resumable) or ``jsonl`` / ``csv`` (the
+    export formats downstream training stacks ingest).  All three are
+    Ray-native distributed writes (one file per block, never one giant
+    file)."""
+    if format == "parquet":
+        return ds.write_parquet(path, **kwargs)
+    if format == "jsonl":
+        return ds.write_json(path, **kwargs)
+    if format == "csv":
+        return ds.write_csv(path, **kwargs)
+    raise ValueError(f"format must be parquet|jsonl|csv, got {format!r}")

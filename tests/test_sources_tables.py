@@ -109,3 +109,48 @@ def test_q_first_last_null_values_positional(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want[got.columns],
         check_dtype=False)
+
+
+def test_write_table_jsonl_roundtrip_and_gzip_read(ray_session,
+                                                   tmp_path):
+    import gzip
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fastobo_py_ray.sources.tables import read_table, write_table
+
+    df = pd.read_parquet(SF)[["doc_id", "lang", "n_chars"]]
+    out_dir = tmp_path / "export"
+    write_table(rd.from_pandas(df), str(out_dir), format="jsonl")
+    back = read_table(str(out_dir), format="jsonl",
+                      schema=pq.read_schema(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[["doc_id", "lang", "n_chars"]],
+        df.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
+
+    # gzip-compressed jsonl reads through the same path
+    gz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        df.to_json(f, orient="records", lines=True)
+    import pyarrow as _pa
+    got = read_table(str(gz), format="jsonl",
+                     columns=["doc_id", "n_chars"],
+                     arrow_open_stream_args={"compression": "gzip"}) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(df)
+    assert got["n_chars"].tolist() == \
+        df.sort_values("doc_id")["n_chars"].tolist()
+
+
+def test_write_table_rejects_unknown_format(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.sources.tables import write_table
+
+    with pytest.raises(ValueError):
+        write_table(rd.from_pandas(pd.DataFrame({"x": [1]})),
+                    "/tmp/x", format="orc")
