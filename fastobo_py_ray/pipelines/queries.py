@@ -2914,6 +2914,35 @@ _PROFILE_COLS = ["l_quantity", "l_discount", "l_returnflag",
                  "l_shipdate"]
 
 
+def q_cms_freq(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency estimates for the exact top-20 tokens — the
+    mergeable UPPER-bound point-query sketch (complement of
+    q_heavy_tokens' Misra-Gries lower bounds): the corpus token stream
+    folds into one (4 x 16384)-cell count matrix per block partial
+    (constant size regardless of corpus), summed once; the probes ride
+    the exact q_top_tokens result so est >= true holds row by row
+    (pytest-gated in tests/test_sketch.py at the sketch level).
+    Rows-only: sketch estimates are approximate by design."""
+    from ..stages.sketch import cms_build, cms_query
+
+    top = q_top_tokens(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["text"])
+    toks = ds.map_batches(
+        lambda df: pd.DataFrame({"token": pd.Series(
+            np.concatenate([np.asarray(t, dtype="U")
+                            for t in df["text"].astype(str)
+                            .str.split(" ")])
+            if len(df) else [], dtype="string")}),
+        batch_format="pandas")
+    m = cms_build(toks, "token", width=1 << 14, depth=4)
+    probe = top["token"].astype(str).to_numpy()
+    out = pd.DataFrame({
+        "token": probe,
+        "exact": top["n_occurrences"].astype("int64").to_numpy(),
+        "est": cms_query(probe, m).astype("int64")})
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-node triangle counts of the exact 3-gram-Jaccard near-dup
     graph — the standard graph-quality signal (dense near-dup cliques
@@ -3586,6 +3615,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_profile": q_profile,
         "q_bag_ops": q_bag_ops,
         "q_triangles": q_triangles,
+        "q_cms_freq": q_cms_freq,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
@@ -3673,6 +3703,9 @@ def oracles() -> Dict[str, str]:
         # relation.
         # q_semantic_link is rows-only: feature-hashed embeddings have
         # no SQL equivalent; value semantics are pytest-gated.
+        # q_cms_freq is rows-only: Count-Min estimates are approximate
+        # by design (upper bounds; never-underestimate + error bound
+        # pytest-gated at the sketch level).
         # q_media_ppm is rows-only: binary image plumbing has no SQL
         # relation; the netpbm decoder's roundtrip exactness is
         # pytest-gated.

@@ -317,3 +317,61 @@ def bloom_build(ds, value_col: str, m_bits: int = 1 << 20,
         return np.zeros(m_bits // 64, dtype=np.uint64)
     return bloom_merge([np.frombuffer(b, dtype=np.uint64)
                         for b in parts["words"]])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimates (upper-bound point
+# queries; the complement of Misra-Gries' lower-bound summaries)
+# ---------------------------------------------------------------------------
+
+def cms_counts(values, width: int, depth: int = 4,
+               weights=None) -> np.ndarray:
+    """One batch of values -> (depth, width) int64 count matrix.  Rows
+    use the same Kirsch-Mitzenmacher single-hash-pass scheme as the
+    Bloom filter; per-row scatter is one C bincount per depth."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    vals = np.asarray(values)
+    if len(vals) == 0:
+        return m
+    pos = _bloom_pos(vals, width, depth).reshape(depth, len(vals))
+    w = None if weights is None else np.asarray(weights, dtype=np.int64)
+    for j in range(depth):
+        m[j] = np.bincount(pos[j].astype(np.int64), weights=w,
+                           minlength=width).astype(np.int64)
+    return m
+
+
+def cms_merge(mats) -> np.ndarray:
+    """Count matrices merge by elementwise sum — associative."""
+    return np.sum([np.asarray(x, dtype=np.int64) for x in mats], axis=0)
+
+
+def cms_query(values, m: np.ndarray) -> np.ndarray:
+    """Point frequency estimates: min over depths.  NEVER an
+    underestimate; overestimate <= (e/width)*N with probability
+    1 - e^-depth (standard CMS bound; pytest-gated)."""
+    vals = np.asarray(values)
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.int64)
+    depth, width = m.shape
+    pos = _bloom_pos(vals, width, depth).reshape(depth, len(vals))
+    ests = np.stack([m[j][pos[j].astype(np.int64)]
+                     for j in range(depth)])
+    return ests.min(axis=0)
+
+
+def cms_build(ds, value_col: str, width: int = 1 << 14,
+              depth: int = 4) -> np.ndarray:
+    """DISTRIBUTED Count-Min build: one (depth x width x 8)-byte matrix
+    partial per block, summed on the driver (constant-size regardless
+    of corpus; tree-reduce at extreme depth*width, same note as
+    bloom_build)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = cms_counts(df[value_col].to_numpy(), width, depth)
+        return pd.DataFrame({"m": [m.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.zeros((depth, width), dtype=np.int64)
+    return cms_merge([np.frombuffer(b, dtype=np.int64)
+                      .reshape(depth, width) for b in parts["m"]])

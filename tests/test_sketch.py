@@ -227,3 +227,25 @@ def test_dedup_against_string_ids(ray_session):
         .set_index("doc_id").sort_index()
     assert out["dup"].tolist() == [True, False, True]
     assert out.index.tolist() == ["x1", "x2", "x3"]
+
+
+def test_cms_never_underestimates_and_bounds_error():
+    import numpy as np
+
+    from fastobo_py_ray.stages.sketch import (cms_counts, cms_merge,
+                                              cms_query)
+
+    # zipf-ish: token-i appears ~50k/(i+1) times
+    vals = np.concatenate([
+        np.repeat(f"tok-{i}", 50_000 // (i + 1)) for i in range(200)])
+    true = {f"tok-{i}": 50_000 // (i + 1) for i in range(200)}
+    width, depth = 1 << 12, 4
+    m = cms_merge([cms_counts(vals[:100_000], width, depth),
+                   cms_counts(vals[100_000:], width, depth)])
+    assert (m == cms_counts(vals, width, depth)).all()  # merge == build
+    probe = np.array(list(true))
+    est = cms_query(probe, m)
+    t = np.array([true[p] for p in probe])
+    assert (est >= t).all()                    # never an underestimate
+    # standard bound: overestimate <= (e/width) * N, here with slack 3x
+    assert (est - t).max() <= 3 * np.e / width * len(vals)
