@@ -1168,6 +1168,43 @@ FROM o GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame moving average (3-event window per user) — the
+    count-based frame, complementing q_sliding_window's RANGE frame
+    and q_running_total's unbounded frame.  One keyed exchange on
+    user_id; in-bucket C-speed sort + pandas rolling(min_periods=1).
+    Per-row rounding to the 6-decimal grid absorbs the engines'
+    different accumulation orders."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ma = df.groupby("user_id", sort=False)["value"] \
+            .rolling(3, min_periods=1).mean() \
+            .reset_index(drop=True)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "ma3": ma.round(6).to_numpy()})
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING
+                                   AND CURRENT ROW), 6) AS ma3
+FROM events ORDER BY event_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean token log-probability under the corpus unigram
     model — the classic cheap LM-quality score (low = rare-token-heavy
@@ -3573,6 +3610,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
         "q_first_last": q_first_last,
+        "q_moving_avg": q_moving_avg,
         "q_corr": q_corr,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
@@ -3663,6 +3701,7 @@ def oracles() -> Dict[str, str]:
         "q_source_mix": Q_SOURCE_MIX_SQL,
         "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_first_last": Q_FIRST_LAST_SQL,
+        "q_moving_avg": Q_MOVING_AVG_SQL,
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
