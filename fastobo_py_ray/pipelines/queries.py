@@ -2881,6 +2881,55 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def q_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK and CUME_DIST — the distribution window functions,
+    completing the rank family (rank/dense_rank/ntile in
+    q_rank_windows).  Same banded key (real ties) and single keyed
+    exchange; both fractions are exact rational values rounded to the
+    6-decimal grid on both engines."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bal_bucket"] = np.floor(
+            np.floor(df["c_acctbal"].to_numpy()) / 100).astype("int64")
+        df = df.sort_values(["c_mktsegment", "bal_bucket", "c_custkey"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("c_mktsegment", sort=False)
+        n = g["c_custkey"].transform("size").to_numpy().astype("float64")
+        rnk = g["bal_bucket"].rank(
+            method="min", ascending=False).to_numpy()
+        # cume_dist = rows with key <= current / n  == max rank of the
+        # tie group = rank(method="max")
+        mrk = g["bal_bucket"].rank(
+            method="max", ascending=False).to_numpy()
+        pr = np.where(n > 1, (rnk - 1) / (n - 1), 0.0)
+        df["pct_rank"] = np.round(pr, 6)
+        df["cume"] = np.round(mrk / n, 6)
+        return df[["c_custkey", "c_mktsegment", "bal_bucket",
+                   "pct_rank", "cume"]]
+
+    out = grouped_map(ds, "c_mktsegment", bucket, num_buckets=8) \
+        .to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT c_custkey, c_mktsegment,
+       floor(floor(c_acctbal) / 100)::BIGINT AS bal_bucket,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY floor(floor(c_acctbal) / 100) DESC)
+ORDER BY c_custkey
+"""
+
+
 _WSAMPLE_K = 80
 _WSAMPLE_MAXW = 8
 
@@ -3647,6 +3696,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_set_ops": q_set_ops,
         "q18_big_orders": q18_big_orders,
         "q_rank_windows": q_rank_windows,
+        "q_percent_rank": q_percent_rank,
         "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
@@ -3725,6 +3775,7 @@ def oracles() -> Dict[str, str]:
         "q_set_ops": Q_SET_OPS_SQL,
         "q18_big_orders": Q18_SQL,
         "q_rank_windows": Q_RANK_WINDOWS_SQL,
+        "q_percent_rank": Q_PERCENT_RANK_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_profile": _profile_sql(),
         "q_bag_ops": Q_BAG_OPS_SQL,
