@@ -1121,6 +1121,44 @@ FROM events ORDER BY event_id
 """
 
 
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Calendar-function aggregation: order count and revenue by
+    (year, month) of the order date — EXTRACT parity between pandas'
+    ``dt`` accessors and SQL's date part functions (both integer-exact;
+    the revenue sum rides the engine's 2-decimal price grid).  Shape:
+    per-batch combiner over the bounded (year, month) domain + one tiny
+    exchange."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df["o_orderdate"])
+        part = pd.DataFrame({"yr": d.year.astype("int64"),
+                             "mon": d.month.astype("int64"),
+                             "o_totalprice": df["o_totalprice"]
+                             .to_numpy()})
+        return part.groupby(["yr", "mon"], as_index=False).agg(
+            n=("o_totalprice", "size"), rev=("o_totalprice", "sum"))
+
+    out = grouped_agg(ds.map_batches(combine, batch_format="pandas"),
+                      ["yr", "mon"], num_buckets=8,
+                      n=("n", "sum"), rev=("rev", "sum")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["rev"] = out["rev"].round(2)
+    return out[["yr", "mon", "n", "rev"]] \
+        .sort_values(["yr", "mon"]).reset_index(drop=True)
+
+
+Q_ORDERS_BY_MONTH_SQL = """
+SELECT extract(year FROM o_orderdate)::BIGINT AS yr,
+       extract(month FROM o_orderdate)::BIGINT AS mon,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders GROUP BY 1, 2 ORDER BY yr, mon
+"""
+
+
 def q_first_last(sf_dir: str) -> pd.DataFrame:
     """FIRST_VALUE / LAST_VALUE per partition: each user's first and
     last event value under the engine's total event order (ts,
@@ -3660,6 +3698,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_event_gaps": q_event_gaps,
         "q_first_last": q_first_last,
         "q_moving_avg": q_moving_avg,
+        "q_orders_by_month": q_orders_by_month,
         "q_corr": q_corr,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
@@ -3752,6 +3791,7 @@ def oracles() -> Dict[str, str]:
         "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_first_last": Q_FIRST_LAST_SQL,
         "q_moving_avg": Q_MOVING_AVG_SQL,
+        "q_orders_by_month": Q_ORDERS_BY_MONTH_SQL,
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
