@@ -3067,6 +3067,48 @@ def q_cms_freq(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout keys — the space-filling-curve primitive
+    behind multi-dimensional clustering (OPTIMIZE ZORDER): the first
+    200 line items along the (partkey, suppkey) Z-curve.  The key is
+    exact int64 bit interleaving (vectorized magic-number dilation,
+    `functions/layout.py`), verified bit-for-bit against a DuckDB
+    bit-arithmetic oracle; the top-k is the usual per-batch partial +
+    bounded driver merge, so the corpus never sorts globally just to
+    sample the curve."""
+    from ..functions.layout import morton2
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey",
+                        "l_suppkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        z = morton2(df["l_partkey"].to_numpy() % 65536,
+                    df["l_suppkey"].to_numpy() % 65536)
+        out = pd.DataFrame({"zval": z.astype("int64"),
+                            "l_orderkey": df["l_orderkey"].to_numpy(),
+                            "l_linenumber": df["l_linenumber"]
+                            .to_numpy().astype("int64")})
+        return out.sort_values(
+            ["zval", "l_orderkey", "l_linenumber"]).head(200)
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return out.sort_values(["zval", "l_orderkey", "l_linenumber"]) \
+        .head(200).reset_index(drop=True)
+
+
+Q_ZORDER_SQL = """
+WITH z AS (
+  SELECT l_orderkey, l_linenumber,
+         (SELECT sum((((l_partkey % 65536) >> i) & 1) * (1::BIGINT << (2 * i))
+                   + (((l_suppkey % 65536) >> i) & 1) * (1::BIGINT << (2 * i + 1)))
+          FROM generate_series(0, 15) t(i))::BIGINT AS zval
+  FROM lineitem)
+SELECT zval, l_orderkey, l_linenumber::BIGINT AS l_linenumber
+FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 200
+"""
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-node triangle counts of the exact 3-gram-Jaccard near-dup
     graph — the standard graph-quality signal (dense near-dup cliques
@@ -3743,6 +3785,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_bag_ops": q_bag_ops,
         "q_triangles": q_triangles,
         "q_cms_freq": q_cms_freq,
+        "q_zorder": q_zorder,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,
@@ -3820,6 +3863,7 @@ def oracles() -> Dict[str, str]:
         "q_profile": _profile_sql(),
         "q_bag_ops": Q_BAG_OPS_SQL,
         "q_triangles": Q_TRIANGLES_SQL,
+        "q_zorder": Q_ZORDER_SQL,
         "q_mode_per_user": Q_MODE_PER_USER_SQL,
         "q_token_entropy": Q_TOKEN_ENTROPY_SQL,
         "q_cube": Q_CUBE_SQL,
