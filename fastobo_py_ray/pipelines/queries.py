@@ -1121,6 +1121,63 @@ FROM events ORDER BY event_id
 """
 
 
+def q_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Sparse -> dense time-series gap filling: hourly event counts per
+    type INCLUDING empty hours (zero rows), over the corpus's global
+    hour range — the resample/reindex ETL shape dashboards and models
+    need (missing hours must exist as zeros, not absences).  Scale
+    shape: the global bounds are two per-batch scalar partials; the
+    counts ride the usual bounded-domain combiner exchange; the dense
+    grid is built driver-side because it is hours x types — bounded by
+    TIME, not corpus size."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [df["ts"].min()],
+                             "hi": [df["ts"].max()]})
+
+    b = ds.map_batches(bounds, batch_format="pandas").to_pandas()
+    lo = b["lo"].min().floor("h")
+    hi = b["hi"].max().floor("h")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": pd.DatetimeIndex(df["ts"]).floor("h")})
+        return part.groupby(["event_type", "hr"], as_index=False) \
+            .agg(n=("hr", "size"))
+
+    c = grouped_agg(ds.map_batches(combine, batch_format="pandas"),
+                    ["event_type", "hr"], num_buckets=16,
+                    n=("n", "sum")).to_pandas()
+    grid = pd.MultiIndex.from_product(
+        [sorted(c["event_type"].unique()),
+         pd.date_range(lo, hi, freq="h")],
+        names=["event_type", "hr"])
+    out = c.set_index(["event_type", "hr"]).reindex(grid, fill_value=0) \
+        .reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hr"]).reset_index(drop=True)
+
+
+Q_GAP_FILL_SQL = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM events),
+h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b),
+t AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT t.event_type, h.hr, coalesce(c.n, 0)::BIGINT AS n
+FROM h CROSS JOIN t
+LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
+ORDER BY t.event_type, h.hr
+"""
+
+
 def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
     """Calendar-function aggregation: order count and revenue by
     (year, month) of the order date — EXTRACT parity between pandas'
@@ -3741,6 +3798,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_first_last": q_first_last,
         "q_moving_avg": q_moving_avg,
         "q_orders_by_month": q_orders_by_month,
+        "q_gap_fill": q_gap_fill,
         "q_corr": q_corr,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
@@ -3835,6 +3893,7 @@ def oracles() -> Dict[str, str]:
         "q_first_last": Q_FIRST_LAST_SQL,
         "q_moving_avg": Q_MOVING_AVG_SQL,
         "q_orders_by_month": Q_ORDERS_BY_MONTH_SQL,
+        "q_gap_fill": Q_GAP_FILL_SQL,
         "q_corr": Q_CORR_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
