@@ -1126,21 +1126,15 @@ def q_gap_fill(sf_dir: str) -> pd.DataFrame:
     type INCLUDING empty hours (zero rows), over the corpus's global
     hour range — the resample/reindex ETL shape dashboards and models
     need (missing hours must exist as zeros, not absences).  Scale
-    shape: the global bounds are two per-batch scalar partials; the
-    counts ride the usual bounded-domain combiner exchange; the dense
-    grid is built driver-side because it is hours x types — bounded by
-    TIME, not corpus size."""
+    shape: ONE corpus scan — the counts ride the usual bounded-domain
+    combiner exchange, and the global hour bounds fall out of the
+    aggregated hours for free (floor is monotone, so min/max of the
+    floored hours == floor of min/max ts — no separate bounds pass);
+    the dense grid is built driver-side because it is hours x types —
+    bounded by TIME, not corpus size."""
     from ..functions.relops import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
-
-    def bounds(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lo": [df["ts"].min()],
-                             "hi": [df["ts"].max()]})
-
-    b = ds.map_batches(bounds, batch_format="pandas").to_pandas()
-    lo = b["lo"].min().floor("h")
-    hi = b["hi"].max().floor("h")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         part = pd.DataFrame({
@@ -1154,7 +1148,7 @@ def q_gap_fill(sf_dir: str) -> pd.DataFrame:
                     n=("n", "sum")).to_pandas()
     grid = pd.MultiIndex.from_product(
         [sorted(c["event_type"].unique()),
-         pd.date_range(lo, hi, freq="h")],
+         pd.date_range(c["hr"].min(), c["hr"].max(), freq="h")],
         names=["event_type", "hr"])
     out = c.set_index(["event_type", "hr"]).reindex(grid, fill_value=0) \
         .reset_index()

@@ -438,6 +438,11 @@ def test_morton2_matches_bit_loop_reference():
     want = np.array([ref(int(a), int(b)) for a, b in zip(xs, ys)],
                     dtype=np.uint64)
     assert (got == want).all()
-    # z-curve locality sanity: interleave is monotone in each arg
-    # when the other is fixed
+    # lanes are asymmetric (x even bits, y odd)
     assert morton2([5], [9])[0] != morton2([9], [5])[0]
+    # REAL monotonicity: with the other arg fixed, the key strictly
+    # increases in each argument (locality along each axis)
+    r = np.arange(1000, dtype=np.uint64)
+    assert (np.diff(morton2(r, np.zeros_like(r))) > 0).all()
+    assert (np.diff(morton2(np.zeros_like(r), r)) > 0).all()
+    assert (np.diff(morton2(np.full_like(r, 7), r)) > 0).all()
