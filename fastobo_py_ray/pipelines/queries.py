@@ -3717,6 +3717,29 @@ def q_bloom_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_logreg(sf_dir: str) -> pd.DataFrame:
+    """Distributed model fitting: binary logistic regression (labels
+    0-4 vs 5-9) over the embeddings table by data-parallel FULL-BATCH
+    gradient descent — per iteration one streaming pass of exact
+    (d+2)-float gradient partials per block, a bounded driver fold, a
+    step; zero shuffles (`stages/cluster.py` ``logreg_fit``).  Returns
+    the fitted coefficients (dim, coef) plus the intercept row.
+    Rows-only: an iterative optimizer has no ANSI-SQL equivalent;
+    numpy-mirror parity and monotone loss are pytest-gated
+    (tests/test_cluster.py)."""
+    from ..stages.cluster import logreg_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    w, b, losses = logreg_fit(ds, iters=15, lr=0.5,
+                              pos_labels=range(5))
+    out = pd.DataFrame({"dim": np.arange(len(w), dtype="int64"),
+                        "coef": np.round(w, 6)})
+    out = pd.concat([out, pd.DataFrame(
+        {"dim": [-1], "coef": [round(b, 6)]})], ignore_index=True)
+    out["final_loss"] = round(losses[-1], 6)
+    return out.sort_values("dim").reset_index(drop=True)
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed FULL-DATA k-means assignments (k=10, 5 Lloyd
     iterations, deterministic md5-order init) over the embeddings
@@ -3838,6 +3861,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_triangles": q_triangles,
         "q_cms_freq": q_cms_freq,
         "q_zorder": q_zorder,
+        "q_logreg": q_logreg,
         "q_mode_per_user": q_mode_per_user,
         "q_token_entropy": q_token_entropy,
         "q_cube": q_cube,

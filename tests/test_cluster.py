@@ -134,3 +134,33 @@ def test_semantic_dedup_drops_exact_duplicates(ray_session):
         .set_index("vec_id")["keep"]
     assert bool(out[1]) and not bool(out[2])
     assert bool(out[3]) and not bool(out[4])
+
+
+def test_logreg_matches_numpy_mirror_and_loss_decreases(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import _as_matrix
+    from fastobo_py_ray.stages.cluster import logreg_fit
+
+    SF_E = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(SF_E)
+    w, b, losses = logreg_fit(ds, iters=10, lr=0.5, pos_labels=range(5))
+
+    df = pd.read_parquet(SF_E)
+    X = _as_matrix(df["embedding"])
+    y = df["label"].isin(range(5)).to_numpy().astype("float64")
+    wm = np.zeros(X.shape[1])
+    bm = 0.0
+    ref_losses = []
+    for _ in range(10):
+        z = X @ wm + bm
+        p = 1.0 / (1.0 + np.exp(-z))
+        ref_losses.append(float(np.mean(np.logaddexp(0.0, z) - y * z)))
+        wm -= 0.5 * (X.T @ (p - y)) / len(y)
+        bm -= 0.5 * float((p - y).sum()) / len(y)
+    assert np.allclose(w, wm, atol=1e-9)
+    assert abs(b - bm) < 1e-9
+    assert np.allclose(losses, ref_losses, atol=1e-9)
+    # full-batch GD with conservative lr: loss strictly decreases
+    assert all(losses[i + 1] < losses[i] for i in range(len(losses) - 1))
+    assert losses[-1] < np.log(2)  # better than the zero model
