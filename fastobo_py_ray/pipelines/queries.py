@@ -2034,6 +2034,51 @@ FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin
 """
 
 
+def q_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-event anomaly signal: each event's z-score against its
+    user's population mean/stddev — the standardization / outlier-
+    scoring staple.  ONE keyed exchange on user_id; a bucket holds all
+    a user's events, so mean, population sd and every z are exact
+    in-task (no join back, no second pass).  Both engines spell sd as
+    the same closed form ``sqrt(avg(v^2) - avg(v)^2)`` so the only
+    divergence is float association order, absorbed by the 6-decimal
+    rounding (the q_corr contract); a single-event user's sd is 0 ->
+    NULL z on both sides."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["value"]
+        mu = g.transform("mean")
+        sd = np.sqrt(np.maximum(
+            g.transform(lambda s: (s * s).mean()) - mu * mu, 0.0))
+        z = np.where(sd > 0, (df["value"] - mu) / sd, np.nan)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "z": np.round(z, 6)})
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ZSCORE_SQL = """
+WITH s AS (SELECT event_id, user_id, value,
+                  avg(value) OVER (PARTITION BY user_id) AS mu,
+                  avg(value * value)
+                      OVER (PARTITION BY user_id) AS m2
+           FROM events)
+SELECT event_id, user_id,
+       CASE WHEN m2 - mu * mu > 0
+            THEN round((value - mu) / sqrt(m2 - mu * mu), 6)
+            END AS z
+FROM s ORDER BY event_id
+"""
+
+
 def q_corr(sf_dir: str) -> pd.DataFrame:
     """Per-group Pearson correlation (lineitem quantity vs extended
     price by return flag) computed from MERGEABLE MOMENT PARTIALS: each
@@ -3817,6 +3862,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_orders_by_month": q_orders_by_month,
         "q_gap_fill": q_gap_fill,
         "q_corr": q_corr,
+        "q_zscore": q_zscore,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
@@ -3913,6 +3959,7 @@ def oracles() -> Dict[str, str]:
         "q_orders_by_month": Q_ORDERS_BY_MONTH_SQL,
         "q_gap_fill": Q_GAP_FILL_SQL,
         "q_corr": Q_CORR_SQL,
+        "q_zscore": Q_ZSCORE_SQL,
         "q_histogram": Q_HISTOGRAM_SQL,
         "q_watermark": Q_WATERMARK_SQL,
         "q_pivot": Q_PIVOT_SQL,
