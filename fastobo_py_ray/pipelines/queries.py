@@ -2229,6 +2229,49 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "cluster_rep"]).reset_index(drop=True)
 
 
+def q_dedup_best(sf_dir: str) -> pd.DataFrame:
+    """QUALITY-AWARE near-dup canonicalization: within each verified
+    MinHash cluster keep the HIGHEST-quality member (tie to the lowest
+    id) instead of keep-first — the curation-grade variant (keep-first
+    discards a clean page when a boilerplate-laden copy has the lower
+    id).  Composition of existing primitives: minhash_dedup clusters +
+    the per-batch quality scorer -> one hash_join on doc_id attaches
+    scores -> one cluster-keyed grouped_map (a bucket holds every
+    member of its clusters, so the per-cluster argmax is exact).
+    Rows-only: clustering is rows-only upstream; the argmax rule is
+    value-gated in pytest (tests/test_dedup_ann.py)."""
+    from ..functions.relops import grouped_map, hash_join
+    from ..stages.dedup import minhash_dedup
+    from ..stages.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup(ds)  # (doc_id, cluster_rep)
+
+    q = ds.map_batches(
+        lambda df: quality_score_batch(df)[["doc_id",
+                                            "quality_score"]],
+        batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_rep", "quality_score", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        df["keep"] = ~df.duplicated("cluster_rep", keep="first")
+        return df[["doc_id", "cluster_rep", "quality_score", "keep"]]
+
+    joined = hash_join(clusters, q, on="doc_id",
+                       lcols=["doc_id", "cluster_rep"],
+                       rcols=["doc_id", "quality_score"],
+                       num_buckets=16)
+    out = grouped_map(joined, "cluster_rep", pick, num_buckets=16) \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["quality_score"] = out["quality_score"].astype("float64") \
+        .round(6)
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -3863,6 +3906,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_gap_fill": q_gap_fill,
         "q_corr": q_corr,
         "q_zscore": q_zscore,
+        "q_dedup_best": q_dedup_best,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
@@ -4001,6 +4045,9 @@ def oracles() -> Dict[str, str]:
         # relation.
         # q_semantic_link is rows-only: feature-hashed embeddings have
         # no SQL equivalent; value semantics are pytest-gated.
+        # q_dedup_best / q_logreg are rows-only: clustering upstream /
+        # iterative optimizer; argmax rule and numpy-mirror parity are
+        # pytest-gated.
         # q_cms_freq is rows-only: Count-Min estimates are approximate
         # by design (upper bounds; never-underestimate + error bound
         # pytest-gated at the sketch level).

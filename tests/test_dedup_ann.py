@@ -430,3 +430,20 @@ def test_passage_dedup_noop_on_unique_corpus(ray_session):
     assert out["text"].tolist() == texts
     assert (out["n_removed"] == 0).all()
     assert out["n_passages"].tolist() == [3] * 6  # 10 words -> 4+4+2
+
+
+def test_q_dedup_best_keeps_max_quality_per_cluster(ray_session):
+    """Every cluster keeps exactly one member: the max-quality doc
+    (tie -> lowest id); singletons always keep."""
+    from fastobo_py_ray.pipelines.queries import q_dedup_best
+
+    out = q_dedup_best("/root/testdata/sf0.001")
+    g = out.groupby("cluster_rep")
+    assert (g["keep"].sum() == 1).all()
+    for _, sub in g:
+        best = sub.sort_values(["quality_score", "doc_id"],
+                               ascending=[False, True]).iloc[0]
+        kept = sub[sub["keep"]].iloc[0]
+        assert kept["doc_id"] == best["doc_id"]
+    # multi-member clusters exist on this corpus (the rule is exercised)
+    assert (g.size() > 1).any()
