@@ -3690,6 +3690,42 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_dim_means(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean of the embedding column — the feature-drift /
+    centering scan (a shifted dimension is the first sign of a broken
+    encoder).  ZERO exchanges: each batch emits one (d+1)-float moment
+    partial (column sums + count), the driver folds; the oracle
+    unnests with ordinality.  Means are exact sums divided once,
+    rounded to the 6-decimal grid on both sides."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.ann import _as_matrix
+        m = _as_matrix(df["embedding"])
+        row = {"n": [len(m)]}
+        for j in range(m.shape[1]):
+            row[f"s{j}"] = [m[:, j].sum()]
+        return pd.DataFrame(row)
+
+    fold = ds.map_batches(partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n = float(fold["n"])
+    dims = len(fold) - 1
+    out = pd.DataFrame({
+        "dim": np.arange(1, dims + 1, dtype="int64"),
+        "mean_val": [round(float(fold[f"s{j}"]) / n, 6)
+                     for j in range(dims)]})
+    return out
+
+
+Q_DIM_MEANS_SQL = """
+SELECT i AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY i ORDER BY dim
+"""
+
+
 def q_media_ppm(sf_dir: str) -> pd.DataFrame:
     """REAL image decode through the driver contract: each document's
     bytes are rendered into an actual binary-netpbm P6 image
@@ -3907,6 +3943,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_corr": q_corr,
         "q_zscore": q_zscore,
         "q_dedup_best": q_dedup_best,
+        "q_dim_means": q_dim_means,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
@@ -4038,6 +4075,7 @@ def oracles() -> Dict[str, str]:
         "q4_priority_count": Q4_SQL,
         "q_json_extract": Q_JSON_EXTRACT_SQL,
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
+        "q_dim_means": Q_DIM_MEANS_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
