@@ -2034,6 +2034,55 @@ FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin
 """
 
 
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort), counted on each subsequent day offset — the classic
+    self-referential analytics shape (an aggregate joined back to its
+    own detail).  Scale shape: per-batch distinct (user, day) partials,
+    then ONE user-keyed exchange where a bucket holds all of a user's
+    days so the first-day anchor and every offset are exact in-task,
+    then the bounded (cohort, offset) count combiner."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "user_id": df["user_id"],
+            "day": pd.DatetimeIndex(df["ts"]).floor("D")})
+        return part.drop_duplicates()
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # per-batch distinct -> global here
+        first = df.groupby("user_id", sort=False)["day"] \
+            .transform("min")
+        off = (df["day"] - first).dt.days.astype("int64")
+        return pd.DataFrame({"cohort": first, "day_offset": off,
+                             "n": np.ones(len(df), dtype="int64")})
+
+    per_user = grouped_map(
+        ds.map_batches(days, batch_format="pandas"),
+        "user_id", offsets, num_buckets=32)
+    out = grouped_agg(per_user, ["cohort", "day_offset"],
+                      num_buckets=8,
+                      active_users=("n", "sum")).to_pandas()
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["active_users"] = out["active_users"].astype("int64")
+    return out.sort_values(["cohort", "day_offset"]) \
+        .reset_index(drop=True)
+
+
+Q_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+SELECT cohort, date_diff('day', cohort, day)::BIGINT AS day_offset,
+       count(*)::BIGINT AS active_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort, day_offset
+"""
+
+
 def q_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-event anomaly signal: each event's z-score against its
     user's population mean/stddev — the standardization / outlier-
@@ -3944,6 +3993,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_zscore": q_zscore,
         "q_dedup_best": q_dedup_best,
         "q_dim_means": q_dim_means,
+        "q_retention": q_retention,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
@@ -4076,6 +4126,7 @@ def oracles() -> Dict[str, str]:
         "q_json_extract": Q_JSON_EXTRACT_SQL,
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         "q_dim_means": Q_DIM_MEANS_SQL,
+        "q_retention": Q_RETENTION_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
