@@ -2034,6 +2034,58 @@ FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin
 """
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-event funnel conversion: per user, did a 'view' event
+    PRECEDE a 'purchase' (strictly, under the total (ts, event_id)
+    order)?  The sequence-pattern analytics shape — ordering inside the
+    partition matters, so it is NOT a plain join.  One keyed exchange;
+    in-bucket the first-view anchor and the any-later-purchase test
+    are two vectorized group reductions.  The oracle spells the same
+    pattern as an EXISTS self-join with the identical tiebreak."""
+    from ..functions.relops import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        # position under the total order; first 'view' anchor per user
+        df = df.reset_index(drop=True)
+        pos = np.arange(len(df), dtype="int64")
+        isv = (df["event_type"] == "view").to_numpy()
+        isp = (df["event_type"] == "purchase").to_numpy()
+        # anchoring the FIRST view is equivalent to the oracle's "any
+        # view before this purchase": the first view is the earliest
+        first_view = pd.Series(np.where(isv, pos, np.iinfo("int64").max),
+                               index=df.index).groupby(
+            df["user_id"], sort=False).transform("min").to_numpy()
+        conv = pd.Series(isp & (pos > first_view), index=df.index) \
+            .groupby(df["user_id"], sort=False).transform("max")
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "converted": conv.astype(bool)})
+        return out.drop_duplicates("user_id")
+
+    out = grouped_map(ds, "user_id", bucket, num_buckets=32).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["converted"] = out["converted"].astype(bool)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_FUNNEL_SQL = """
+SELECT u.user_id,
+       EXISTS (SELECT 1 FROM events a
+               JOIN events b ON b.user_id = a.user_id
+               WHERE a.user_id = u.user_id
+                 AND a.event_type = 'view'
+                 AND b.event_type = 'purchase'
+                 AND (b.ts > a.ts OR (b.ts = a.ts
+                                      AND b.event_id > a.event_id)))
+           AS converted
+FROM (SELECT DISTINCT user_id FROM events) u
+ORDER BY user_id
+"""
+
+
 def q_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users grouped by their FIRST active day
     (the cohort), counted on each subsequent day offset — the classic
@@ -3994,6 +4046,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_dedup_best": q_dedup_best,
         "q_dim_means": q_dim_means,
         "q_retention": q_retention,
+        "q_funnel": q_funnel,
         "q_histogram": q_histogram,
         "q_watermark": q_watermark,
         "q_pivot": q_pivot,
@@ -4127,6 +4180,7 @@ def oracles() -> Dict[str, str]:
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         "q_dim_means": Q_DIM_MEANS_SQL,
         "q_retention": Q_RETENTION_SQL,
+        "q_funnel": Q_FUNNEL_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
         # nprobe=nlist equals the exact brute-force result by test).
         # q_seq_packing is rows-only: the greedy pack assignment is an
