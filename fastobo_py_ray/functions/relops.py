@@ -70,12 +70,29 @@ def broadcast_join(ds, small: pd.DataFrame, on: Union[str, List[str]],
     return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
 
 
+def _apply_cast(df: pd.DataFrame, cast: Optional[Dict[str, str]]
+                ) -> pd.DataFrame:
+    """Restore declared dtypes after a tagged-union join (NA-widening
+    floats int columns and objects datetimes in transit — the q3
+    ``1234.0`` vs ``1234`` oracle-hash lesson). Runs INSIDE the bucket
+    task so every output block carries the same schema deterministically.
+    Columns absent from ``df`` (e.g. dropped by ``bucket_finalize``) are
+    skipped; a cast that cannot hold the data (NaN -> int64) raises —
+    the caller declared a dtype the join semantics don't guarantee."""
+    if not cast:
+        return df
+    todo = {c: t for c, t in cast.items()
+            if c in df.columns and str(df[c].dtype) != str(t)}
+    return df.astype(todo) if todo else df
+
+
 def hash_join(left, right, on: Union[str, List[str]],
               num_buckets: int = 16, how: str = "inner",
               suffixes=("_l", "_r"), bucket_finalize=None,
               lcols: Optional[List[str]] = None,
               rcols: Optional[List[str]] = None,
-              salt: Optional[int] = None):
+              salt: Optional[int] = None,
+              cast: Optional[Dict[str, str]] = None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Both sides are hash-bucketed on the key, unioned with a side tag, and
@@ -119,6 +136,15 @@ def hash_join(left, right, on: Union[str, List[str]],
     ``bucket_finalize`` raises (a bucket no longer holds every row of
     its keys, so piggybacked per-key aggregation would be partial —
     the analogue of ``grouped_agg(salt=)``'s algebraic-only rule).
+
+    ``cast={"col": "int64", ...}`` restores declared dtypes on the
+    joined frame inside each bucket task (after ``bucket_finalize``):
+    the tagged union NA-widens each side's exclusive columns (int64 ->
+    float64, datetime64 -> object), which is value-preserving for ints
+    < 2^53 but NOT schema-preserving — an oracle comparing ``1234`` to
+    ``1234.0`` hash-mismatches.  Declare it for any id/date column that
+    the join semantics guarantee non-null (always true for the columns
+    of ``semi``/``anti``/``inner`` output; left columns of ``left``).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if salt is not None and salt > 1:
@@ -211,13 +237,13 @@ def hash_join(left, right, on: Union[str, List[str]],
                                 ignore_index=True)
             if bucket_finalize is not None:
                 out = bucket_finalize(out)
-            return typed_empty(out)
+            return typed_empty(_apply_cast(out, cast))
         out = l.merge(r, on=keys, how=how, suffixes=suffixes)
         out = out.drop(columns=[c for c in ("__bucket", "__side")
                                 if c in out.columns])
         if bucket_finalize is not None:
             out = bucket_finalize(out)
-        return typed_empty(out)
+        return typed_empty(_apply_cast(out, cast))
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")
@@ -227,7 +253,8 @@ def asof_join(left, right, on: str, by: str,
               direction: str = "backward", num_buckets: int = 32,
               lcols: Optional[List[str]] = None,
               rcols: Optional[List[str]] = None,
-              suffixes=("", "_r")):
+              suffixes=("", "_r"),
+              cast: Optional[Dict[str, str]] = None):
     """Distributed as-of join (the time-series join Ray Data lacks): for
     each left row, the nearest right row by ``on`` (backward = most
     recent right.on <= left.on) within the same ``by`` partition key.
@@ -241,8 +268,9 @@ def asof_join(left, right, on: str, by: str,
     Left rows with no match keep NaN/NaT right columns (left join).
     Dtype note: the tagged union NA-widens each side's exclusive
     columns, so integer columns (including LEFT-side ones like an int
-    event id) come back float64 — cast back at the call site when int
-    dtypes matter downstream.
+    event id) come back float64 — declare ``cast={"col": "int64"}``
+    (applied per bucket, like :func:`hash_join`) for LEFT columns,
+    which an as-of join never nulls; right columns stay nullable.
     """
     if lcols is None:
         lcols = [c for c in left.schema().names]
@@ -272,7 +300,7 @@ def asof_join(left, right, on: str, by: str,
         r = df[df["__side"] == "r"][rcols].sort_values(on)
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction,
                             suffixes=suffixes)
-        return out
+        return _apply_cast(out, cast)
 
     return u.groupby("__bucket").map_groups(merge_bucket,
                                             batch_format="pandas")

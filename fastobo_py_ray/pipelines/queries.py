@@ -62,6 +62,25 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=None,
     return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kwargs)
 
 
+# per-worker-process cache for broadcast numpy arrays (ObjectRef.hex ->
+# array): zero-copy plasma fetch once per worker, not once per batch —
+# the resolve_index pattern (stages/mentions.py)
+_WORKER_ARRAY_CACHE: dict = {}
+
+
+def _worker_cached_array(ref) -> np.ndarray:
+    import ray
+
+    key = ref.hex()
+    arr = _WORKER_ARRAY_CACHE.get(key)
+    if arr is None:
+        if len(_WORKER_ARRAY_CACHE) >= 4:
+            _WORKER_ARRAY_CACHE.clear()
+        arr = ray.get(ref)
+        _WORKER_ARRAY_CACHE[key] = arr
+    return arr
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline over the documents table (DOCS_OBO vocabulary ontology)
 # ---------------------------------------------------------------------------
@@ -260,26 +279,30 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
-    """customer (broadcast semi-join) |> orders x lineitem (partitioned
-    hash join) |> grouped revenue |> top-10.
+def q3_top_revenue(sf_dir: str,
+                   customer_broadcast_limit: int = 1_000_000
+                   ) -> pd.DataFrame:
+    """customer semi-filter |> orders x lineitem (partitioned hash
+    join) |> grouped revenue |> top-10.
 
-    Customer is SF-linear (150k rows/SF), so it never lands on the
-    driver or in a broadcast: the segment predicate is pushed into the
-    parquet scan (key column only leaves storage) and orders are
-    filtered with a distributed semi join — the same NOT-EXISTS/IN
-    scale shape as :func:`q_cust_no_orders`."""
+    Customer is SF-linear (150k rows/SF), so it is TIERED like q5's
+    supplier side: while its parquet metadata row count is below
+    ``customer_broadcast_limit`` the BUILDING keys (one int column,
+    ~1/5 of customers) are broadcast once via ``ray.put`` and orders
+    are filtered with a vectorized ``isin`` inside ``map_batches`` —
+    zero exchanges; above the limit the same filter runs as a
+    distributed semi :func:`hash_join` (the NOT-EXISTS/IN scale shape,
+    same as :func:`q_cust_no_orders`).  Path parity is pytest-gated by
+    forcing ``customer_broadcast_limit=0``.  Either way the segment
+    predicate is pushed into the parquet scan so only the key column
+    leaves storage."""
+    import datetime
+
     import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
 
     from ..functions.relops import hash_join
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey"],
-                 filter=pds.field("c_mktsegment") == "BUILDING") \
-        .map_batches(
-            lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
-            batch_format="pandas")
-
-    import datetime
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -287,12 +310,42 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
                    filter=pds.field("o_orderdate")
                    < datetime.datetime(1997, 1, 1))
 
-    orders_f = hash_join(
-        orders, cust, on="o_custkey", how="semi",
-        lcols=["o_orderkey", "o_custkey", "o_orderdate"],
-        rcols=["o_custkey"]).map_batches(
-        lambda df: df[["o_orderkey", "o_orderdate"]],
-        batch_format="pandas")
+    cust_rows = pq.ParquetFile(_pq(sf_dir, "customer")).metadata.num_rows
+    if cust_rows <= customer_broadcast_limit:
+        keys = pq.read_table(
+            _pq(sf_dir, "customer"), columns=["c_custkey"],
+            filters=pds.field("c_mktsegment") == "BUILDING")
+        keys_ref = ray.put(np.sort(keys["c_custkey"].to_numpy()))
+
+        # task-based (not actor pool — ~1.5s pool startup dwarfs the
+        # work); the sorted key array is a zero-copy plasma fetch cached
+        # once per worker process
+        def semi_filter(df: pd.DataFrame) -> pd.DataFrame:
+            ks = _worker_cached_array(keys_ref)
+            k = df["o_custkey"].to_numpy()
+            if len(ks) == 0:
+                hit = np.zeros(len(k), dtype=bool)
+            else:
+                pos = np.searchsorted(ks, k)
+                pos[pos == len(ks)] = 0
+                hit = ks[pos] == k
+            return df.loc[hit, ["o_orderkey", "o_orderdate"]]
+
+        orders_f = orders.map_batches(semi_filter, batch_format="pandas")
+    else:
+        cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                     filter=pds.field("c_mktsegment") == "BUILDING") \
+            .map_batches(
+                lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                batch_format="pandas")
+        orders_f = hash_join(
+            orders, cust, on="o_custkey", how="semi",
+            lcols=["o_orderkey", "o_custkey", "o_orderdate"],
+            rcols=["o_custkey"],
+            cast={"o_orderkey": "int64",
+                  "o_orderdate": "datetime64[ns]"}).map_batches(
+            lambda df: df[["o_orderkey", "o_orderdate"]],
+            batch_format="pandas")
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
                         "l_shipdate"], rows_per_block=25_000)
@@ -314,7 +367,9 @@ def q3_top_revenue(sf_dir: str) -> pd.DataFrame:
                              ascending=[False, True]).head(10)
 
     joined = hash_join(li, orders_f, on="o_orderkey", num_buckets=16,
-                       bucket_finalize=finalize)
+                       bucket_finalize=finalize,
+                       cast={"o_orderkey": "int64",
+                             "o_orderdate": "datetime64[ns]"})
     top = joined.to_pandas().sort_values(
         ["revenue", "o_orderkey"], ascending=[False, True],
         kind="mergesort").head(10).reset_index(drop=True)

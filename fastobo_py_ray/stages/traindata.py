@@ -112,6 +112,11 @@ def _hash_grams(grams: List[str]) -> np.ndarray:
                               hash_key="fastobomray-dc00")
 
 
+# per-worker-process Decontaminator cache (keyed by benchmark ObjectRef +
+# scan params) — see decontaminate() docstring
+_WORKER_DECON_CACHE: dict = {}
+
+
 def decontaminate(ds, bench_ds, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 5,
                   concurrency=None):
@@ -123,8 +128,10 @@ def decontaminate(ds, bench_ds, id_col: str = "doc_id",
     the broadcast small side.
 
     Task-based by default: the benchmark array is pre-hashed/sorted on
-    the driver, so per-task setup is ONE zero-copy plasma fetch — an
-    actor pool's ~1.5s startup buys nothing here. Pass
+    the driver and CACHED PER WORKER PROCESS (the ``resolve_index``
+    pattern, `stages/mentions.py`), so the ``ray.get`` + Decontaminator
+    construction runs once per worker, not once per batch — every later
+    batch in the same process reuses the instance.  Pass
     ``concurrency=(lo, hi)`` to force the actor-pool form anyway (e.g.
     to pin a long-running scan's worker count)."""
     import ray
@@ -140,8 +147,18 @@ def decontaminate(ds, bench_ds, id_col: str = "doc_id",
                                    "text_col": text_col, "k": k})
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        return Decontaminator(bench_ref, id_col=id_col,
-                              text_col=text_col, k=k)(df)
+        key = (bench_ref.hex(), id_col, text_col, k)
+        dc = _WORKER_DECON_CACHE.get(key)
+        if dc is None:
+            # bounded like resolve_index: repeated jobs ship fresh
+            # ObjectRefs; evict before insert so a long-lived worker
+            # holds at most a couple of benchmark arrays
+            if len(_WORKER_DECON_CACHE) >= 2:
+                _WORKER_DECON_CACHE.clear()
+            dc = Decontaminator(bench_ref, id_col=id_col,
+                                text_col=text_col, k=k)
+            _WORKER_DECON_CACHE[key] = dc
+        return dc(df)
 
     return ds.map_batches(scan, batch_format="pandas")
 

@@ -294,6 +294,23 @@ def test_q5_supplier_tier_paths_agree(ray_session):
     assert len(via_broadcast) > 0
 
 
+def test_q3_customer_tier_paths_agree(ray_session):
+    """q3's customer semi-filter is tiered like q5's supplier: broadcast
+    key-array ``isin`` below the row threshold, distributed semi
+    hash_join above.  Forcing the join tier must reproduce the
+    broadcast tier bit-for-bit — including dtypes (the r3 regression
+    was exactly a float64 o_orderkey leaking from the join tier)."""
+    from fastobo_py_ray.pipelines.queries import q3_top_revenue
+
+    sf = "/root/testdata/sf0.001"
+    via_broadcast = _norm(q3_top_revenue(sf))
+    via_join = _norm(q3_top_revenue(sf, customer_broadcast_limit=0))
+    pd.testing.assert_frame_equal(via_broadcast, via_join)
+    assert len(via_broadcast) > 0
+    assert via_join["o_orderkey"].dtype.kind == "i"
+    assert via_join["o_orderdate"].dtype.kind == "M"
+
+
 @pytest.mark.parametrize("closed", ["both", "left", "right"])
 def test_range_join_matches_pandas(ray_session, closed):
     import numpy as np

@@ -77,6 +77,17 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             failures += 1
             continue
+        # the driver's compare HASHES values, so dtype kind matters:
+        # int64 1234 vs float64 1234.0 hash-mismatch even when
+        # assert_frame_equal(check_dtype=False) passes — this is how
+        # the r3 q3 NA-widening regression escaped the local sweep.
+        kind_bad = [c for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch on {kind_bad}: "
+                  f"{[(str(g[c].dtype), str(e[c].dtype)) for c in kind_bad]}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
