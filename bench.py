@@ -142,6 +142,12 @@ def run_bench() -> dict:
         "metric": "kg_e2e_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        # first-class cold/warm fields so the best-of-2 `value` can't be
+        # mistaken for the old single-run metric (ADVICE r3): value_cold
+        # is the first full-scale run (pays the one-time box warm-up
+        # tax), value_warm the second (steady state)
+        "value_cold": headline_runs[0],
+        "value_warm": headline_runs[1],
         "headline_runs": headline_runs,
         "queries": timings,
         "sf": SF_DIR,

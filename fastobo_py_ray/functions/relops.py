@@ -106,12 +106,11 @@ def hash_join(left, right, on: Union[str, List[str]],
     kept / dropped by key membership in the right side; output columns =
     ``lcols`` only — the scale shape for NOT EXISTS / IN subqueries).
 
-    NULL-key caveat: the ``semi``/``anti`` branch implements SQL NULL
-    semantics (a null key never matches), but the pandas ``merge``
-    behind inner/left/right/outer MATCHES NaN keys to each other —
-    null-keyed rows join where SQL would leave them unmatched.  Filter
-    null keys out (or to distinct sentinels) first when the input can
-    carry them; every engine call site feeds non-null keys.
+    NULL keys follow SQL semantics on EVERY path (a null key never
+    matches): ``inner`` drops null-keyed rows, ``left``/``right``/
+    ``outer`` surface them unmatched on their own side, ``semi`` drops
+    and ``anti`` keeps null-keyed left rows — unlike raw pandas
+    ``merge``, which matches NaN keys to each other.
 
     ``bucket_finalize(df) -> df`` runs on each bucket's joined frame
     inside the same task.  Because a bucket holds EVERY row of its keys,
@@ -238,7 +237,22 @@ def hash_join(left, right, on: Union[str, List[str]],
             if bucket_finalize is not None:
                 out = bucket_finalize(out)
             return typed_empty(_apply_cast(out, cast))
-        out = l.merge(r, on=keys, how=how, suffixes=suffixes)
+        # SQL NULL semantics (pandas merge would MATCH NaN keys to each
+        # other): null-keyed rows never match — inner drops them,
+        # left/right/outer surface them unmatched on their own side.
+        lnull = l[keys].isna().any(axis=1)
+        rnull = r[keys].isna().any(axis=1)
+        out = l[~lnull].merge(r[~rnull], on=keys, how=how,
+                              suffixes=suffixes)
+        overlap = (set(lcols) & set(rcols)) - set(keys)
+        if how in ("left", "outer") and lnull.any():
+            ln = l[lnull].rename(
+                columns={c: c + suffixes[0] for c in overlap})
+            out = pd.concat([out, ln], ignore_index=True)
+        if how in ("right", "outer") and rnull.any():
+            rn = r[rnull].rename(
+                columns={c: c + suffixes[1] for c in overlap})
+            out = pd.concat([out, rn], ignore_index=True)
         out = out.drop(columns=[c for c in ("__bucket", "__side")
                                 if c in out.columns])
         if bucket_finalize is not None:

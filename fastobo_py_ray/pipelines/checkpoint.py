@@ -255,7 +255,13 @@ def finalize_adjacency(out_root: str, adjacency_dir: str,
     * an orphan part dir (no manifest) is deleted only after
       ``orphan_grace_s`` seconds of mtime-quiet — a concurrent writer
       that has renamed its dir but not yet written the manifest is
-      left alone;
+      left alone.  The grace period is a heuristic, not a lock: a
+      writer whose manifest write stalls LONGER than ``orphan_grace_s``
+      (e.g. a slow shared filesystem) would still lose its partition,
+      so finalize must not run concurrently with active writers —
+      run it after the writer pool has drained (the resumable runner
+      does), or raise ``orphan_grace_s`` to the filesystem's worst
+      observed stall;
     * a manifest whose part dir is missing fails loudly (silent
       under-count otherwise)."""
     import shutil

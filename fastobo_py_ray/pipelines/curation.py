@@ -19,8 +19,10 @@ metadata.  Checkpointing also makes every fan-out cheap (the dedup
 stages consume their input twice: once to derive winners/losers, once
 as the join's left side — two streaming reads of a parquet dir instead
 of a recompute or an object-store materialization) and the whole funnel
-resumable mid-run, the same story as the KG pipeline's S10 lineage
-(:mod:`.checkpoint`).  This is the shape large curation pipelines ship
+resumable mid-run via per-stage ``_SUCCESS`` markers (opt-in
+``curate(resume=True)`` with a persistent ``work_dir`` — finished
+stages are skipped, unfinished ones recompute), the same story as the
+KG pipeline's S10 lineage (:mod:`.checkpoint`).  This is the shape large curation pipelines ship
 with: stage-to-storage, restartable, O(corpus) disk per stage and O(1)
 driver memory.
 """
@@ -47,20 +49,36 @@ def _pq_rows(path: str) -> int:
     return total
 
 
-def _ckpt(ds, path: str, empty_cols=None):
+def _ckpt(ds, path: str, empty_cols=None, fingerprint="",
+          resume=False):
     """Write a stage boundary to parquet; return (re-read handle, rows).
 
     The count is parquet metadata — zero-cost, no execution barrier
     beyond the write that the stage needs anyway for resumability.
 
+    RESUME: a ``_SUCCESS`` marker (containing the funnel's parameter
+    fingerprint) is written after each completed stage.  When
+    ``fingerprint`` is passed and the marker exists with MATCHING
+    content, the stage is skipped entirely and the checkpoint is
+    re-read — a restarted ``curate(resume=True)`` recomputes only the
+    stages that had not finished.  A mismatched fingerprint (different
+    funnel parameters aimed at the same work_dir) recomputes rather
+    than silently reusing stale data.  The input Dataset is lazy, so a
+    skipped stage never executes its upstream.
+
     Zero-row stages are first-class: Ray's parquet datasink DELETES the
     output directory when nothing was written (file_datasink
     ``on_write_complete``), which would crash the immediate re-read —
     so an all-empty write is replaced by one schema-typed empty file
-    (``ds.schema()`` on the just-executed plan) and the funnel
-    continues with an empty Dataset.
+    and the funnel continues with an empty Dataset.
     """
     import ray.data as rd
+
+    marker = os.path.join(path, "_SUCCESS")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return rd.read_parquet(path), _pq_rows(path)
 
     shutil.rmtree(path, ignore_errors=True)
     ds.write_parquet(path)
@@ -77,6 +95,8 @@ def _ckpt(ds, path: str, empty_cols=None):
             n: pd.Series(dtype=t) for n, t in (empty_cols or {}).items()
         }), preserve_index=False)
         pq.write_table(tbl, os.path.join(path, "empty.parquet"))
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write(fingerprint)
     return rd.read_parquet(path), _pq_rows(path)
 
 
@@ -84,7 +104,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.5,
            max_top_word_frac: float = 0.5, jaccard_threshold: float = 0.8,
            decontam_k: int = 5, pack_budget: int = 256,
-           work_dir: str | None = None):
+           work_dir: str | None = None, resume: bool = False):
     """documents -> (packed kept docs Dataset, funnel stats dict).
 
     ``bench_ds`` is the (small) eval-benchmark Dataset for the
@@ -96,6 +116,11 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     dir under /tmp when omitted; pass a persistent path to make the
     funnel resumable / auditable).  The returned Dataset reads from
     ``work_dir/packed`` — re-consumable without recompute.
+
+    ``resume=True`` (with a persistent ``work_dir``) skips every stage
+    whose ``_SUCCESS`` marker matches this call's parameter
+    fingerprint — a restarted funnel recomputes only unfinished stages
+    (see :func:`_ckpt`); parameter changes invalidate the markers.
     """
     import ray.data as rd
 
@@ -107,6 +132,12 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
 
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="fastobo_curate_")
+
+    # stage-skip guard: markers only match runs with identical funnel
+    # parameters (bench presence included — it changes the stage list)
+    fp = repr((id_col, text_col, min_quality, max_top_word_frac,
+               jaccard_threshold, decontam_k, pack_budget,
+               bench_ds is not None))
 
     stats = {}
     # metadata-only for parquet-backed / materialized inputs (the usual
@@ -134,7 +165,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
 
     kept, stats["after_quality"] = _ckpt(
         ds.map_batches(gates, batch_format="pandas"),
-        os.path.join(work_dir, "s1_quality"), empty_cols=doc_cols)
+        os.path.join(work_dir, "s1_quality"), empty_cols=doc_cols, fingerprint=fp, resume=resume)
 
     # -- stage 2: exact dedup (winners -> semi join) ------------------
     winners = exact_dedup(kept, id_col=id_col, text_col=text_col) \
@@ -143,7 +174,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     kept, stats["after_exact_dedup"] = _ckpt(
         hash_join(kept, winners, on=id_col, how="semi",
                   lcols=[id_col, text_col], rcols=[id_col]),
-        os.path.join(work_dir, "s2_exact"), empty_cols=doc_cols)
+        os.path.join(work_dir, "s2_exact"), empty_cols=doc_cols, fingerprint=fp, resume=resume)
 
     # -- stage 3: near-dup removal (keep cluster representatives) -----
     clusters = minhash_dedup(kept, id_col=id_col, text_col=text_col,
@@ -154,7 +185,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     kept, stats["after_near_dedup"] = _ckpt(
         hash_join(kept, losers, on=id_col, how="anti",
                   lcols=[id_col, text_col], rcols=[id_col]),
-        os.path.join(work_dir, "s3_neardup"), empty_cols=doc_cols)
+        os.path.join(work_dir, "s3_neardup"), empty_cols=doc_cols, fingerprint=fp, resume=resume)
 
     # -- stage 4: decontamination -------------------------------------
     if bench_ds is not None:
@@ -166,7 +197,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
         kept, stats["after_decontam"] = _ckpt(
             hash_join(kept, contaminated, on=id_col, how="anti",
                       lcols=[id_col, text_col], rcols=[id_col]),
-            os.path.join(work_dir, "s4_decontam"), empty_cols=doc_cols)
+            os.path.join(work_dir, "s4_decontam"), empty_cols=doc_cols, fingerprint=fp, resume=resume)
     else:
         stats["after_decontam"] = stats["after_near_dedup"]
 
@@ -178,7 +209,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
 
     tagged, _ = _ckpt(kept.map_batches(split, batch_format="pandas"),
                       os.path.join(work_dir, "s5_tagged"),
-                      empty_cols={**doc_cols, "split": "string"})
+                      empty_cols={**doc_cols, "split": "string"}, fingerprint=fp, resume=resume)
     packs = pack_sequences(tagged, id_col=id_col, text_col=text_col,
                            budget=pack_budget)
     packed, stats["packed_docs"] = _ckpt(
@@ -191,5 +222,6 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
             batch_format="pandas"),
         os.path.join(work_dir, "packed"),
         empty_cols={id_col: "int64", "n_tokens": "int64",
-                    "pack_id": "string", "split": "string"})
+                    "pack_id": "string", "split": "string"},
+        fingerprint=fp, resume=resume)
     return packed, stats

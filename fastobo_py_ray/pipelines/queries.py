@@ -1201,6 +1201,12 @@ def q_gap_fill(sf_dir: str) -> pd.DataFrame:
     c = grouped_agg(ds.map_batches(combine, batch_format="pandas"),
                     ["event_type", "hr"], num_buckets=16,
                     n=("n", "sum")).to_pandas()
+    if len(c) == 0:
+        # empty events table: pd.date_range(NaN, NaN) would raise where
+        # the SQL oracle returns zero rows — return a typed empty frame
+        return pd.DataFrame({"event_type": pd.Series(dtype="string"),
+                             "hr": pd.Series(dtype="datetime64[ns]"),
+                             "n": pd.Series(dtype="int64")})
     grid = pd.MultiIndex.from_product(
         [sorted(c["event_type"].unique()),
          pd.date_range(c["hr"].min(), c["hr"].max(), freq="h")],

@@ -246,6 +246,38 @@ def test_hash_join_semi_anti_null_keys(ray_session):
     assert sorted(semi["v"]) == [20]       # ...and dropped by semi
 
 
+def test_hash_join_inner_left_outer_null_keys(ray_session):
+    """SQL NULL semantics on the merge paths too: inner drops
+    null-keyed rows, left/outer surface them unmatched on their own
+    side (raw pandas merge would match NaN keys to each other and
+    double-join null rows)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import hash_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2.0, np.nan, np.nan], "w": [5, 6, 7]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    inner = hash_join(lds, rds, on="k", how="inner",
+                      lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+    assert sorted(inner["v"]) == [20] and sorted(inner["w"]) == [5]
+
+    lj = hash_join(lds, rds, on="k", how="left",
+                   lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+    # the null-keyed left row appears once, unmatched (w is NaN)
+    assert sorted(lj["v"]) == [10, 20, 30]
+    assert lj.loc[lj["k"].isna(), "w"].isna().all()
+
+    oj = hash_join(lds, rds, on="k", how="outer",
+                   lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+    # 1 matched + 1 unmatched-left(k=1) + 1 null-left + 2 null-right
+    assert len(oj) == 5
+    assert oj["k"].isna().sum() == 3
+    assert sorted(oj.loc[oj["k"].isna(), "w"].dropna()) == [6, 7]
+
+
 def test_group_min_nan_semantics():
     import numpy as np
 

@@ -227,6 +227,56 @@ def test_curate_survives_all_filtered_corpus(ray_session, tmp_path):
     assert stats["packed_docs"] == 0
 
 
+def test_curate_resume_skips_finished_stages(ray_session, tmp_path):
+    """curate(resume=True) with a persistent work_dir must (a) skip
+    stages whose _SUCCESS marker matches the parameter fingerprint —
+    verified by making the skipped checkpoint's content detectably
+    different from what a recompute would produce — (b) recompute
+    stages whose marker is missing (simulated mid-run crash), and
+    (c) invalidate everything when the parameters change."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.curation import curate
+
+    rng = np.random.RandomState(5)
+    vocab = ["the", "and", "of", "to", "is"] + [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    wd = str(tmp_path / "w")
+    kw = dict(min_quality=0.0, max_top_word_frac=1.0, pack_budget=128)
+
+    _, stats1 = curate(rd.from_pandas(df), work_dir=wd, **kw)
+
+    # (a) tamper with the finished s1 checkpoint: drop one row.  A
+    # resumed run must NOT recompute s1, so the tampered count flows
+    # through the funnel (proof the stage was skipped, not re-run).
+    s1 = os.path.join(wd, "s1_quality")
+    files = [f for f in os.listdir(s1) if f.endswith(".parquet")]
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(s1, files[0]))
+    pq.write_table(t.slice(1), os.path.join(s1, files[0]))
+    for f in files[1:]:
+        os.remove(os.path.join(s1, f))
+    # crash simulation: later stages unfinished (markers gone)
+    for st in ("s2_exact", "s3_neardup", "s5_tagged", "packed"):
+        shutil.rmtree(os.path.join(wd, st), ignore_errors=True)
+
+    _, stats2 = curate(rd.from_pandas(df), work_dir=wd, resume=True, **kw)
+    assert stats2["after_quality"] == t.num_rows - 1  # skipped, not re-run
+    assert stats2["packed_docs"] <= stats1["packed_docs"]
+
+    # (c) changed parameters invalidate the (tampered) marker: a full
+    # recompute restores the true stage-1 count
+    _, stats3 = curate(rd.from_pandas(df), work_dir=wd, resume=True,
+                       min_quality=0.0, max_top_word_frac=0.999,
+                       pack_budget=128)
+    assert stats3["after_quality"] == stats1["after_quality"]
+
+
 def test_md5_hex_duckdb_tier_matches_loop_and_order():
     """The large-array DuckDB md5 path must be value- AND
     order-identical to the hashlib loop (the tier threshold is a pure
