@@ -957,10 +957,14 @@ GROUP BY w ORDER BY n_occurrences DESC, token LIMIT {_TOP_TOKENS_K}
 
 def q_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy-hitters sibling of q_top_tokens: bounded
-    summaries instead of the full vocabulary. Rows-only (counts are
-    lower bounds once the vocabulary exceeds the capacity); the
-    guarantee — any token with frequency > N/(capacity+1) surfaces,
-    and the exact regime equals q_top_tokens — is pytest-gated."""
+    summaries instead of the full vocabulary.  SQL-oracled in the
+    EXACT regime: while the vocabulary fits the summary capacity
+    (4096; the driver corpus has 31 distinct tokens at every SF) no
+    decrement ever fires, so est_count equals the true count and the
+    top-10 equals exact SQL with the same (count desc, token asc)
+    tie-break.  The approximate regime (vocab > capacity: counts
+    become lower bounds, any token with frequency > N/(capacity+1)
+    still surfaces) is pytest-gated (tests/test_sketch.py)."""
     from ..stages.sketch import heavy_hitters
 
     ds = _read(sf_dir, "documents", columns=["text"])
@@ -973,6 +977,15 @@ def q_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"value": "token"})
     out["token"] = out["token"].astype(str)
     return out
+
+
+# exact-regime oracle (vocab <= capacity -> Misra-Gries counts are
+# exact); same deterministic boundary tie-break as the engine
+Q_HEAVY_TOKENS_SQL = """
+SELECT w AS token, count(*)::BIGINT AS est_count
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY est_count DESC, token LIMIT 10
+"""
 
 
 _TFIDF_K = 3
@@ -3983,10 +3996,12 @@ def q_bloom_dedup(sf_dir: str) -> pd.DataFrame:
     distributed-Bloom + exact-verify pattern (`stages/dedup.py`
     ``dedup_against``): constant-size bitmap OR-folded from per-batch
     partials, broadcast once, bloom-negative rows never enter an
-    exchange, candidates verified by a semi join.  Rows-only: sketch
-    membership is stateful hashing; exactness of the ``dup`` flag (no
-    false negatives, FP pruning) is pytest-gated
-    (tests/test_dedup_ann.py)."""
+    exchange, candidates verified by a semi join.  SQL-oracled: the
+    exact-verify step makes the ``dup`` flag EXACT (the Bloom filter
+    only prunes, never decides), so the output equals a plain SQL IN
+    membership test; the sketch-internal ``bloom_hit`` invariants (no
+    false negatives, FP pruning) stay pytest-gated at the stage level
+    (tests/test_sketch.py)."""
     import pyarrow.dataset as pds
 
     from ..stages.dedup import dedup_against
@@ -3998,9 +4013,18 @@ def q_bloom_dedup(sf_dir: str) -> pd.DataFrame:
                 filter=~pds.field("source").isin(first))
     out = dedup_against(new, seen).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
-    out["bloom_hit"] = out["bloom_hit"].astype(bool)
     out["dup"] = out["dup"].astype(bool)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "dup"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+_FIRST_SRCS = ", ".join(f"'src{i}'" for i in range(10))
+Q_BLOOM_DEDUP_SQL = f"""
+SELECT doc_id, text IN (SELECT text FROM documents
+                        WHERE source IN ({_FIRST_SRCS})) AS dup
+FROM documents WHERE source NOT IN ({_FIRST_SRCS})
+ORDER BY doc_id
+"""
 
 
 def q_logreg(sf_dir: str) -> pd.DataFrame:
@@ -4044,6 +4068,56 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     out["vec_id"] = out["vec_id"].astype("int64")
     out["cluster"] = out["cluster"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """SQL-oracled E-step of the k-means engine: assign every embedding
+    to the nearest of k=10 FIXED seed centroids (the embeddings of
+    vec_id 0..9), exercising the same broadcast-centroid ``_assign``
+    kernel (stages/cluster.py) that the rows-only iterative q_kmeans
+    runs five times — so the distance/argmin math gets a value-bearing
+    DuckDB oracle (argmin of list_distance) even though the Lloyd
+    fixed point itself has no faithful SQL form.  Tie-break: lowest
+    centroid id on both sides (numpy argmin returns the first minimum;
+    the oracle orders by (dist, cid)).  Scale shape: centroids are a
+    k x d broadcast via ``ray.put``, assignment is one streaming
+    vectorized pass, zero exchanges."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import _as_matrix
+    from ..stages.cluster import _label_stage
+
+    cdf = pq.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=pds.field("vec_id") < 10).to_pandas() \
+        .sort_values("vec_id")
+    cent = _as_matrix(cdf["embedding"])
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ds.map_batches(_label_stage(cent, "vec_id", "embedding"),
+                         batch_format="pandas").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q_KMEANS_ASSIGN_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < 10
+), d AS (
+  SELECT e.vec_id, c.cid,
+         list_distance(e.embedding, c.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+  FROM d) WHERE rn = 1
+ORDER BY vec_id
+"""
 
 
 def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
@@ -4146,6 +4220,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_percent_rank": q_percent_rank,
         "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
+        "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
         "q_profile": q_profile,
         "q_bag_ops": q_bag_ops,
@@ -4185,11 +4260,13 @@ def oracles() -> Dict[str, str]:
         "q_pii_redact": _pii_sql(),
         "q_distinct_users": Q_DISTINCT_USERS_SQL,
         "q_top_tokens": Q_TOP_TOKENS_SQL,
+        # Misra-Gries in the exact regime (driver vocab 31 << 4096
+        # capacity -> no decrements, counts exact); the approximate
+        # regime keeps its pytest guarantee gates.
+        "q_heavy_tokens": Q_HEAVY_TOKENS_SQL,
         "q_tfidf": Q_TFIDF_SQL,
-        # q_distinct_users_approx (HLL) / q_heavy_tokens (Misra-Gries)
-        # are the sketch siblings of the two exact queries above:
-        # approximate by design -> rows-only, with pytest error/
-        # guarantee gates against the exact results.
+        # q_distinct_users_approx (HLL) stays rows-only: approximate
+        # by design, with pytest error gates against the exact count.
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
@@ -4240,6 +4317,9 @@ def oracles() -> Dict[str, str]:
         "q_json_extract": Q_JSON_EXTRACT_SQL,
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         "q_dim_means": Q_DIM_MEANS_SQL,
+        # the k-means E-step at fixed seed centroids: value-gates the
+        # assignment kernel the iterative (rows-only) q_kmeans reuses
+        "q_kmeans_assign": Q_KMEANS_ASSIGN_SQL,
         "q_retention": Q_RETENTION_SQL,
         "q_funnel": Q_FUNNEL_SQL,
         # q_ann_ivf is approximate (rows-only; recall pytest-gated, and
@@ -4258,8 +4338,10 @@ def oracles() -> Dict[str, str]:
         # q_media_ppm is rows-only: binary image plumbing has no SQL
         # relation; the netpbm decoder's roundtrip exactness is
         # pytest-gated.
-        # q_bloom_dedup is rows-only: sketch membership is stateful
-        # hashing; end-to-end dup-flag exactness is pytest-gated.
+        # Bloom+exact-verify: the verify step makes the dup flag exact
+        # (the sketch only prunes), so plain IN membership is a faithful
+        # oracle; bloom_hit internals stay pytest-gated at stage level.
+        "q_bloom_dedup": Q_BLOOM_DEDUP_SQL,
         # q_semantic_dedup is rows-only: SemDeDup composes the k-means
         # fixed point with a greedy keep-first prune; pytest gates
         # in-cluster exactness/soundness/completeness.
