@@ -2499,27 +2499,38 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing over driver data: document text bytes as opaque
-    media payloads -> actor-pool ImageFeatures (deterministic fake decode,
-    real byte-histogram/entropy features)."""
+    """Multimodal plumbing over driver data: document text rendered as
+    opaque media payloads -> actor-pool ImageFeatures.  Env-adaptive
+    decode: when PIL/pillow is importable the payloads are REAL JPEGs
+    (deterministic images encoded per batch) decoded by the real PIL
+    path; in PIL-less containers (this one) the payloads are the raw
+    text bytes under the deterministic fake decode.  Either way the
+    byte-histogram/entropy features are real computations and the
+    returned columns are payload-level (rows-only entry)."""
     import pyarrow as _pa
 
-    from ..stages.multimodal import ImageFeatures
+    from ..stages.multimodal import (ImageFeatures, encode_pil,
+                                     fake_decode_image, pil_available)
 
+    use_pil = pil_available()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_media(t: _pa.Table) -> _pa.Table:
+        raw = [s.encode() for s in t["text"].to_pylist()]
+        if use_pil:  # pragma: no cover - PIL absent in this container
+            raw = [encode_pil(fake_decode_image(b), "JPEG") for b in raw]
         return _pa.table({
             "media_id": _pa.compute.cast(t["doc_id"], _pa.string()),
             "kind": ["image"] * t.num_rows,
-            "mime": ["image/fake"] * t.num_rows,
-            "payload": _pa.array([s.encode() for s in
-                                  t["text"].to_pylist()], _pa.binary()),
+            "mime": ["image/jpeg" if use_pil else "image/fake"]
+                    * t.num_rows,
+            "payload": _pa.array(raw, _pa.binary()),
         })
 
     out = ds.map_batches(to_media, batch_format="pyarrow") \
         .map_batches(ImageFeatures, batch_format="pyarrow",
-                     fn_constructor_kwargs={"decoder": "fake"},
+                     fn_constructor_kwargs={
+                         "decoder": "real" if use_pil else "fake"},
                      concurrency=(1, 4), batch_size=256).to_pandas()
     out["byte_entropy"] = out["byte_entropy"].round(4)
     return out[["media_id", "n_bytes", "byte_entropy"]] \

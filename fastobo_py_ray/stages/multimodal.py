@@ -3,10 +3,12 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Image decode is REAL for binary netpbm (``decoder="ppm"`` ->
 :func:`decode_netpbm`: P5/P6 incl. comments and 16-bit samples, pure
-numpy, roundtrip-tested); the JPEG/PNG/ffmpeg path that needs
-PIL/pillow is STUBBED (this container has no image/audio libs):
-``decoder="real"`` raises ``NotImplementedError`` with the dependency
-named, ``decoder="fake"`` is a deterministic pure-Python decode
+numpy, roundtrip-tested) and REAL for JPEG/PNG/WebP behind optional
+PIL/pillow (``decoder="real"`` -> :func:`decode_pil`; when PIL is
+absent — as in this container — it raises ``NotImplementedError``
+naming the dependency, pytest ``skipif``-gated otherwise); the
+audio/video ffmpeg path stays stubbed the same way.
+``decoder="fake"`` is a deterministic pure-Python decode
 (payload bytes -> pseudo-pixel array) for arbitrary payloads so the
 Ray-side plumbing — schema, broadcast config, actor signature, batch
 sizing, output layout — is exercised end-to-end on any input.
@@ -74,6 +76,50 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
     need = side * side * 3
     tiled = np.resize(arr, need)
     return tiled.reshape(side, side, 3)
+
+
+def pil_available() -> bool:
+    """True when PIL/pillow is importable (this container ships
+    without it; real deployments usually have it)."""
+    import importlib.util
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_pil(payload: bytes) -> np.ndarray:
+    """REAL JPEG/PNG/WebP/... decode via PIL/pillow (optional
+    dependency).  Returns uint8 arrays of shape (h, w) for grayscale
+    or (h, w, 3) for everything else (palette/RGBA/CMYK are converted
+    to RGB so downstream feature code sees the same two layouts as
+    :func:`decode_netpbm`).  Raises ``NotImplementedError`` when PIL
+    is absent (named dependency, per the engine's env-gate convention)
+    and ``ValueError`` on undecodable payloads — the same
+    collect-don't-raise decoder contract as every other decoder here.
+    """
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "real JPEG/PNG decode requires PIL/pillow, which is not "
+            "installed; pass decoder='ppm' for real netpbm decode or "
+            "decoder='fake' for the deterministic test decode") from exc
+    import io
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            if im.mode not in ("L", "RGB"):
+                im = im.convert("RGB")
+            return np.asarray(im)
+    except (UnidentifiedImageError, OSError, SyntaxError) as exc:
+        raise ValueError(f"undecodable image payload: {exc}") from exc
+
+
+def encode_pil(img: np.ndarray, format: str = "PNG") -> bytes:
+    """PIL-based encoder — test-fixture sibling of :func:`decode_pil`
+    (PNG roundtrips exactly; JPEG is lossy, dims-only)."""
+    from PIL import Image
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format=format)
+    return buf.getvalue()
 
 
 def decode_netpbm(payload: bytes) -> np.ndarray:
@@ -170,23 +216,32 @@ class ImageFeatures:
                                               "thumb": 8},
                        concurrency=(2, 8), batch_size=128)
 
-    ``__init__`` (once per actor) resolves the decoder; ``__call__`` is
-    per batch.  Decoders: ``"ppm"`` — REAL binary-netpbm decode
-    (:func:`decode_netpbm`, pure numpy); ``"fake"`` — deterministic
-    byte-tiling stand-in for arbitrary payloads; ``"real"`` — the
-    PIL/pillow path for JPEG/PNG etc., stubbed in this container.
+    ``__init__`` (once per actor) resolves the decoder — including the
+    PIL import probe, so a missing dependency fails ONCE per actor at
+    pool startup, never per batch; ``__call__`` is per batch.
+    Decoders: ``"ppm"`` — REAL binary-netpbm decode
+    (:func:`decode_netpbm`, pure numpy); ``"real"`` — REAL JPEG/PNG/...
+    via optional PIL/pillow (:func:`decode_pil`; raises
+    ``NotImplementedError`` naming the dependency when PIL is absent,
+    as in this container); ``"fake"`` — deterministic byte-tiling
+    stand-in for arbitrary payloads.
     """
 
     def __init__(self, decoder: str = "fake", thumb: Optional[int] = 8):
         if decoder == "real":
-            raise NotImplementedError(
-                "real JPEG/PNG decode requires PIL/pillow, which is not in "
-                "this container; pass decoder='ppm' for real netpbm decode "
-                "or decoder='fake' for the deterministic test decode")
-        if decoder not in ("fake", "ppm"):
+            if not pil_available():
+                raise NotImplementedError(
+                    "real JPEG/PNG decode requires PIL/pillow, which is "
+                    "not installed; pass decoder='ppm' for real netpbm "
+                    "decode or decoder='fake' for the deterministic test "
+                    "decode")
+            self.decode = decode_pil
+        elif decoder == "ppm":
+            self.decode = decode_netpbm
+        elif decoder == "fake":
+            self.decode = fake_decode_image
+        else:
             raise ValueError(f"unknown decoder {decoder!r}")
-        self.decode = decode_netpbm if decoder == "ppm" \
-            else fake_decode_image
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -10,15 +10,56 @@ from fastobo_py_ray.stages.multimodal import (AUDIO_FRAMES_SCHEMA,
                                               IMAGE_FEATURES_SCHEMA,
                                               ImageFeatures, byte_histogram,
                                               fake_decode_image,
+                                              pil_available,
                                               resize_nearest,
                                               synth_media_table)
 
+needs_pil = pytest.mark.skipif(not pil_available(),
+                               reason="PIL/pillow not installed")
 
-def test_real_decoder_is_clearly_stubbed():
+
+@pytest.mark.skipif(pil_available(), reason="PIL installed: real path "
+                    "is live, gate test below covers it")
+def test_real_decoder_gate_names_dependency():
     with pytest.raises(NotImplementedError, match="PIL"):
         ImageFeatures(decoder="real")
+
+
+def test_real_audio_video_are_clearly_stubbed():
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         AudioFrameSampler(decoder="real")
+
+
+@needs_pil
+def test_pil_png_roundtrip_exact():
+    """PNG is lossless: encode_pil -> decode_pil must be exact, for
+    both grayscale (h, w) and RGB (h, w, 3) layouts."""
+    from fastobo_py_ray.stages.multimodal import decode_pil, encode_pil
+
+    rgb = fake_decode_image(bytes(range(256)) * 6)
+    assert np.array_equal(decode_pil(encode_pil(rgb, "PNG")), rgb)
+    gray = rgb[:, :, 0]
+    assert np.array_equal(decode_pil(encode_pil(gray, "PNG")), gray)
+
+
+@needs_pil
+def test_pil_jpeg_decode_dims_and_stage():
+    """Real JPEG through the actor stage: header dims match the source
+    image, decode_ok True; a corrupt payload degrades to decode_ok
+    False without killing the stage (collect-don't-raise)."""
+    from fastobo_py_ray.stages.multimodal import encode_pil
+
+    img = fake_decode_image(bytes(range(256)) * 6)
+    t = pa.table({
+        "media_id": ["a", "b"],
+        "kind": ["image"] * 2, "mime": ["image/jpeg"] * 2,
+        "payload": pa.array([encode_pil(img, "JPEG"), b"not a jpeg"],
+                            pa.binary()),
+    })
+    out = ImageFeatures(decoder="real", thumb=4)(t).to_pydict()
+    assert out["decode_ok"] == [True, False]
+    assert (out["height"][0], out["width"][0]) == img.shape[:2]
+    assert (out["height"][1], out["width"][1]) == (-1, -1)
 
 
 def test_feature_determinism_and_shape():
