@@ -414,6 +414,181 @@ def parse_owx_axioms(text: str) -> List[Axiom]:
     return out
 
 
+def _ofn_tokens(text: str):
+    """Tokenize OWL functional-syntax text: call openers ``Name(``,
+    closers ``)``, IRI refs ``<...>``, string literals with ``\\``/
+    ``\"`` escapes and an optional ``^^datatype`` suffix, and prefixed
+    names.  ``=`` (inside Prefix declarations) is trivia."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n=":
+            i += 1
+            continue
+        if c == "<":
+            j = text.index(">", i)
+            yield ("iri", text[i + 1:j])
+            i = j + 1
+            continue
+        if c == '"':
+            j, buf = i + 1, []
+            while j < n and text[j] != '"':
+                if text[j] == "\\":
+                    buf.append(text[j + 1])
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise ValueError("ofn: unterminated string literal")
+            i = j + 1
+            dtype = None
+            if text[i:i + 2] == "^^":
+                i += 2
+                if i < n and text[i] == "<":
+                    j = text.index(">", i)
+                    dtype = text[i + 1:j]
+                    i = j + 1
+                else:
+                    j = i
+                    while j < n and (text[j].isalnum()
+                                     or text[j] in ":_-."):
+                        j += 1
+                    dtype = text[i:j]
+                    i = j
+            yield ("lit", ("".join(buf), dtype))
+            continue
+        if c == ")":
+            yield ("close", None)
+            i += 1
+            continue
+        j = i
+        while j < n and (text[j].isalnum() or text[j] in ":_-."):
+            j += 1
+        if j == i:
+            raise ValueError(f"ofn: unexpected byte {text[i:i + 1]!r} "
+                             f"at offset {i}")
+        word = text[i:j]
+        if j < n and text[j] == "(":
+            yield ("open", word)
+            i = j + 1
+        else:
+            yield ("pname", word)
+            i = j
+
+
+# prefixed-name -> full IRI for the handful of pnames the renderer emits
+_OFN_PNAMES = {
+    "rdfs:label": _RDFS_LABEL,
+    "owl:deprecated": _OWL_DEPRECATED,
+    "xsd:boolean": _XSD_BOOLEAN,
+}
+_OFN_CHAR_NAMES = {v: k for k, v in _CHAR_OFN.items()}
+
+
+def _ofn_iri(node) -> str:
+    if node[0] == "iri":
+        return node[1]
+    raise ValueError(f"ofn: expected an IRI, got {node!r}")
+
+
+def parse_ofn_axioms(text: str) -> List[Axiom]:
+    """Re-parse an OWL functional-syntax document back into structured
+    axioms — the third leg of the ofn/owx/rdf equivalence fixpoint
+    (the reference dumps but never reads ofn, ``src/py/mod.rs:464``;
+    this parser closes OUR roundtrip test through all three formats).
+    Recursive-descent over :func:`_ofn_tokens`; ``Prefix``/``Ontology``
+    wrappers are structural, every nested call becomes a node."""
+    # build the node forest: ("call", name, children) | leaf tokens
+    stack: List = [("call", "<root>", [])]
+    for t, v in _ofn_tokens(text):
+        if t == "open":
+            stack.append(("call", v, []))
+        elif t == "close":
+            node = stack.pop()
+            if not stack:
+                raise ValueError("ofn: unbalanced ')'")
+            stack[-1][2].append(node)
+        else:
+            stack[-1][2].append((t, v))
+    if len(stack) != 1:
+        raise ValueError("ofn: unbalanced '('")
+
+    def ann_prop(node) -> str:
+        if node[0] == "iri":
+            return node[1]
+        if node[0] == "pname" and node[1] in _OFN_PNAMES:
+            return _OFN_PNAMES[node[1]]
+        raise ValueError(f"ofn: unknown annotation property {node!r}")
+
+    out: List[Axiom] = []
+
+    def convert(node) -> None:
+        kind, name, kids = node
+        if name == "Prefix":
+            return
+        if name == "Ontology":
+            for k in kids[1:]:           # kids[0] is the ontology IRI
+                convert(k)
+            return
+        if name == "Declaration":
+            _, dname, dkids = kids[0]
+            out.append(("decl", dname == "Class", _ofn_iri(dkids[0])))
+        elif name == "AnnotationAssertion":
+            prop = ann_prop(kids[0])
+            iri = _ofn_iri(kids[1])
+            lit, dtype = kids[2][1]
+            out.append(("ann", prop, iri, lit,
+                        _OFN_PNAMES.get(dtype, dtype)))
+        elif name in ("SubClassOf", "SubObjectPropertyOf"):
+            if kids[0][0] == "call" and kids[0][1] == "ObjectPropertyChain":
+                props = tuple(_ofn_iri(k) for k in kids[0][2])
+                out.append(("chain", _ofn_iri(kids[1]), props))
+            elif kids[1][0] == "call" and \
+                    kids[1][1] == "ObjectSomeValuesFrom":
+                svf = kids[1][2]
+                out.append(("svf", _ofn_iri(kids[0]),
+                            _ofn_iri(svf[0]), _ofn_iri(svf[1])))
+            else:
+                out.append(("sub", name == "SubClassOf",
+                            _ofn_iri(kids[0]), _ofn_iri(kids[1])))
+        elif name in _OFN_CHAR_NAMES:
+            out.append(("char", _OFN_CHAR_NAMES[name],
+                        _ofn_iri(kids[0])))
+        elif name == "InverseObjectProperties":
+            out.append(("inverse", _ofn_iri(kids[0]), _ofn_iri(kids[1])))
+        elif name in ("ObjectPropertyDomain", "ObjectPropertyRange"):
+            out.append(("domain" if name.endswith("Domain") else "range",
+                        _ofn_iri(kids[0]), _ofn_iri(kids[1])))
+        elif name in ("EquivalentClasses", "DisjointClasses"):
+            if kids[1][0] == "call" and kids[1][1] in (
+                    "ObjectIntersectionOf", "ObjectUnionOf"):
+                op = ("intersection" if kids[1][1].endswith(
+                    "IntersectionOf") else "union")
+                ops = []
+                for k in kids[1][2]:
+                    if k[0] == "iri":
+                        ops.append(("cls", k[1]))
+                    elif k[0] == "call" and k[1] == "ObjectSomeValuesFrom":
+                        ops.append(("svf", _ofn_iri(k[2][0]),
+                                    _ofn_iri(k[2][1])))
+                    else:
+                        raise ValueError(
+                            f"ofn: unexpected {k!r} in {kids[1][1]}")
+                out.append(("nary", op, _ofn_iri(kids[0]), tuple(ops)))
+            else:
+                out.append(("equiv" if name == "EquivalentClasses"
+                            else "disjoint",
+                            _ofn_iri(kids[0]), _ofn_iri(kids[1])))
+        else:
+            raise ValueError(f"ofn: unsupported axiom {name!r}")
+
+    for node in stack[0][2]:
+        if node[0] == "call":
+            convert(node)
+    return out
+
+
 # --------------------------------------------------------------------------
 # rdf (RDF/XML, OWL 2 RDF mapping, stdlib ElementTree)
 # --------------------------------------------------------------------------

@@ -993,7 +993,8 @@ _TFIDF_K = 3
 
 def q_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-document top-k TF-IDF keywords (see
-    stages/textstats.py:tfidf_topk for the two-exchange scale shape).
+    stages/textstats.py:tfidf_topk for the vocab-tiered scale shape:
+    KB-scale df partials + broadcast idf -> zero corpus exchanges).
     n_docs is a parquet-metadata count — no data scan."""
     from ..stages.textstats import tfidf_topk
 

@@ -267,43 +267,137 @@ def token_counts_batch(df: pd.DataFrame, id_col: str = "doc_id",
 
 def tfidf_topk(ds, n_docs: int, text_col: str = "text",
                id_col: str = "doc_id", k: int = 3,
-               num_buckets: int = 64, round_to: int = 6):
+               num_buckets: int = 64, round_to: int = 6,
+               df_broadcast_limit: int = 2_000_000):
     """Per-document top-``k`` TF-IDF keywords over a space-tokenized
     corpus; returns a Dataset of ``(id_col, word, score)``.
 
-    Scale shape (two keyed exchanges, nothing on the driver):
+    Scale shape — TIERED on vocabulary size, stopword-skew-proof
+    (the r4 rehearsal showed the old word-keyed corpus exchange
+    collapsing 2x per-doc at 5M docs: every occurrence of a hot word
+    lands in one bucket task, and real corpora are Zipf-hot):
 
-    1. term frequencies are EXACT per batch (a document's text lives in
-       one row, hence one batch), so the first exchange — bucketed on
-       ``word`` — only has to reduce pre-counted ``(doc, word, tf)``
-       partials and compute document frequency: a bucket holds every
-       row of its words, so ``groupby(word).size`` over the distinct
-       (doc, word) rows IS the global df, and the idf score is applied
-       in the same task (no separate join for the idf table).
-    2. the second exchange buckets on ``id_col`` and takes each
-       document's top-k by (score desc, word asc) — C-speed
-       sort + ``groupby.head`` inside the bucket.
+    1. df pass: per-batch ``(word, partial_df)`` combiners (a hot word
+       collapses to ONE row per batch) -> a KB-scale keyed exchange
+       sums them into the ``(word, df)`` table.  No corpus bytes move.
+    2. score+top-k pass, tiered on the vocabulary row count:
+
+       * vocab <= ``df_broadcast_limit`` (common case): the idf table
+         is broadcast ONCE via ``ray.put`` and fetched zero-copy per
+         worker.  Tokenize+score+top-k are FUSED into one batch fn
+         over whole-document rows (a row can never split across
+         batches, so the per-doc top-k is exact — separate tf/score
+         stages would let Ray's batch re-slicing split a document's tf
+         rows, the off-by-187 the 5M rehearsal caught) — ZERO
+         corpus-scale exchanges end-to-end.
+       * above the limit: salted word-keyed :func:`hash_join` against
+         the df table (right side is one row per word; the salt
+         defuses hot-word skew on the left), then one doc-keyed
+         exchange for the top-k.
+
+    The two passes re-stream the tokenization rather than pinning the
+    corpus-scale tf table in the object store (same two-streaming-reads
+    trade the curation funnel documents).
 
     ``score = round(tf * ln(n_docs / df), round_to)`` — rounded BEFORE
     ranking so distributed float summation order can never flip a rank
     across engines. ``n_docs`` is passed in (a metadata-only count).
     """
-    from ..functions.relops import grouped_map
+    import ray
 
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+
+    # pass 1 — document frequency from pre-combined partials:
+    # token_counts_batch rows are distinct (doc, word), so the
+    # per-batch group SIZE is a df partial and the exchange moves
+    # <= batches x batch-vocab rows
+    def _tokens(df: pd.DataFrame):
+        """(row_index_repeated, word_codes, unique_words) for a batch —
+        the shared factorize layout both passes build on (2.5x faster
+        than a pandas groupby for these kernels, measured)."""
+        s = df[text_col].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        rows = np.repeat(np.arange(len(df)), lens)
+        codes, uniques = pd.factorize(s.explode().to_numpy())
+        return rows, codes, uniques
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows, codes, uniques = _tokens(df)
+        if len(uniques) == 0:
+            return pd.DataFrame({"word": pd.Series(dtype="string"),
+                                 "df": pd.Series(dtype="int64")})
+        # distinct (doc, word) pairs via one np.unique on combined keys
+        uk = np.unique(rows * len(uniques) + codes)
+        wc = np.bincount(uk % len(uniques), minlength=len(uniques))
+        return pd.DataFrame({"word": pd.Series(uniques, dtype="string"),
+                             "df": wc.astype("int64")})
+
+    df_tbl = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        "word", num_buckets=min(num_buckets, 16), df=("df", "sum"))
+
+    n_vocab = df_tbl.count()
+    if n_vocab <= df_broadcast_limit:
+        vocab_pd = df_tbl.to_pandas()
+        idf_ref = ray.put(pd.Series(
+            np.log(n_docs / vocab_pd["df"].to_numpy(dtype="float64")),
+            index=vocab_pd["word"]))
+
+        # FUSED tokenize+score+topk over whole-document rows: batch
+        # re-slicing can split a doc's TF rows across batches (the r4
+        # 5M rehearsal caught exactly that as 187 surplus rows), but it
+        # can never split a row, so computing everything from the text
+        # row keeps the per-doc top-k exact with zero exchanges.  All
+        # numpy: tf via np.unique on combined (row, word-code) keys,
+        # idf via ONE tiny hashtable probe over the batch vocabulary,
+        # per-doc top-k via lexsort + group-offset mask.
+        def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+            rows, codes, uniques = _tokens(df)
+            idf = ray.get(idf_ref)  # zero-copy after first task
+            nu = len(uniques)
+            if nu == 0:
+                return pd.DataFrame({
+                    id_col: pd.Series(dtype=df[id_col].dtype),
+                    "word": pd.Series(dtype="string"),
+                    "score": pd.Series(dtype="float64")})
+            uk, tf = np.unique(rows * nu + codes, return_counts=True)
+            row_i, code = uk // nu, uk % nu
+            idf_u = idf.to_numpy()[idf.index.get_indexer(
+                pd.Index(uniques))]
+            score = (tf * idf_u[code]).round(round_to)
+            # word-asc tie-break: lexicographic rank of each unique
+            word_rank = np.empty(nu, dtype=np.int64)
+            word_rank[np.argsort(uniques, kind="stable")] = \
+                np.arange(nu)
+            order = np.lexsort((word_rank[code], -score, row_i))
+            row_s, score_s, code_s = \
+                row_i[order], score[order], code[order]
+            starts = np.r_[0, np.flatnonzero(np.diff(row_s)) + 1]
+            sizes = np.diff(np.r_[starts, len(row_s)])
+            keep = (np.arange(len(row_s))
+                    - np.repeat(starts, sizes)) < k
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy()[row_s[keep]],
+                "word": pd.Series(uniques[code_s[keep]],
+                                  dtype="string"),
+                "score": score_s[keep]})
+
+        return ds.map_batches(score_topk, batch_format="pandas")
+
+    # big-vocab tier: salted join (right side one row/word), then one
+    # doc-keyed exchange for the per-document top-k
     tf = ds.map_batches(
         lambda df: token_counts_batch(df, id_col, text_col),
         batch_format="pandas")
-
-    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # rows are distinct (doc, word) pairs, so the group size per
-        # word is the document frequency — vectorized via transform
-        dfc = df.groupby("word", sort=False)["tf"].transform("size")
-        df = df.copy()
-        df["score"] = (df["tf"] * np.log(n_docs / dfc.to_numpy())) \
-            .round(round_to)
-        return df[[id_col, "word", "score"]]
-
-    scored = grouped_map(tf, "word", score_bucket, num_buckets=num_buckets)
+    scored = hash_join(tf, df_tbl, on="word", how="inner",
+                       lcols=[id_col, "word", "tf"],
+                       rcols=["word", "df"],
+                       num_buckets=num_buckets, salt=16) \
+        .map_batches(
+            lambda df: df.assign(score=(df["tf"] * np.log(
+                n_docs / df["df"].to_numpy())).round(round_to))
+            [[id_col, "word", "score"]],
+            batch_format="pandas")
 
     def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col, "score", "word"],

@@ -41,6 +41,62 @@ def test_graph_json_roundtrip():
     assert str(old.first("is_obsolete")["value"]).lower() == "true"
 
 
+def test_graph_json_roundtrip_at_pato_scale():
+    """OBO Graph roundtrip at the reference's pato.json scale: the
+    sandbox is missing the reference's large graph blob
+    (.MISSING_LARGE_BLOBS), so synthesize a deterministic 30k-node /
+    60k-edge graph document — labels, defs, scoped synonyms, xrefs,
+    deprecation, is_a + typed relationship edges — and require a
+    STRUCTURAL FIXPOINT: loads -> dumps -> loads is identical, and
+    every node/edge survives with its metadata."""
+    import json as _json
+
+    N = 30_000
+    nodes, edges = [], []
+    for i in range(N):
+        nid = f"http://purl.obolibrary.org/obo/BIG_{i:07d}"
+        meta = {"definition": {"val": f"definition of node {i}"},
+                "synonyms": [
+                    {"val": f"syn{i}", "pred": "hasExactSynonym"},
+                    {"val": f"alt{i}", "pred": "hasRelatedSynonym"}],
+                "xrefs": [{"val": f"EXT:{i % 997}"}]}
+        if i % 100 == 99:
+            meta["deprecated"] = True
+        nodes.append({"id": nid, "lbl": f"node {i}", "type": "CLASS",
+                      "meta": meta})
+        if i:
+            edges.append({"sub": nid, "pred": "is_a",
+                          "obj": f"http://purl.obolibrary.org/obo/"
+                                 f"BIG_{(i - 1) // 2:07d}"})
+        if i % 3 == 0 and i:
+            edges.append({"sub": nid, "pred": "part_of",
+                          "obj": f"http://purl.obolibrary.org/obo/"
+                                 f"BIG_{i // 3:07d}"})
+    doc = _json.dumps({"graphs": [{"id": "big", "nodes": nodes,
+                                   "edges": edges}]})
+
+    onto = loads_graph(doc)
+    assert len(onto.frames) == N
+    dumped = dumps_graph(onto)
+    onto2 = loads_graph(dumped)
+    assert dumps_graph(onto2) == dumped  # structural fixpoint
+
+    by_id = onto2.frame_by_id()
+    probe = by_id["BIG:0000300"]
+    assert probe.name == "node 300"
+    assert {(s["text"], s["scope"]) for s in probe.values("synonym")} \
+        == {("syn300", "EXACT"), ("alt300", "RELATED")}
+    assert probe.values("xref")[0]["xref_id"] == "EXT:300"
+    assert probe.values("is_a")[0]["value"] == "BIG:0000149"
+    assert any(r["target"] == "BIG:0000100"
+               for r in probe.values("relationship"))
+    assert str(by_id["BIG:0000099"].first("is_obsolete")["value"]) \
+        .lower() == "true"
+    # every edge survives the roundtrip
+    g2 = _json.loads(dumped)["graphs"][0]
+    assert len(g2["edges"]) == len(edges)
+
+
 def test_graph_json_node_shape():
     onto = loads(MINI_OBO).ontology
     doc = json.loads(dumps_graph(onto))
@@ -457,6 +513,56 @@ def test_rdf_matches_ofn_axiom_set_on_reference_corpora(corpus):
 
     with pytest.raises(ValueError, match="ofn"):
         dumps_owl(onto, format="ttl")
+
+
+@pytest.mark.parametrize("corpus", ["ms.obo", "plana.obo"])
+def test_ofn_parse_and_text_fixpoint_on_reference_corpora(corpus):
+    """The ofn READER closes the loop through the third serialization:
+    ofn -> axioms (order AND content identical to ontology_axioms) ->
+    re-rendered ofn is BYTE-identical to the original dump (text
+    fixpoint; multi-line literals and escaped quotes included).  The
+    reference dumps but never reads ofn (src/py/mod.rs:464), so this
+    strengthens the three-format equality beyond reference parity."""
+    from fastobo_py_ray.obo.owl import (_PREFIXES, _render_ofn,
+                                        dumps_owl, ontology_axioms,
+                                        parse_ofn_axioms)
+    from fastobo_py_ray.obo.parser import load
+
+    onto = load(f"/root/reference/tests/data/{corpus}").ontology
+    ofn = dumps_owl(onto, format="ofn")
+    got = parse_ofn_axioms(ofn)
+    assert got == ontology_axioms(onto)
+
+    oid = onto.header.ontology or "ontology"
+    rebuilt = "\n".join(
+        [_PREFIXES,
+         f"Ontology(<http://purl.obolibrary.org/obo/{oid}.owl>",
+         *[_render_ofn(ax) for ax in got], ")"]) + "\n"
+    assert rebuilt == ofn
+
+
+def test_ofn_parser_literal_edges_and_errors():
+    """Escaped quotes/backslashes and embedded newlines in literals
+    roundtrip; malformed ofn raises ValueError (never a silent skip)."""
+    from fastobo_py_ray.obo.owl import parse_ofn_axioms
+
+    text = ('Ontology(<http://x/o.owl>\n'
+            'AnnotationAssertion(rdfs:label <http://x/A> '
+            '"line one\nsay \\"hi\\" \\\\ done")\n'
+            'AnnotationAssertion(owl:deprecated <http://x/A> '
+            '"true"^^xsd:boolean)\n)')
+    axs = parse_ofn_axioms(text)
+    assert axs[0][3] == 'line one\nsay "hi" \\ done'
+    assert axs[1][4] == "http://www.w3.org/2001/XMLSchema#boolean"
+
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_ofn_axioms("Ontology(<http://x/o.owl>")
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_ofn_axioms('Ontology(<http://x/o> AnnotationAssertion('
+                         'rdfs:label <http://x/A> "oops))')
+    with pytest.raises(ValueError, match="unsupported axiom"):
+        parse_ofn_axioms("Ontology(<http://x/o.owl>\n"
+                         "HasKey(<http://x/A> <http://x/p>)\n)")
 
 
 def test_miniyaml_nested_sequence_raises():

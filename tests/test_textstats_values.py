@@ -258,6 +258,17 @@ def test_tfidf_topk_values(ray_session):
     # unless forced; with k=2 it should not beat the distinctive words
     assert ("common" not in {w for _, w, s in got if s > 0})
 
+    # tier parity: forcing the big-vocab path (broadcast limit 0 ->
+    # salted word-keyed join + doc-keyed top-k) must be value-identical
+    # to the broadcast zero-exchange path
+    out2 = tfidf_topk(ds, n_docs=3, k=2, num_buckets=4,
+                      df_broadcast_limit=0).to_pandas()
+    out2 = out2.sort_values(["doc_id", "score", "word"],
+                            ascending=[True, False, True])
+    got2 = [(int(r.doc_id), str(r.word), float(r.score))
+            for r in out2.itertuples()]
+    assert got2 == want
+
 
 def test_semantic_link_documents_values(ray_session):
     """A doc dominated by one term's name links to that term with high
