@@ -1688,6 +1688,28 @@ SELECT node AS doc_id, min(lab)::BIGINT AS component
 FROM reach GROUP BY node ORDER BY doc_id
 """
 
+# q_cluster_best: the CC closure above + the quality expression of
+# Q_QUALITY_SQL + a per-component keep-max row_number
+Q_CLUSTER_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_NGRAM_JACCARD_SQL}),
+bidir AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN bidir e ON e.s = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab)::BIGINT AS component
+         FROM reach GROUP BY node),
+q AS ({Q_QUALITY_SQL})
+SELECT c.doc_id, c.component, q.quality_score,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY q.quality_score DESC, c.doc_id)
+        = 1) AS keep
+FROM comp c JOIN q USING (doc_id)
+ORDER BY c.doc_id
+"""
+
 
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
@@ -2444,6 +2466,61 @@ def q_dedup_best(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["quality_score"] = out["quality_score"].astype("float64") \
         .round(6)
+    out["keep"] = out["keep"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_cluster_best(sf_dir: str) -> pd.DataFrame:
+    """SQL-ORACLED quality-aware canonicalization — the value-bearing
+    sibling of rows-only :func:`q_dedup_best`: clusters come from the
+    EXACT 3-gram-Jaccard near-dup graph (the same verified pair
+    pipeline as q_ngram_jaccard/q_graph_cc, so the whole composition —
+    pairs -> connected components -> keep-max-quality argmax — is
+    expressible as recursive-CTE + row_number SQL).  Within each
+    component keep the highest-quality member, ties to the lowest
+    doc_id.  Scale shape: skinny pair exchange -> tree-reduce CC ->
+    one doc-keyed join -> one component-keyed argmax exchange."""
+    from ..functions.relops import grouped_map, hash_join
+    from ..stages.canonicalize import connected_components_contract
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["doc_a"].astype(str).astype("string"),
+            "b": df["doc_b"].astype(str).astype("string")}),
+        batch_format="pandas")
+    labels = connected_components_contract(edges, col_a="a", col_b="b",
+                                           key=int)
+
+    docsq = ds.map_batches(
+        lambda df: quality_score_batch(df)[["doc_id", "quality_score"]]
+        .assign(node=df["doc_id"].astype(str).astype("string")),
+        batch_format="pandas")
+    j = hash_join(docsq, labels, on="node", how="left",
+                  lcols=["node", "doc_id", "quality_score"],
+                  rcols=["node", "label"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "quality_score": df["quality_score"].astype("float64"),
+                # label is NA-widened by the left join (nullable int);
+                # singletons label themselves
+                "component": df["label"].astype("float64")
+                .fillna(df["doc_id"].astype("float64"))
+                .astype("int64")}),
+            batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["component", "quality_score", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        df["keep"] = ~df.duplicated("component", keep="first")
+        return df[["doc_id", "component", "quality_score", "keep"]]
+
+    out = grouped_map(j, "component", pick, num_buckets=16).to_pandas()
     out["keep"] = out["keep"].astype(bool)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -4191,6 +4268,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_corr": q_corr,
         "q_zscore": q_zscore,
         "q_dedup_best": q_dedup_best,
+        "q_cluster_best": q_cluster_best,
         "q_dim_means": q_dim_means,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
@@ -4283,6 +4361,9 @@ def oracles() -> Dict[str, str]:
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
+        # keep-max-quality per Jaccard component: the SQL-green sibling
+        # of rows-only q_dedup_best (minhash clusters have no SQL form)
+        "q_cluster_best": Q_CLUSTER_BEST_SQL,
         "q_pagerank": _pagerank_sql(),
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,
