@@ -804,6 +804,111 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# deterministic synthetic URL per document — exercises EVERY
+# canonicalization rule (mixed-case scheme/host, default + exotic
+# ports, trailing slashes, fragments); built identically in pandas and
+# SQL so the oracle sees the same inputs
+def _synth_url_batch(df: pd.DataFrame) -> pd.Series:
+    d = df["doc_id"].astype("int64")
+    idx = df.index
+    scheme = pd.Series(np.where(d % 2 == 0, "HTTP", "https"), index=idx)
+    port = pd.Series(np.select([d % 3 == 0, d % 3 == 1],
+                               [":80", ":8443"], ""), index=idx)
+    tail = pd.Series(np.where(d % 2 == 0, "/", ""), index=idx)
+    frag = pd.Series(np.where(d % 7 == 0, "#sec1", ""), index=idx)
+    return pd.Series(
+        scheme + "://" + df["source"].astype(str) + ".Example.COM"
+        + port + "/cat" + (d % 5).astype(str) + "/item"
+        + d.astype(str) + tail + frag, dtype="string")
+
+
+_SYNTH_URL_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+       || '://' || source || '.Example.COM'
+       || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END)
+       || '/cat' || (doc_id % 5) || '/item' || doc_id
+       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END) AS url
+FROM documents
+"""
+
+
+def q_url_normalize(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization over the page corpus (stages/urlops.py:
+    fragment strip, scheme/host lowercase, default-port drop, trailing
+    slash strip) — the key CCNet/RefinedWeb-style pipelines dedup and
+    shard web pages by.  Batch-local, zero exchanges; SQL-oracled
+    against the identical rule set in DuckDB string functions."""
+    from ..stages.urlops import url_canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = ds.map_batches(
+        lambda df: url_canonicalize_batch(
+            df.assign(url=_synth_url_batch(df)))
+        [["doc_id", "url_canon", "host"]],
+        batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["url_canon"] = out["url_canon"].astype(str)
+    out["host"] = out["host"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_host_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host crawl statistics over canonical URLs: page count and
+    distinct canonical-url count per host (the sharding/prioritization
+    table a crawl-curation pipeline keys on).  Scale shape: per-batch
+    canonicalize + (host, url_canon) combiner partials -> one
+    host-keyed KB-scale exchange."""
+    from ..functions.relops import grouped_map
+    from ..stages.urlops import url_canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = url_canonicalize_batch(df.assign(url=_synth_url_batch(df)))
+        return c.groupby(["host", "url_canon"], as_index=False,
+                         sort=False).size() \
+            .rename(columns={"size": "n"})
+
+    def per_host(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)
+        return pd.DataFrame({
+            "host": g.size().index,
+            "n_pages": g["n"].sum().to_numpy().astype("int64"),
+            "n_urls": g["url_canon"].nunique().to_numpy()
+            .astype("int64")})
+
+    # a bucket holds every row of its hosts, and partial rows are
+    # already distinct per (host, url_canon) per batch -> re-reduce
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "url_canon"], as_index=False,
+                          sort=False)["n"].sum()
+
+    out = grouped_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        "host", lambda df: per_host(pre(df)), num_buckets=8).to_pandas()
+    out["host"] = out["host"].astype(str)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+from ..stages.urlops import url_canon_sql as _url_canon_sql  # noqa: E402
+
+Q_URL_NORMALIZE_SQL = f"""
+SELECT doc_id, url_canon, host
+FROM ({_url_canon_sql(_SYNTH_URL_SQL)})
+ORDER BY doc_id
+"""
+
+Q_HOST_STATS_SQL = f"""
+SELECT host, count(*)::BIGINT AS n_pages,
+       count(DISTINCT url_canon)::BIGINT AS n_urls
+FROM ({_url_canon_sql(_SYNTH_URL_SQL)})
+GROUP BY host ORDER BY host
+"""
+
+
 def q_pii_redact(sf_dir: str) -> pd.DataFrame:
     """PII redaction scrub (email / IPv4 / phone). The synthetic
     documents table carries no real PII, so a deterministic footer
@@ -4246,6 +4351,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_passage_dedup": q_passage_dedup,
         "q_pii_redact": q_pii_redact,
+        "q_url_normalize": q_url_normalize,
+        "q_host_stats": q_host_stats,
         "q_distinct_users": q_distinct_users,
         "q_distinct_users_approx": q_distinct_users_approx,
         "q_top_tokens": q_top_tokens,
@@ -4348,6 +4455,8 @@ def oracles() -> Dict[str, str]:
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,
         "q_pii_redact": _pii_sql(),
+        "q_url_normalize": Q_URL_NORMALIZE_SQL,
+        "q_host_stats": Q_HOST_STATS_SQL,
         "q_distinct_users": Q_DISTINCT_USERS_SQL,
         "q_top_tokens": Q_TOP_TOKENS_SQL,
         # Misra-Gries in the exact regime (driver vocab 31 << 4096
