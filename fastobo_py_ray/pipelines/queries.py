@@ -822,15 +822,22 @@ def _synth_url_batch(df: pd.DataFrame) -> pd.Series:
         + d.astype(str) + tail + frag, dtype="string")
 
 
-_SYNTH_URL_SQL = """
-SELECT doc_id,
-       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+def _synth_url_expr(d: str) -> str:
+    """The SQL twin of :func:`_synth_url_batch`, parameterized on the
+    doc-id expression so callers can remap ids (q_recrawl_dedup uses
+    ``doc_id % 40`` to force post-canonicalization collisions)."""
+    return f"""
+       (CASE WHEN {d} % 2 = 0 THEN 'HTTP' ELSE 'https' END)
        || '://' || source || '.Example.COM'
-       || (CASE WHEN doc_id % 3 = 0 THEN ':80'
-                WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END)
-       || '/cat' || (doc_id % 5) || '/item' || doc_id
-       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
-       || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END) AS url
+       || (CASE WHEN {d} % 3 = 0 THEN ':80'
+                WHEN {d} % 3 = 1 THEN ':8443' ELSE '' END)
+       || '/cat' || ({d} % 5) || '/item' || {d}
+       || (CASE WHEN {d} % 2 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN {d} % 7 = 0 THEN '#sec1' ELSE '' END)"""
+
+
+_SYNTH_URL_SQL = f"""
+SELECT doc_id, {_synth_url_expr('doc_id')} AS url
 FROM documents
 """
 
@@ -906,6 +913,66 @@ SELECT host, count(*)::BIGINT AS n_pages,
        count(DISTINCT url_canon)::BIGINT AS n_urls
 FROM ({_url_canon_sql(_SYNTH_URL_SQL)})
 GROUP BY host ORDER BY host
+"""
+
+
+def q_recrawl_dedup(sf_dir: str) -> pd.DataFrame:
+    """Re-crawl deduplication: a crawl corpus carries multiple
+    snapshots of the same page (same canonical URL, different
+    ``warc_ts``); keep the NEWEST snapshot per canonical URL, ties to
+    the lowest doc_id.  Here the synthetic url intentionally COLLIDES
+    post-canonicalization (docs sharing source and doc_id%40 bucket
+    produce the same canonical url) and warc_ts is a deterministic
+    function of doc_id, so the keep-latest rule is genuinely exercised
+    and SQL-mirrorable.  Scale shape: per-batch
+    (url_canon -> max ts, argmin id) combiner partials, then ONE
+    KB-scale url-keyed exchange — raw snapshots never move."""
+    from ..functions.relops import grouped_map
+    from ..stages.urlops import url_canonicalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        u = df.assign(doc_id=d % 40)          # force recrawl collisions
+        c = url_canonicalize_batch(u.assign(url=_synth_url_batch(u)))
+        c = pd.DataFrame({"url_canon": c["url_canon"],
+                          "warc_ts": (d % 13).astype("int64"),
+                          "doc_id": d})
+        # per-batch keep-latest (ties -> lowest id): a combiner — the
+        # rule is associative, so partials recombine exactly in-bucket
+        c = c.sort_values(["url_canon", "warc_ts", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        return c[~c.duplicated("url_canon", keep="first")]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url_canon", "warc_ts", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df[~df.duplicated("url_canon", keep="first")] \
+            [["url_canon", "doc_id", "warc_ts"]]
+
+    out = grouped_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        "url_canon", pick, num_buckets=8).to_pandas()
+    out["url_canon"] = out["url_canon"].astype(str)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["warc_ts"] = out["warc_ts"].astype("int64")
+    return out.sort_values("url_canon").reset_index(drop=True)
+
+
+_SYNTH_URL40_SQL = f"""
+SELECT doc_id, {_synth_url_expr('(doc_id % 40)')} AS url
+FROM documents
+"""
+
+Q_RECRAWL_DEDUP_SQL = f"""
+WITH c AS ({_url_canon_sql(_SYNTH_URL40_SQL)})
+SELECT url_canon, doc_id, (doc_id % 13)::BIGINT AS warc_ts
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY url_canon
+          ORDER BY (doc_id % 13) DESC, doc_id) AS rn
+      FROM c)
+WHERE rn = 1 ORDER BY url_canon
 """
 
 
@@ -4353,6 +4420,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_url_normalize": q_url_normalize,
         "q_host_stats": q_host_stats,
+        "q_recrawl_dedup": q_recrawl_dedup,
         "q_distinct_users": q_distinct_users,
         "q_distinct_users_approx": q_distinct_users_approx,
         "q_top_tokens": q_top_tokens,
@@ -4457,6 +4525,7 @@ def oracles() -> Dict[str, str]:
         "q_pii_redact": _pii_sql(),
         "q_url_normalize": Q_URL_NORMALIZE_SQL,
         "q_host_stats": Q_HOST_STATS_SQL,
+        "q_recrawl_dedup": Q_RECRAWL_DEDUP_SQL,
         "q_distinct_users": Q_DISTINCT_USERS_SQL,
         "q_top_tokens": Q_TOP_TOKENS_SQL,
         # Misra-Gries in the exact regime (driver vocab 31 << 4096
