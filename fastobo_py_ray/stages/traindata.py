@@ -89,16 +89,30 @@ class Decontaminator:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n_hits = np.zeros(len(df), dtype=np.int64)
-        for i, t in enumerate(df[self.text_col]):
-            if len(self._bench) == 0:
-                break
-            gs = set(_space_grams(t, self.k))
-            if not gs:
-                continue
-            h = _hash_grams(sorted(gs))
-            idx = np.searchsorted(self._bench, h)
-            idx[idx == len(self._bench)] = 0
-            n_hits[i] = int((self._bench[idx] == h).sum())
+        if len(self._bench) and len(df):
+            # whole-batch vectorization: explode every document's
+            # k-gram windows at once, hash the batch's DISTINCT grams
+            # in ONE hash_array call, one searchsorted for membership,
+            # distinct (doc, gram) pairs via combined-key np.unique —
+            # no per-document Python beyond the gram join itself
+            rows_l, grams_l = [], []
+            for i, t in enumerate(df[self.text_col]):
+                gs = _space_grams(t, self.k)
+                if gs:
+                    rows_l.append(np.full(len(gs), i, dtype=np.int64))
+                    grams_l.append(gs)
+            if rows_l:
+                rows = np.concatenate(rows_l)
+                grams = np.concatenate(grams_l).astype(object)
+                codes, uniques = pd.factorize(grams)
+                uk = np.unique(rows * len(uniques) + codes)
+                urow, ucode = uk // len(uniques), uk % len(uniques)
+                h = _hash_grams(list(uniques))
+                idx = np.searchsorted(self._bench, h)
+                idx[idx == len(self._bench)] = 0
+                member = self._bench[idx] == h
+                n_hits = np.bincount(urow[member[ucode]],
+                                     minlength=len(df)).astype(np.int64)
         return pd.DataFrame({
             self.id_col: df[self.id_col].to_numpy(),
             "n_hits": n_hits,
