@@ -2716,11 +2716,49 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Language-ID over the page corpus (stages/textstats.py LangId:
+    actor-pool, profiles compiled once per actor).  SQL-ORACLED in the
+    Latin-script regime: the codepoint-script vote never fires on
+    ASCII text (verified: the driver corpus is all-ASCII at every SF),
+    so the prediction reduces to the stopword-profile occurrence
+    argmax — mirrored exactly in SQL (regexp word extraction, inline
+    profile VALUES generated from the SAME _LANG_PROFILES dict, ties
+    to the lexicographically larger lang, zero hits -> 'und').
+    Non-Latin corpora keep the pytest value gates instead."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas",
-                          concurrency=(1, 4)) \
+    out = ds.map_batches(LangId, batch_format="pandas",
+                         concurrency=(1, 4)) \
         .map_batches(lambda df: df[["doc_id", "lang_pred"]],
                      batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["lang_pred"] = out["lang_pred"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _langid_sql() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    vals = ", ".join(f"('{lang}', '{w}')"
+                     for lang, ws in sorted(_LANG_PROFILES.items())
+                     for w in ws)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+  FROM documents),
+prof(lang, word) AS (VALUES {vals}),
+cnt AS (
+  SELECT doc_id, lang, count(*) AS n
+  FROM words JOIN prof ON words.w = prof.word
+  GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n DESC, lang DESC) AS rn
+    FROM cnt) WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
@@ -4619,9 +4657,12 @@ def oracles() -> Dict[str, str]:
         # q_kmeans is rows-only: an iterative fixed point (Lloyd's) has
         # no faithful ANSI-SQL equivalent; determinism + numpy-mirror
         # parity + monotone inertia are pytest-gated.
-        # q_minhash_clusters / q_simhash / q_fingerprint / q_langid /
+        # q_minhash_clusters / q_simhash / q_fingerprint /
         # q_ann_lsh (approximate) / q_media_features / q_qa_ontology are
         # intentionally omitted: stateful hashing / heuristics /
         # approximate or non-tabular ops with no faithful ANSI-SQL
         # equivalent -> rows-only check.
+        # langid's Latin-regime reduction (the script vote never fires
+        # on the all-ASCII driver corpus) IS SQL-expressible:
+        "q_langid": _langid_sql(),
     }
