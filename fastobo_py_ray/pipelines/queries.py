@@ -4238,6 +4238,60 @@ def q_media_ppm(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_wav(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode through the driver contract: each document's
+    bytes become the PCM payload of an actual RIFF/WAVE file
+    (``encode_wav``, int16 mono 16 kHz) and the actor-pool sampler
+    windows the DECODED sample axis (decoder='wav' — real chunk-walk
+    parse, not byte heuristics).  Output: per media, sampled-frame
+    count and total sampled bytes.  Rows-only: binary plumbing has no
+    SQL relation; codec roundtrip exactness and frame alignment are
+    pytest-gated (tests/test_multimodal.py)."""
+    import pyarrow as _pa
+
+    from ..stages.multimodal import AudioFrameSampler, encode_wav
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(t: _pa.Table) -> _pa.Table:
+        payloads = []
+        for s in t["text"].to_pylist():
+            raw = np.frombuffer(s.encode(), dtype=np.uint8)
+            pcm = (raw.astype("<i2") * 128 - 16384)
+            payloads.append(encode_wav(pcm[:, None], 16000))
+        return _pa.table({
+            "media_id": _pa.compute.cast(t["doc_id"], _pa.string()),
+            "kind": ["audio"] * t.num_rows,
+            "mime": ["audio/wav"] * t.num_rows,
+            "payload": _pa.array(payloads, _pa.binary()),
+        })
+
+    frames = ds.map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(AudioFrameSampler, batch_format="pyarrow",
+                     fn_constructor_kwargs={"decoder": "wav",
+                                            "n_frames": 4,
+                                            "frame_bytes": 64},
+                     concurrency=2, batch_size=128)
+
+    def summarize(t: _pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("media_id", sort=False)
+        return pd.DataFrame({
+            "media_id": g.size().index,
+            "n_frames": g.size().to_numpy().astype("int64"),
+            "frame_bytes_total": g["frame"].apply(
+                lambda s: sum(len(b) for b in s)).to_numpy()
+            .astype("int64")})
+
+    out = frames.map_batches(summarize, batch_format="pyarrow") \
+        .to_pandas()
+    # frame rows of one media stay in one batch (flat_map layout emits
+    # them contiguously), but re-reduce defensively in case of splits
+    out = out.groupby("media_id", as_index=False, sort=False).sum()
+    out["media_id"] = out["media_id"].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
     """Scalar statistics over a VECTOR column: per label, the count and
     the avg/min/max L2 norm of the embeddings — the sanity scan every
@@ -4539,6 +4593,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_bloom_dedup": q_bloom_dedup,
         "q_embedding_stats": q_embedding_stats,
         "q_media_ppm": q_media_ppm,
+        "q_media_wav": q_media_wav,
     }
 
 

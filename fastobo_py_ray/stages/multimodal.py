@@ -3,11 +3,16 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Image decode is REAL for binary netpbm (``decoder="ppm"`` ->
 :func:`decode_netpbm`: P5/P6 incl. comments and 16-bit samples, pure
-numpy, roundtrip-tested) and REAL for JPEG/PNG/WebP behind optional
-PIL/pillow (``decoder="real"`` -> :func:`decode_pil`; when PIL is
-absent — as in this container — it raises ``NotImplementedError``
-naming the dependency, pytest ``skipif``-gated otherwise); the
-audio/video ffmpeg path stays stubbed the same way.
+numpy, roundtrip-tested), REAL for uncompressed BMP
+(``decoder="bmp"`` -> :func:`decode_bmp`: 8/24-bit BI_RGB incl.
+top-down rows and row padding, pure numpy, roundtrip-tested), and
+REAL for JPEG/PNG/WebP behind optional PIL/pillow
+(``decoder="real"`` -> :func:`decode_pil`; when PIL is absent — as in
+this container — it raises ``NotImplementedError`` naming the
+dependency, pytest ``skipif``-gated otherwise).  Audio decode is REAL
+for RIFF/WAVE PCM (``decoder="wav"`` -> :func:`decode_wav`: int
+8/16/32 + float32, chunk walk, roundtrip-tested); compressed
+audio/video (mp3/ogg/mp4) stays ffmpeg-stubbed the same way.
 ``decoder="fake"`` is a deterministic pure-Python decode
 (payload bytes -> pseudo-pixel array) for arbitrary payloads so the
 Ray-side plumbing — schema, broadcast config, actor signature, batch
@@ -76,6 +81,134 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
     need = side * side * 3
     tiled = np.resize(arr, need)
     return tiled.reshape(side, side, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode — uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    8-bit grayscale-palette or 24-bit BGR), pure numpy.  Returns uint8
+    (h, w) or (h, w, 3) RGB arrays; handles bottom-up (positive
+    height) and top-down (negative height) rows and the 4-byte row
+    padding.  Raises ValueError on malformed input (collect-don't-raise
+    decoder contract)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bits = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if hdr_size < 40 or compression != 0 or bits not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP (header {hdr_size}, compression "
+            f"{compression}, {bits}-bit): only uncompressed 8/24-bit")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    row_bytes = (w * bits // 8 + 3) & ~3
+    need = row_bytes * h
+    if len(payload) - data_off < need:
+        raise ValueError(f"BMP raster truncated: "
+                         f"{len(payload) - data_off} < {need}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need,
+                           offset=data_off).reshape(h, row_bytes)
+    if not top_down:
+        raster = raster[::-1]
+    if bits == 8:
+        return np.ascontiguousarray(raster[:, :w])
+    px = raster[:, :w * 3].reshape(h, w, 3)
+    return np.ascontiguousarray(px[:, :, ::-1])   # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit / 8-bit BMP encoder — test-fixture sibling of
+    :func:`decode_bmp` (roundtrip-tested).  8-bit input gets the
+    standard identity grayscale palette."""
+    import struct
+
+    if img.ndim == 3 and img.shape[2] == 3:
+        bits, h, w = 24, img.shape[0], img.shape[1]
+        rows = img[:, :, ::-1].astype("u1").reshape(h, w * 3)
+        palette = b""
+    elif img.ndim == 2:
+        bits, h, w = 8, img.shape[0], img.shape[1]
+        rows = img.astype("u1")
+        palette = b"".join(struct.pack("<BBBB", i, i, i, 0)
+                           for i in range(256))
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3), got {img.shape}")
+    row_bytes = (w * bits // 8 + 3) & ~3
+    pad = np.zeros((h, row_bytes - w * bits // 8), dtype=np.uint8)
+    raster = np.hstack([rows, pad])[::-1].tobytes()
+    data_off = 14 + 40 + len(palette)
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0,
+                         len(raster), 2835, 2835,
+                         256 if bits == 8 else 0, 0))
+    return hdr + palette + raster
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode — RIFF/WAVE PCM (format 1: 8/16/32-bit int;
+    format 3: float32), pure stdlib-struct + numpy chunk walk.
+    Returns ``(samples, sample_rate)`` with ``samples`` shaped
+    ``(n_frames, channels)``.  Raises ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        csz = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + csz]
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError("wav: short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + csz + (csz & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    dtype = {(1, 8): "u1", (1, 16): "<i2", (1, 32): "<i4",
+             (3, 32): "<f4"}.get((audio_format, bits))
+    if dtype is None or channels < 1:
+        raise ValueError(
+            f"unsupported wav (format {audio_format}, {bits}-bit, "
+            f"{channels}ch): PCM 8/16/32-bit int or 32-bit float only")
+    if block_align != channels * bits // 8:
+        raise ValueError(f"wav: block_align {block_align} != "
+                         f"{channels * bits // 8}")
+    usable = len(data) // block_align * block_align
+    samples = np.frombuffer(data, dtype=dtype,
+                            count=usable // (bits // 8))
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM WAV encoder — test-fixture sibling of :func:`decode_wav`
+    (roundtrip-tested).  ``samples`` is (n, channels) of u1/i2/i4/f4."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    kind = {"u": (1, 8), "i": (1, samples.dtype.itemsize * 8),
+            "f": (3, 32)}[samples.dtype.kind]
+    audio_format, bits = kind
+    channels = samples.shape[1]
+    body = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", audio_format, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
 
 
 def pil_available() -> bool:
@@ -220,8 +353,9 @@ class ImageFeatures:
     PIL import probe, so a missing dependency fails ONCE per actor at
     pool startup, never per batch; ``__call__`` is per batch.
     Decoders: ``"ppm"`` — REAL binary-netpbm decode
-    (:func:`decode_netpbm`, pure numpy); ``"real"`` — REAL JPEG/PNG/...
-    via optional PIL/pillow (:func:`decode_pil`; raises
+    (:func:`decode_netpbm`, pure numpy); ``"bmp"`` — REAL uncompressed
+    BMP decode (:func:`decode_bmp`, pure numpy); ``"real"`` — REAL
+    JPEG/PNG/... via optional PIL/pillow (:func:`decode_pil`; raises
     ``NotImplementedError`` naming the dependency when PIL is absent,
     as in this container); ``"fake"`` — deterministic byte-tiling
     stand-in for arbitrary payloads.
@@ -238,6 +372,8 @@ class ImageFeatures:
             self.decode = decode_pil
         elif decoder == "ppm":
             self.decode = decode_netpbm
+        elif decoder == "bmp":
+            self.decode = decode_bmp
         elif decoder == "fake":
             self.decode = fake_decode_image
         else:
@@ -289,20 +425,31 @@ class AudioFrameSampler:
     """Actor-pool stage: media batch -> sampled byte frames (flat_map
     layout: one output row per sampled frame).
 
-    Deterministic equal-stride byte windows; a real ffmpeg/soundfile
-    decode would replace ``_frames`` only (``decoder="real"`` stub).
+    Decoders: ``"fake"`` — deterministic equal-stride byte windows over
+    the raw payload; ``"wav"`` — REAL RIFF/WAVE PCM decode
+    (:func:`decode_wav`, dependency-free): windows are equal-stride
+    slices over the DECODED sample axis, aligned to whole sample
+    frames, serialized back as little-endian PCM bytes (an undecodable
+    payload yields zero frames — collect-don't-raise); ``"real"`` —
+    compressed formats (mp3/ogg/flac) need ffmpeg/soundfile, stubbed
+    with the dependency named.
     """
 
     def __init__(self, n_frames: int = 4, frame_bytes: int = 256,
                  decoder: str = "fake"):
         if decoder == "real":
             raise NotImplementedError(
-                "real audio decode requires ffmpeg/soundfile (not in this "
-                "container); pass decoder='fake'")
+                "real compressed-audio decode requires ffmpeg/soundfile "
+                "(not in this container); decoder='wav' decodes real "
+                "RIFF/WAVE PCM dependency-free, decoder='fake' samples "
+                "raw bytes")
+        if decoder not in ("fake", "wav"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.n_frames = n_frames
         self.frame_bytes = frame_bytes
+        self.decoder = decoder
 
-    def _frames(self, payload: bytes):
+    def _byte_windows(self, payload: bytes):
         n = len(payload)
         if n == 0:
             return []
@@ -311,6 +458,26 @@ class AudioFrameSampler:
         for i in range(self.n_frames):
             start = min(i * stride, max(0, n - self.frame_bytes))
             out.append(payload[start:start + self.frame_bytes])
+        return out
+
+    def _frames(self, payload: bytes):
+        if self.decoder == "fake":
+            return self._byte_windows(payload)
+        try:
+            samples, _rate = decode_wav(payload)
+        except ValueError:
+            return []                      # collect-don't-raise
+        if len(samples) == 0:
+            return []
+        frame_bytes_per_sample = samples.dtype.itemsize * samples.shape[1]
+        win = max(1, self.frame_bytes // frame_bytes_per_sample)
+        stride = max(1, (len(samples) - win) // max(1, self.n_frames - 1))
+        out = []
+        for i in range(self.n_frames):
+            start = min(i * stride, max(0, len(samples) - win))
+            out.append(samples[start:start + win]
+                       .astype(samples.dtype.newbyteorder("<"))
+                       .tobytes())
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -30,6 +30,78 @@ def test_real_audio_video_are_clearly_stubbed():
         AudioFrameSampler(decoder="real")
 
 
+def test_bmp_roundtrip_exact_and_edges():
+    """REAL BMP decode: encode->decode exact for 24-bit RGB and 8-bit
+    grayscale (incl. non-multiple-of-4 widths exercising row padding);
+    top-down (negative height) rasters; malformed input raises."""
+    from fastobo_py_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rgb = fake_decode_image(bytes(range(256)) * 4)[:5, :7]  # w=7 -> pad
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    gray = rgb[:, :, 1]
+    assert np.array_equal(decode_bmp(encode_bmp(gray)), gray)
+
+    # top-down variant: flip rows and negate the height field
+    import struct
+    b = bytearray(encode_bmp(gray[::-1]))
+    h = struct.unpack("<i", b[22:26])[0]
+    b[22:26] = struct.pack("<i", -h)
+    assert np.array_equal(decode_bmp(bytes(b)), gray)
+
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"XX garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(rgb)[:-8])
+    # through the actor stage: dims + decode_ok contract
+    t = pa.table({"media_id": ["a", "b"], "kind": ["image"] * 2,
+                  "mime": ["image/bmp"] * 2,
+                  "payload": pa.array([encode_bmp(rgb), b"nope"],
+                                      pa.binary())})
+    out = ImageFeatures(decoder="bmp", thumb=2)(t).to_pydict()
+    assert out["decode_ok"] == [True, False]
+    assert (out["height"][0], out["width"][0]) == rgb.shape[:2]
+
+
+def test_wav_roundtrip_exact_and_sampler():
+    """REAL WAV decode: encode->decode exact for 16-bit stereo, 8-bit
+    mono and float32; the frame sampler windows the DECODED sample
+    axis aligned to whole sample frames; undecodable payloads yield
+    zero frames without killing the stage."""
+    from fastobo_py_ray.stages.multimodal import decode_wav, encode_wav
+
+    s16 = ((np.arange(2000).reshape(-1, 2) * 37) % 65536 - 32768) \
+        .astype("<i2")
+    got, rate = decode_wav(encode_wav(s16, 16000))
+    assert rate == 16000 and np.array_equal(got, s16)
+
+    u8 = (np.arange(333) % 256).astype("u1")
+    got, rate = decode_wav(encode_wav(u8, 8000))
+    assert rate == 8000 and np.array_equal(got[:, 0], u8)
+
+    f32 = np.linspace(-1, 1, 256, dtype="<f4").reshape(-1, 2)
+    got, _ = decode_wav(encode_wav(f32, 44100))
+    assert np.array_equal(got, f32)
+
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"RIFFxxxxNOPE")
+
+    wav = encode_wav(s16, 16000)
+    t = pa.table({"media_id": ["a", "b"], "kind": ["audio"] * 2,
+                  "mime": ["audio/wav"] * 2,
+                  "payload": pa.array([wav, b"static noise"],
+                                      pa.binary())})
+    out = AudioFrameSampler(n_frames=4, frame_bytes=64,
+                            decoder="wav")(t).to_pydict()
+    # only the real wav produced frames; each is whole sample frames
+    assert set(out["media_id"]) == {"a"}
+    assert len(out["frame_idx"]) == 4
+    block = 2 * 2   # int16 stereo
+    for fr in out["frame"]:
+        assert len(fr) == (64 // block) * block
+        # frame bytes are a contiguous slice of the source PCM stream
+        assert fr in s16.tobytes()
+
+
 @needs_pil
 def test_pil_png_roundtrip_exact():
     """PNG is lossless: encode_pil -> decode_pil must be exact, for
