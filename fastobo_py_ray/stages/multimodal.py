@@ -211,6 +211,74 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", len(body)) + body)
 
 
+def demux_avi(payload: bytes):
+    """REAL video container demux — RIFF/AVI chunk walk, pure
+    stdlib-struct: recurses LIST chunks, reads the frame interval from
+    the ``avih`` main header, and indexes every video frame chunk
+    (``##db``/``##dc``) inside ``movi`` WITHOUT copying frame bytes.
+    Returns ``(frames, fps)`` where ``frames`` is a list of
+    ``(offset, size)`` byte ranges into the payload (the frame DATA —
+    still codec-compressed; decoding the codec stream needs ffmpeg,
+    which stays env-gated).  Raises ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec_per_frame = None
+    frames = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal usec_per_frame
+        i = start
+        while i + 8 <= end:
+            cid = payload[i:i + 4]
+            csz = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            body = i + 8
+            if body + csz > end:
+                raise ValueError(f"avi: chunk {cid!r} overruns its "
+                                 f"parent ({body + csz} > {end})")
+            if cid == b"LIST":
+                walk(body + 4, body + csz)
+            elif cid == b"avih" and csz >= 4:
+                usec_per_frame = struct.unpack(
+                    "<I", payload[body:body + 4])[0]
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append((body, csz))
+            i = body + csz + (csz & 1)    # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not usec_per_frame:
+        raise ValueError("avi: missing/zero avih frame interval")
+    return frames, 1_000_000.0 / usec_per_frame
+
+
+def encode_avi(frames, fps: int = 30) -> bytes:
+    """Minimal-but-well-formed AVI encoder (hdrl with avih + one
+    ``vids`` strl, movi with ``00dc`` frame chunks, word-aligned) —
+    test-fixture sibling of :func:`demux_avi` (roundtrip-tested)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0, len(frames),
+                       0, 1, 0, 0, 0, 0, 0, 0, 0)
+    strh = b"vids" + b"\x00" * 52
+    strf = struct.pack("<IiiHHIIiiII", 40, 0, 0, 1, 24, 0, 0, 0, 0,
+                       0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def pil_available() -> bool:
     """True when PIL/pillow is importable (this container ships
     without it; real deployments usually have it)."""
@@ -523,11 +591,15 @@ class VideoFrameSampler:
     (flat_map layout: one output row per sampled frame, with source
     frame index and presentation timestamp).
 
-    The fake decoder treats the payload as a concatenated stream of
-    fixed-size frames at a constant fps — deterministic and
-    dependency-free; a real decoder (ffmpeg/PyAV keyframe extraction)
-    would replace ``_src_frames`` only (``decoder="real"`` stub names
-    the missing dependency). Batch-size guidance: video payloads are
+    Decoders: ``"fake"`` treats the payload as a concatenated stream
+    of fixed-size frames at a constant fps — deterministic and
+    dependency-free; ``"avi"`` is a REAL RIFF/AVI container demux
+    (:func:`demux_avi`): frame boundaries and timestamps come from the
+    chunk index and the ``avih`` frame interval, frame PAYLOADS stay
+    codec-compressed (an undecodable container yields zero frames —
+    collect-don't-raise); ``"real"`` — codec-stream decoding
+    (H.264/VP9/MJPEG pixels) needs ffmpeg/PyAV, stubbed with the
+    dependency named.  Batch-size guidance: video payloads are
     the largest binary columns in a corpus — size ``batch_size`` so
     batch_bytes x concurrency fits the worker heap (tens of rows, not
     thousands).
@@ -538,32 +610,45 @@ class VideoFrameSampler:
                  decoder: str = "fake"):
         if decoder == "real":
             raise NotImplementedError(
-                "real video decode requires ffmpeg/PyAV (not in this "
-                "container); pass decoder='fake'")
+                "real video-codec decode requires ffmpeg/PyAV (not in "
+                "this container); decoder='avi' demuxes real RIFF/AVI "
+                "containers dependency-free, decoder='fake' samples "
+                "fixed-size byte frames")
+        if decoder not in ("fake", "avi"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.every_nth = max(1, every_nth)
         self.max_frames = max_frames
         self.frame_bytes = frame_bytes
         self.fps = fps
+        self.decoder = decoder
 
-    def _frame_at(self, payload: bytes, idx: int) -> bytes:
-        """Slice ONLY the requested source frame (a corpus-scale video
-        payload must never be copied wholesale; work per row is
-        O(max_frames), not O(payload))."""
+    def _index(self, payload: bytes):
+        """(n_src, frame_at(idx) -> bytes, fps) per decoder.  Work per
+        row stays O(max_frames) + one header walk — a corpus-scale
+        video payload is never copied wholesale."""
+        if self.decoder == "avi":
+            try:
+                frames, fps = demux_avi(payload)
+            except ValueError:
+                return 0, None, self.fps
+            return len(frames), \
+                (lambda i: payload[frames[i][0]:
+                                   frames[i][0] + frames[i][1]]), fps
         fb = self.frame_bytes
-        return payload[idx * fb:(idx + 1) * fb]
+        n_src = -(-len(payload) // fb)    # ceil
+        return n_src, (lambda i: payload[i * fb:(i + 1) * fb]), self.fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {k: [] for k in VIDEO_FRAMES_SCHEMA.names}
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            payload = payload or b""
-            n_src = -(-len(payload) // self.frame_bytes)  # ceil
+            n_src, frame_at, fps = self._index(payload or b"")
             picks = range(0, n_src, self.every_nth)[:self.max_frames]
             for out_i, src_i in enumerate(picks):
                 rows["media_id"].append(mid)
                 rows["frame_idx"].append(out_i)
                 rows["src_frame"].append(src_i)
-                rows["ts_ms"].append(int(src_i * 1000 / self.fps))
-                rows["frame"].append(self._frame_at(payload, src_i))
+                rows["ts_ms"].append(int(src_i * 1000 / fps))
+                rows["frame"].append(frame_at(src_i))
                 rows["n_src_frames"].append(n_src)
         return pa.table(rows, schema=VIDEO_FRAMES_SCHEMA)

@@ -62,6 +62,38 @@ def test_bmp_roundtrip_exact_and_edges():
     assert (out["height"][0], out["width"][0]) == rgb.shape[:2]
 
 
+def test_avi_demux_roundtrip_and_sampler():
+    """REAL AVI container demux: encode -> demux returns every frame's
+    exact byte range and the avih fps; the sampler strides the REAL
+    frame index with container timestamps; malformed input degrades to
+    zero frames through the stage."""
+    from fastobo_py_ray.stages.multimodal import (VideoFrameSampler,
+                                                  demux_avi, encode_avi)
+
+    src = [bytes([i]) * (50 + 7 * i) for i in range(12)]  # odd sizes too
+    avi = encode_avi(src, fps=25)
+    frames, fps = demux_avi(avi)
+    assert fps == 25.0 and len(frames) == 12
+    assert [avi[o:o + s] for o, s in frames] == src
+
+    with pytest.raises(ValueError, match="AVI"):
+        demux_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="overruns"):
+        demux_avi(avi[:-10])
+
+    t = pa.table({"media_id": ["v", "bad"], "kind": ["video"] * 2,
+                  "mime": ["video/avi"] * 2,
+                  "payload": pa.array([avi, b"not a container"],
+                                      pa.binary())})
+    out = VideoFrameSampler(every_nth=5, max_frames=3,
+                            decoder="avi")(t).to_pydict()
+    assert set(out["media_id"]) == {"v"}          # bad -> zero frames
+    assert out["src_frame"] == [0, 5, 10]
+    assert out["ts_ms"] == [0, 200, 400]          # 25 fps container ts
+    assert out["frame"] == [src[0], src[5], src[10]]
+    assert out["n_src_frames"] == [12, 12, 12]
+
+
 def test_wav_roundtrip_exact_and_sampler():
     """REAL WAV decode: encode->decode exact for 16-bit stereo, 8-bit
     mono and float32; the frame sampler windows the DECODED sample
