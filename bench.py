@@ -136,6 +136,9 @@ def run_bench() -> dict:
     timed("q_minhash_clusters", Q.q_minhash_clusters)
     timed("q_asof_join", Q.q_asof_join)
     timed("q_decontam", Q.q_decontam)
+    # round-4 scale-shape rewrites, tracked per-round from here on
+    timed("q_tfidf", Q.q_tfidf)
+    timed("q_passage_dedup", Q.q_passage_dedup)
 
     actual_pages = corpus_pages(N_PAGES)
     result = {
