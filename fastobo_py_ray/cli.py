@@ -63,7 +63,8 @@ def cmd_run(args) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     run_kg_pipeline(pages, obo_text, out_dir=tmp,
                     batch_size=args.batch_size,
-                    langs=args.langs.split(",") if args.langs else None)
+                    langs=args.langs.split(",") if args.langs else None,
+                    subj_buckets=args.subj_buckets)
     _swap_in(tmp, args.out)
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"adjacency_dir": args.out, "n_triples": int(n)}))
@@ -118,6 +119,30 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Incremental crawl ingestion: merge a NEW page batch into an
+    existing subject-bucketed adjacency (written by a prior run with
+    bucketed output), rewriting only the touched buckets.  Runs
+    repair first so a previously crashed update never loses a
+    bucket."""
+    import ray.data as rd
+
+    from .pipelines.kg import repair_adjacency, update_adjacency
+
+    _init_ray()
+    restored = repair_adjacency(args.out)
+    pages = rd.read_parquet(args.corpus)
+    obo_text = open(args.obo).read()
+    info = update_adjacency(
+        pages, obo_text, args.out, subj_buckets=args.subj_buckets,
+        batch_size=args.batch_size,
+        langs=args.langs.split(",") if args.langs else None,
+        k_urls=args.k_urls)
+    print(json.dumps({"adjacency_dir": args.out,
+                      "repaired": restored, **info}))
+    return 0
+
+
 def cmd_report(args) -> int:
     from .pipelines.checkpoint import completed_partitions
 
@@ -140,7 +165,21 @@ def main(argv=None) -> int:
         if name == "resume":
             s.add_argument("--files-per-partition", type=int, default=4,
                            dest="files_per_partition")
+        if name == "run":
+            s.add_argument("--subj-buckets", type=int, default=0,
+                           dest="subj_buckets")
         s.set_defaults(fn=fn)
+    s = sub.add_parser("update")
+    s.add_argument("--corpus", required=True)
+    s.add_argument("--obo", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--subj-buckets", type=int, required=True,
+                   dest="subj_buckets")
+    s.add_argument("--batch-size", type=int, default=1024,
+                   dest="batch_size")
+    s.add_argument("--langs", default="en")
+    s.add_argument("--k-urls", type=int, default=0, dest="k_urls")
+    s.set_defaults(fn=cmd_update)
     s = sub.add_parser("report")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_report)

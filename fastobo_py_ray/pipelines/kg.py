@@ -21,6 +21,8 @@ never re-shipped per batch.
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict, Optional
 
 import pandas as pd
@@ -159,12 +161,18 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
     # group-dispatch per million distinct triples.
     out = partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
     if k:
-        def split_urls(df: pd.DataFrame) -> pd.DataFrame:
-            df["urls"] = [s.split("\x1f") if s else []
-                          for s in df["urls"]]
-            return df
+        # pyarrow batch fn: ragged Python lists in a PANDAS block break
+        # the block->Arrow conversion downstream (Ray tries a
+        # variable-shaped tensor); building the list<string> column in
+        # Arrow keeps every later stage (bucket map, parquet write)
+        # zero-copy-safe
+        def split_urls(t: pa.Table) -> pa.Table:
+            lists = [s.split("\x1f") if s else []
+                     for s in t["urls"].to_pylist()]
+            return t.drop_columns(["urls"]).append_column(
+                "urls", pa.array(lists, pa.list_(pa.string())))
 
-        out = out.map_batches(split_urls, batch_format="pandas")
+        out = out.map_batches(split_urls, batch_format="pyarrow")
     return out
 
 
@@ -208,24 +216,196 @@ def materialize_adjacency(deduped_ds, out_dir: str,
     if subj_buckets:
         import zlib
 
-        def bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["subj_bucket"] = [zlib.crc32(s.encode()) % subj_buckets
-                                 for s in df["subj"]]
-            return df
+        # pyarrow batch fn: keeps a list<string> urls column (when
+        # collect_urls was used) Arrow-native through the write
+        def bucket(t: pa.Table) -> pa.Table:
+            vals = [zlib.crc32(s.encode()) % subj_buckets
+                    for s in t["subj"].to_pylist()]
+            return t.append_column("subj_bucket",
+                                   pa.array(vals, pa.int64()))
 
-        ds.map_batches(bucket, batch_format="pandas") \
+        ds.map_batches(bucket, batch_format="pyarrow") \
             .write_parquet(out_dir, partition_cols=["subj_bucket"])
         return
     ds.write_parquet(out_dir)
 
 
+def _subj_bucket_series(subjs, p: int):
+    import zlib
+
+    return [zlib.crc32(s.encode()) % p for s in subjs]
+
+
+def _merge_triple_frames(df: pd.DataFrame, k_urls: int = 0
+                         ) -> pd.DataFrame:
+    """Combine old-adjacency and delta rows of the SAME bucket: per
+    (subj, pred, obj) the evidence count is additive, confidence is a
+    max, the urls evidence sample re-min-merges (all three rules are
+    associative, so incremental == full rebuild exactly).  ``urls``
+    travels through the exchange as the ``\\x1f``-joined STRING form
+    (ragged lists in pandas blocks don't survive block->Arrow)."""
+    aggs = dict(n_evidence=("n_evidence", "sum"),
+                confidence=("confidence", "max"))
+    if k_urls:
+        aggs["urls"] = ("urls", lambda s: "\x1f".join(sorted(
+            {u for j in s for u in j.split("\x1f") if u})[:k_urls]))
+    out = df.groupby(["subj", "pred", "obj"], as_index=False).agg(**aggs)
+    return out.sort_values(["subj", "pred", "obj"], kind="stable") \
+        .reset_index(drop=True)
+
+
+def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
+                     subj_buckets: int, batch_size: int = 1024,
+                     langs: Optional[list] = ("en",),
+                     k_urls: int = 0) -> dict:
+    """INCREMENTAL crawl ingestion: merge a NEW page batch into an
+    existing subject-bucketed adjacency (written by
+    ``materialize_adjacency(subj_buckets=P)``) rewriting ONLY the
+    buckets the delta touches — at corpus scale a daily crawl delta
+    touches a fraction of buckets, and rebuilding the whole graph for
+    it is exactly the waste this path avoids.
+
+    Equality contract (pytest-gated): ``pipeline(A) then update(B)``
+    produces byte-identical per-bucket tables to ``pipeline(A + B)`` —
+    evidence counts are additive, confidence is a max, and the
+    evidence-url sample min-merges, all associative.  The caller owns
+    at-most-once delivery of pages (re-ingesting the same pages
+    double-counts evidence; the checkpoint layer's lineage manifests
+    are the dedup boundary for that).
+
+    Crash safety: each touched bucket swaps via a two-phase rename
+    (live -> ``.trash``, merged -> live, delete trash), so a bucket is
+    NEVER in a half-written state; a crash between the two renames
+    leaves the bucket recoverable — run :func:`repair_adjacency` to
+    restore any stranded ``.trash`` dirs before retrying.
+
+    Returns ``{"touched_buckets": [...], "delta_triples": n}``.
+    """
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..context import tune_data_context
+
+    tune_data_context()
+    index_ref = ray.put(prepare_index(obo_text))
+    triples = annotate_pages(new_pages_ds, index_ref, emit="triples",
+                             batch_size=batch_size,
+                             langs=list(langs) if langs else None)
+    delta = dedup_triples(triples, collect_urls=k_urls)
+
+    # bucket + (when k_urls) re-join the urls list to its \x1f string
+    # form so the exchange moves plain string columns (see
+    # _merge_triple_frames) — pyarrow in, pandas-friendly columns out
+    def bucket_and_join(t: pa.Table) -> pa.Table:
+        out = t
+        if "subj_bucket" in out.column_names:
+            # hive reads surface the partition col (often as string);
+            # recompute from subj for a uniform int64 key
+            out = out.drop_columns(["subj_bucket"])
+        if k_urls and "urls" in t.column_names:
+            joined = ["\x1f".join(lst) for lst in
+                      t["urls"].to_pylist()]
+            out = out.drop_columns(["urls"]).append_column(
+                "urls", pa.array(joined, pa.string()))
+        vals = _subj_bucket_series(out["subj"].to_pylist(),
+                                   subj_buckets)
+        return out.append_column("subj_bucket",
+                                 pa.array(vals, pa.int64()))
+
+    delta = delta.map_batches(bucket_and_join, batch_format="pyarrow")
+    # the delta is ontology-bounded (dedup_triples pre-reduced it), so
+    # a driver collect of its bucket ids is KB-scale
+    touched = sorted({r["subj_bucket"] for r in
+                      delta.select_columns(["subj_bucket"]).take_all()})
+    delta_rows = delta.count()
+    if not touched:
+        return {"touched_buckets": [], "delta_triples": 0}
+
+    tmp_root = os.path.join(adjacency_dir, ".delta_merge_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    old_dirs = [os.path.join(adjacency_dir, f"subj_bucket={b}")
+                for b in touched]
+    import glob as _glob
+
+    existing = [f for d in old_dirs if os.path.isdir(d)
+                for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    merged = delta
+    if existing:
+        old = rd.read_parquet(existing)
+        merged = delta.union(old.map_batches(bucket_and_join,
+                                             batch_format="pyarrow"))
+
+    from ..functions.relops import grouped_map
+
+    # an exchange bucket can hold SEVERAL subj_buckets — recompute the
+    # partition key from subj after the merge rather than assuming one
+    merged = grouped_map(
+        merged, "subj_bucket",
+        lambda df: _merge_triple_frames(df, k_urls=k_urls)
+        .assign(subj_bucket=lambda d: _subj_bucket_series(
+            d["subj"], subj_buckets)),
+        num_buckets=min(16, max(1, len(touched))))
+    if k_urls:
+        def split_urls_pa(t: pa.Table) -> pa.Table:
+            lists = [s.split("\x1f") if s else []
+                     for s in t["urls"].to_pylist()]
+            return t.drop_columns(["urls"]).append_column(
+                "urls", pa.array(lists, pa.list_(pa.string())))
+
+        merged = merged.map_batches(split_urls_pa,
+                                    batch_format="pyarrow")
+    merged.write_parquet(tmp_root, partition_cols=["subj_bucket"])
+
+    # two-phase swap per bucket: live -> trash, merged -> live, rm trash
+    for b in touched:
+        live = os.path.join(adjacency_dir, f"subj_bucket={b}")
+        new = os.path.join(tmp_root, f"subj_bucket={b}")
+        trash = live + ".trash"
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        os.rename(new, live)
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return {"touched_buckets": touched, "delta_triples": delta_rows}
+
+
+def repair_adjacency(adjacency_dir: str) -> list:
+    """Restore buckets stranded by a crash between
+    :func:`update_adjacency`'s two renames: any ``subj_bucket=K.trash``
+    whose live dir is MISSING is renamed back (the merge is then
+    re-runnable from scratch); a trash dir whose live dir exists is a
+    completed swap's leftover and is deleted.  Returns the restored
+    bucket dirs."""
+    import glob
+    import shutil
+
+    restored = []
+    for trash in sorted(glob.glob(
+            os.path.join(adjacency_dir, "subj_bucket=*.trash"))):
+        live = trash[:-len(".trash")]
+        if os.path.isdir(live):
+            shutil.rmtree(trash)
+        else:
+            os.rename(trash, live)
+            restored.append(live)
+    shutil.rmtree(os.path.join(adjacency_dir, ".delta_merge_tmp"),
+                  ignore_errors=True)
+    return restored
+
+
 def run_kg_pipeline(pages_ds, obo_text: str, out_dir: Optional[str] = None,
                     concurrency=None, batch_size: int = 1024,
                     langs: Optional[list] = ("en",),
-                    use_actors: bool = False):
+                    use_actors: bool = False, subj_buckets: int = 0,
+                    k_urls: int = 0):
     """Full pipeline: pages Dataset + OBO text -> deduped triples Dataset
-    (written to ``out_dir`` when given)."""
+    (written to ``out_dir`` when given; ``subj_buckets=P`` writes the
+    hive-bucketed layout :func:`update_adjacency` ingests increments
+    into, ``k_urls=K`` carries the evidence-url sample)."""
     import ray
 
     from ..context import tune_data_context
@@ -237,7 +417,8 @@ def run_kg_pipeline(pages_ds, obo_text: str, out_dir: Optional[str] = None,
                              concurrency=concurrency, batch_size=batch_size,
                              langs=list(langs) if langs else None,
                              use_actors=use_actors)
-    deduped = dedup_triples(triples)
+    deduped = dedup_triples(triples, collect_urls=k_urls)
     if out_dir:
-        materialize_adjacency(deduped, out_dir, presorted=True)
+        materialize_adjacency(deduped, out_dir, presorted=True,
+                              subj_buckets=subj_buckets)
     return deduped

@@ -129,3 +129,48 @@ def test_cli_curate(tmp_path):
                            "--bench", str(bench),
                            "--min-quality", "0.0")[-1])
     assert out3["after_decontam"] < out3["after_near_dedup"]
+
+
+def test_cli_run_bucketed_then_update(tmp_path):
+    """`run --subj-buckets P` writes the hive layout; `update` merges a
+    new page batch touching only delta buckets; total evidence equals a
+    single run over both corpora."""
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    write_pages_corpus(base, n_rows=150, n_files=3)
+    write_pages_corpus(delta, n_rows=80, n_files=2, seed=99)
+    obo = tmp_path / "mini.obo"
+    obo.write_text(MINI_OBO)
+    adj = str(tmp_path / "adj")
+
+    out = json.loads(_cli("run", "--corpus", base, "--obo", str(obo),
+                          "--out", adj, "--langs", "",
+                          "--subj-buckets", "4")[-1])
+    assert out["n_triples"] > 0
+
+    up = json.loads(_cli("update", "--corpus", delta, "--obo", str(obo),
+                         "--out", adj, "--subj-buckets", "4",
+                         "--langs", "")[-1])
+    assert up["delta_triples"] > 0 and up["touched_buckets"]
+    assert up["repaired"] == []
+
+    # evidence totals equal a from-scratch run over base + delta
+    full = str(tmp_path / "full")
+    both = str(tmp_path / "both")
+    os.makedirs(both)
+    for src in (base, delta):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f),
+                           os.path.join(both, f"{os.path.basename(src)}-{f}"))
+    _cli("run", "--corpus", both, "--obo", str(obo), "--out", full,
+         "--langs", "", "--subj-buckets", "4")
+
+    import pyarrow.parquet as pq
+
+    cols = ["subj", "pred", "obj", "n_evidence"]
+    a = pq.read_table(adj).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    b = pq.read_table(full).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

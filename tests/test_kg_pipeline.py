@@ -348,3 +348,96 @@ def test_connected_components_bigstar_empty_edges(ray_session):
                           "b": pd.Series(dtype="string")})
     out = connected_components_bigstar(rd.from_pandas(empty)).to_pandas()
     assert len(out) == 0
+
+
+def test_update_adjacency_incremental_equals_full(ray_session, tmp_path):
+    """Incremental crawl ingestion: pipeline(A) then update_adjacency(B)
+    must be VALUE-identical per bucket to pipeline(A+B) — evidence
+    counts additive, confidence max, url samples min-merged — and must
+    rewrite only the buckets the delta touches."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import (annotate_pages,
+                                             materialize_adjacency,
+                                             update_adjacency)
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    P, K = 4, 2
+    t = synth_pages_table(120, seed=3)
+    A, B = t.slice(0, 80), t.slice(80)
+
+    def build(pages, out):
+        idx_ref = ray.put(prepare_index(MINI_OBO))
+        d = dedup_triples(annotate_pages(rd.from_arrow(pages), idx_ref,
+                                         batch_size=16, langs=["en"]),
+                          collect_urls=K)
+        materialize_adjacency(d, out, presorted=True, subj_buckets=P)
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    build(t, full_dir)
+    build(A, inc_dir)
+
+    # snapshot untouched-bucket mtimes to prove only touched dirs moved
+    pre_mtime = {d: os.stat(os.path.join(inc_dir, d)).st_mtime_ns
+                 for d in os.listdir(inc_dir) if d.startswith("subj_")}
+
+    info = update_adjacency(rd.from_arrow(B), MINI_OBO, inc_dir,
+                            subj_buckets=P, batch_size=16,
+                            langs=["en"], k_urls=K)
+    assert info["delta_triples"] > 0 and info["touched_buckets"]
+
+    def load(d):
+        df = rd.read_parquet(d).to_pandas()
+        df["urls"] = df["urls"].map(tuple)
+        df["confidence"] = df["confidence"].astype("float64").round(6)
+        cols = ["subj", "pred", "obj", "n_evidence", "confidence",
+                "urls"]
+        return df[cols].sort_values(["subj", "pred", "obj"]) \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load(full_dir), load(inc_dir))
+
+    untouched = [d for d in pre_mtime
+                 if int(d.split("=")[1]) not in info["touched_buckets"]]
+    for d in untouched:
+        assert os.stat(os.path.join(inc_dir, d)).st_mtime_ns \
+            == pre_mtime[d]
+
+
+def test_repair_adjacency_restores_stranded_trash(ray_session, tmp_path):
+    """Crash between update_adjacency's two renames leaves
+    subj_bucket=K.trash with no live dir; repair must restore it.  A
+    trash NEXT TO a live dir is a completed swap's leftover -> deleted."""
+    import os
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import (annotate_pages,
+                                             materialize_adjacency,
+                                             repair_adjacency)
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    out = str(tmp_path / "adj")
+    idx_ref = ray.put(prepare_index(MINI_OBO))
+    d = dedup_triples(annotate_pages(
+        rd.from_arrow(synth_pages_table(60, seed=5)), idx_ref,
+        batch_size=16, langs=["en"]))
+    materialize_adjacency(d, out, presorted=True, subj_buckets=4)
+
+    buckets = sorted(b for b in os.listdir(out) if b.startswith("subj_"))
+    crashed = os.path.join(out, buckets[0])
+    os.rename(crashed, crashed + ".trash")          # mid-swap crash
+    survivor = os.path.join(out, buckets[1])
+    shutil.copytree(survivor, survivor + ".trash")  # completed-swap junk
+
+    restored = repair_adjacency(out)
+    assert restored == [crashed]
+    assert os.path.isdir(crashed)
+    assert not os.path.exists(crashed + ".trash")
+    assert not os.path.exists(survivor + ".trash")
