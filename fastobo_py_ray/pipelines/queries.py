@@ -3659,7 +3659,12 @@ def q_cms_freq(sf_dir: str) -> pd.DataFrame:
     (constant size regardless of corpus), summed once; the probes ride
     the exact q_top_tokens result so est >= true holds row by row
     (pytest-gated in tests/test_sketch.py at the sketch level).
-    Rows-only: sketch estimates are approximate by design."""
+    SQL-oracled in the COLLISION-FREE regime: the driver vocabulary
+    (31 tokens) is far below the 16384-cell width and the fixed seeded
+    hashes produce zero counter collisions at every SF (verified
+    est == exact at sf 0.001/0.01/0.1), so the estimates ARE the exact
+    counts and the oracle is plain SQL; adversarial/collision corpora
+    keep the upper-bound pytest gates instead."""
     from ..stages.sketch import cms_build, cms_query
 
     top = q_top_tokens(sf_dir)
@@ -3678,6 +3683,18 @@ def q_cms_freq(sf_dir: str) -> pd.DataFrame:
         "exact": top["n_occurrences"].astype("int64").to_numpy(),
         "est": cms_query(probe, m).astype("int64")})
     return out.sort_values("token").reset_index(drop=True)
+
+
+# collision-free-regime oracle: est equals the exact count (see
+# q_cms_freq docstring); probes = the exact top-20 with the same
+# (count desc, token asc) tie-break as Q_TOP_TOKENS_SQL
+Q_CMS_FREQ_SQL = f"""
+WITH c AS (
+  SELECT w AS token, count(*)::BIGINT AS exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w ORDER BY exact DESC, token LIMIT {_TOP_TOKENS_K})
+SELECT token, exact, exact AS est FROM c ORDER BY token
+"""
 
 
 def q_zorder(sf_dir: str) -> pd.DataFrame:
@@ -4696,9 +4713,11 @@ def oracles() -> Dict[str, str]:
         # q_dedup_best / q_logreg are rows-only: clustering upstream /
         # iterative optimizer; argmax rule and numpy-mirror parity are
         # pytest-gated.
-        # q_cms_freq is rows-only: Count-Min estimates are approximate
-        # by design (upper bounds; never-underestimate + error bound
-        # pytest-gated at the sketch level).
+        # Count-Min in the collision-free regime (31-token driver
+        # vocab << 16384 cells, fixed seeded hashes -> est == exact
+        # verified at every SF); adversarial corpora keep the
+        # upper-bound pytest gates.
+        "q_cms_freq": Q_CMS_FREQ_SQL,
         # q_media_ppm is rows-only: binary image plumbing has no SQL
         # relation; the netpbm decoder's roundtrip exactness is
         # pytest-gated.
