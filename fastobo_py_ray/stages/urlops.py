@@ -11,8 +11,10 @@ SQL so the queries carry value-bearing DuckDB oracles):
 3. lowercase the scheme and the host (paths stay case-sensitive);
 4. drop the default port (``http:80`` / ``https:443``); other ports
    survive;
-5. strip one trailing ``/`` from the rest (so ``.../a/`` == ``.../a``
-   and a bare ``host/`` == ``host``).
+5. strip ALL trailing ``/`` from the rest (so ``.../a/`` ==
+   ``.../a//`` == ``.../a`` and a bare ``host/`` == ``host`` —
+   all-trailing, not one, so canonicalization is idempotent,
+   hypothesis-gated).
 
 Deliberately NOT done here (documented non-goals, they need tables or
 policy): tracking-param removal (utm_*), IDN/punycode folding, IPv6
@@ -39,7 +41,7 @@ def url_canonicalize_batch(df: pd.DataFrame, url_col: str = "url"
     parts = s.str.extract(_URL_RE)
     scheme = parts[0].str.lower()
     auth = parts[1].fillna("")
-    rest = parts[2].fillna("").str.replace(r"/$", "", regex=True)
+    rest = parts[2].fillna("").str.replace(r"/+$", "", regex=True)
 
     split = auth.str.split(":")
     host = split.str[0].str.lower()
@@ -79,7 +81,7 @@ def url_canon_sql(inner_sql: str) -> str:
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS _auth,
                  regexp_replace(regexp_extract(_nofrag,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-                     '/$', '') AS _rest
+                     '/+$', '') AS _rest
           FROM u0),
     c AS (SELECT *,
                  lower(str_split(_auth, ':')[1]) AS _host,

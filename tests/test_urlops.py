@@ -42,3 +42,32 @@ def test_path_case_preserved_and_idempotent():
     # second canonicalization must be a fixpoint
     again = _canon([once[0][0]])
     assert again[0][0] == once[0][0]
+
+
+def test_canonicalize_idempotent_property():
+    """Property: canonicalization is a fixpoint on arbitrary inputs —
+    canon(canon(u)) == canon(u) — and never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.one_of(
+        st.text(max_size=40),
+        st.builds(
+            lambda sch, host, port, path, frag:
+            f"{sch}://{host}{port}{path}{frag}",
+            st.sampled_from(["http", "HTTP", "https", "ftp", "x-a"]),
+            st.text(alphabet="aBcD09.-", min_size=1, max_size=12),
+            st.sampled_from(["", ":80", ":443", ":8080", ":0"]),
+            st.text(alphabet="/aZ9._~%?=&", max_size=16),
+            st.sampled_from(["", "#f", "#a#b"])))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(url_st, min_size=1, max_size=20))
+    def run(urls):
+        once = url_canonicalize_batch(pd.DataFrame({"url": urls}))
+        twice = url_canonicalize_batch(
+            pd.DataFrame({"url": once["url_canon"].astype(str)}))
+        assert list(twice["url_canon"]) == list(once["url_canon"])
+        assert list(twice["host"]) == list(once["host"])
+
+    run()
