@@ -25,6 +25,7 @@ import os
 
 from typing import Dict, Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -371,6 +372,72 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
         shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return {"touched_buckets": touched, "delta_triples": delta_rows}
+
+
+def khop_subgraph(adjacency_dir: str, seeds, k: int,
+                  subj_buckets: int, max_frontier: int = 1_000_000
+                  ) -> pd.DataFrame:
+    """k-hop ego subgraph from a SUBJECT-BUCKETED adjacency, reading
+    ONLY the bucket directories each hop's frontier hashes into — the
+    consumer-side payoff of the hive layout: a 3-hop query around a few
+    entities touches a handful of buckets, never the corpus-scale
+    graph.  Per hop: hash the frontier to its buckets, scan just those
+    parquet dirs with a vectorized ``isin`` on ``subj`` (a bucket holds
+    EVERY edge of its subjects, so the hop is exact), append the edges,
+    advance the frontier to the unvisited objects.
+
+    ``max_frontier`` guards the driver-resident frontier set (raise it
+    or switch to an iterative bucketed join for supernode-dense
+    graphs; the guard raises rather than silently truncating).
+
+    Returns the edge table ``(subj, pred, obj, hop)`` with ``hop`` =
+    the BFS depth at which the edge was expanded (1-based).
+    """
+    import glob as _glob
+
+    import ray.data as rd
+
+    frontier = {str(s) for s in seeds}
+    visited = set(frontier)
+    out_frames = []
+    for hop in range(1, k + 1):
+        if not frontier:
+            break
+        if len(frontier) > max_frontier:
+            raise ValueError(
+                f"khop frontier {len(frontier)} exceeds max_frontier="
+                f"{max_frontier} at hop {hop}; raise the guard or use "
+                "a bucketed-join traversal for supernode graphs")
+        buckets = sorted({b for b in _subj_bucket_series(
+            sorted(frontier), subj_buckets)})
+        files = [f for b in buckets for f in sorted(_glob.glob(
+            os.path.join(adjacency_dir, f"subj_bucket={b}",
+                         "*.parquet")))]
+        if not files:
+            break
+        fr = frontier
+
+        def pick(df: pd.DataFrame, fr=fr, hop=hop) -> pd.DataFrame:
+            hit = df[df["subj"].isin(fr)]
+            return pd.DataFrame({
+                "subj": hit["subj"].astype(str),
+                "pred": hit["pred"].astype(str),
+                "obj": hit["obj"].astype(str),
+                "hop": np.full(len(hit), hop, dtype="int64")})
+
+        edges = rd.read_parquet(files, columns=["subj", "pred", "obj"]) \
+            .map_batches(pick, batch_format="pandas").to_pandas()
+        out_frames.append(edges)
+        frontier = set(edges["obj"]) - visited
+        visited |= frontier
+    if not out_frames:
+        return pd.DataFrame({"subj": pd.Series(dtype=str),
+                             "pred": pd.Series(dtype=str),
+                             "obj": pd.Series(dtype=str),
+                             "hop": pd.Series(dtype="int64")})
+    return pd.concat(out_frames, ignore_index=True) \
+        .sort_values(["hop", "subj", "pred", "obj"]) \
+        .reset_index(drop=True)
 
 
 def repair_adjacency(adjacency_dir: str) -> list:

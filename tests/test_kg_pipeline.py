@@ -441,3 +441,52 @@ def test_repair_adjacency_restores_stranded_trash(ray_session, tmp_path):
     assert os.path.isdir(crashed)
     assert not os.path.exists(crashed + ".trash")
     assert not os.path.exists(survivor + ".trash")
+
+
+def test_khop_subgraph_matches_bfs_reference(ray_session, tmp_path):
+    """khop_subgraph over the bucketed adjacency equals a plain BFS
+    over the full triple table (same seeds/k), and the guard raises
+    rather than truncating."""
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import (annotate_pages,
+                                             khop_subgraph,
+                                             materialize_adjacency)
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    P = 4
+    idx_ref = ray.put(prepare_index(MINI_OBO))
+    d = dedup_triples(annotate_pages(
+        rd.from_arrow(synth_pages_table(150, seed=9)), idx_ref,
+        batch_size=16, langs=["en"]))
+    full = d.to_pandas()
+    out = str(tmp_path / "adj")
+    materialize_adjacency(d, out, presorted=True, subj_buckets=P)
+
+    seeds = sorted(full["subj"].unique())[:1]
+    for k in (1, 2, 3):
+        got = khop_subgraph(out, seeds, k=k, subj_buckets=P)
+
+        # reference BFS over the collected triple table
+        frontier, visited, ref_rows = set(seeds), set(seeds), []
+        for hop in range(1, k + 1):
+            hit = full[full["subj"].isin(frontier)]
+            for r in hit.itertuples():
+                ref_rows.append((r.subj, r.pred, r.obj, hop))
+            frontier = set(hit["obj"]) - visited
+            visited |= frontier
+            if not frontier:
+                break
+        ref = pd.DataFrame(ref_rows, columns=["subj", "pred", "obj",
+                                              "hop"]) \
+            .sort_values(["hop", "subj", "pred", "obj"]) \
+            .reset_index(drop=True)
+        got["hop"] = got["hop"].astype("int64")
+        ref["hop"] = ref["hop"].astype("int64")
+        pd.testing.assert_frame_equal(got, ref)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_frontier"):
+        khop_subgraph(out, sorted(full["subj"].unique()), k=2,
+                      subj_buckets=P, max_frontier=1)
