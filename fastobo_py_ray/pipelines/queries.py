@@ -1883,6 +1883,79 @@ ORDER BY c.doc_id
 """
 
 
+_KHOP_SEEDS = ("r:0", "r:3")
+_KHOP_K = 2
+
+
+def q_khop(sf_dir: str) -> pd.DataFrame:
+    """Hop-labeled k-hop frontier expansion over the region -> nation
+    -> {customer, supplier} entity tree from two region seeds — the
+    graph-traversal shape behind :func:`~fastobo_py_ray.pipelines.kg.
+    khop_subgraph` expressed over driver tables so it carries a
+    value-bearing recursive-CTE oracle (the entity graph is a tree, so
+    first-visit depth is unique and the comparison is exact).  Scale
+    shape: per hop ONE broadcast frontier (``ray.put``) + one stateless
+    vectorized ``isin`` scan — zero shuffles, k passes."""
+    import ray
+
+    def pfx_edges(table, a, pa_, b, pb):
+        ds = _read(sf_dir, table, columns=[a, b])
+        return ds.map_batches(
+            lambda df, a=a, b=b, pa_=pa_, pb=pb: pd.DataFrame({
+                "src": (pa_ + df[a].astype(str)).astype("string"),
+                "dst": (pb + df[b].astype(str)).astype("string")}),
+            batch_format="pandas")
+
+    edges = pfx_edges("nation", "n_regionkey", "r:",
+                      "n_nationkey", "n:") \
+        .union(pfx_edges("customer", "c_nationkey", "n:",
+                         "c_custkey", "c:")) \
+        .union(pfx_edges("supplier", "s_nationkey", "n:",
+                         "s_suppkey", "s:"))
+
+    frontier = set(_KHOP_SEEDS)
+    visited = set(frontier)
+    frames = []
+    for hop in range(1, _KHOP_K + 1):
+        ref = ray.put(frontier)
+
+        def pick(df: pd.DataFrame, hop=hop, ref=ref) -> pd.DataFrame:
+            hit = df[df["src"].isin(ray.get(ref))]
+            return pd.DataFrame({
+                "subj": hit["src"].astype(str),
+                "obj": hit["dst"].astype(str),
+                "hop": np.full(len(hit), hop, dtype="int64")})
+
+        got = edges.map_batches(pick, batch_format="pandas").to_pandas()
+        frames.append(got)
+        frontier = set(got["obj"]) - visited
+        visited |= frontier
+        if not frontier:
+            break
+    out = pd.concat(frames, ignore_index=True)
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values(["hop", "subj", "obj"]).reset_index(drop=True)
+
+
+_KHOP_SEED_VALUES = ", ".join(f"('{s}', 0)" for s in _KHOP_SEEDS)
+Q_KHOP_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst
+  FROM nation
+  UNION ALL SELECT 'n:' || c_nationkey, 'c:' || c_custkey FROM customer
+  UNION ALL SELECT 'n:' || s_nationkey, 's:' || s_suppkey FROM supplier),
+reach(node, hop) AS (
+  SELECT * FROM (VALUES {_KHOP_SEED_VALUES}) v(node, hop)
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < {_KHOP_K - 1})
+SELECT r.node AS subj, e.dst AS obj, (r.hop + 1)::BIGINT AS hop
+FROM reach r JOIN edges e ON e.src = r.node
+WHERE r.hop < {_KHOP_K}
+ORDER BY hop, subj, obj
+"""
+
+
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
 _PAGERANK_K = 20
@@ -4540,6 +4613,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_graph_cc": q_graph_cc,
+        "q_khop": q_khop,
         "q_pagerank": q_pagerank,
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
@@ -4649,6 +4723,7 @@ def oracles() -> Dict[str, str]:
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
+        "q_khop": Q_KHOP_SQL,
         # keep-max-quality per Jaccard component: the SQL-green sibling
         # of rows-only q_dedup_best (minhash clusters have no SQL form)
         "q_cluster_best": Q_CLUSTER_BEST_SQL,
