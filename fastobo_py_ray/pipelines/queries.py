@@ -1261,6 +1261,50 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
+    """Entity-resolution meta-blocking with weighted-node pruning over
+    the shingle blocking graph (stages/dedup.py:meta_blocking_pairs —
+    SparkER's blocking-graph shape): candidate pairs weighted by
+    common-block count, kept iff the weight reaches the averaged mean
+    edge weight of the two endpoints (integer-exact compare on both
+    engines).  SQL-oracled end to end."""
+    from ..stages.dedup import meta_blocking_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = meta_blocking_pairs(ds).to_pandas()
+    for c in ("doc_a", "doc_b", "weight"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_META_BLOCKING_SQL = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM idx
+         UNION ALL
+         SELECT doc_id, array_to_string(w, ' ')
+         FROM t WHERE len(w) BETWEEN 1 AND 2
+           AND array_to_string(w, ' ') <> '')),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*)::BIGINT AS weight
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+e AS (SELECT doc, sum(w)::BIGINT AS s, count(*)::BIGINT AS c FROM (
+        SELECT doc_a AS doc, weight AS w FROM p
+        UNION ALL SELECT doc_b, weight FROM p) GROUP BY doc)
+SELECT doc_a, doc_b, weight FROM p
+JOIN e ea ON ea.doc = doc_a
+JOIN e eb ON eb.doc = doc_b
+WHERE 2 * weight * ea.c * eb.c >= ea.s * eb.c + eb.s * ea.c
+ORDER BY doc_a, doc_b
+"""
+
+
 # word-3-gram shingling in SQL: tokenize on ' ' (the documents table is
 # single-space separated), build positional trigrams, inverted-index join.
 Q_NGRAM_JACCARD_SQL = """
@@ -4614,6 +4658,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_graph_cc": q_graph_cc,
         "q_khop": q_khop,
+        "q_meta_blocking": q_meta_blocking,
         "q_pagerank": q_pagerank,
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
@@ -4724,6 +4769,7 @@ def oracles() -> Dict[str, str]:
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_khop": Q_KHOP_SQL,
+        "q_meta_blocking": Q_META_BLOCKING_SQL,
         # keep-max-quality per Jaccard component: the SQL-green sibling
         # of rows-only q_dedup_best (minhash clusters have no SQL form)
         "q_cluster_best": Q_CLUSTER_BEST_SQL,

@@ -730,6 +730,99 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 # passage-level exact dedup (sub-document granularity)
 # ---------------------------------------------------------------------------
 
+def meta_blocking_pairs(ds, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        max_doc_freq: Optional[int] = None):
+    """Entity-resolution META-BLOCKING with weighted-node pruning —
+    the blocking-graph shape of SparkER (EDBT 2019; public pattern):
+    blocks are 3-gram shingles, the blocking graph weights each
+    candidate pair by its common-block count, and WNP keeps an edge
+    iff its weight reaches the MEAN edge weight of its two endpoints
+    averaged — pruning the quadratic candidate set to the pairs worth
+    running an expensive matcher on.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` up to the
+    weighted pair list (distinct-shingle explode, in-bucket self-merge
+    pre-summed per pair, one skinny pair exchange; ``max_doc_freq``
+    stop-gram cap for hot blocks), then the endpoint statistics are a
+    doc-keyed KB-scale aggregate joined back onto the pair list.
+
+    The WNP threshold compare is INTEGER-exact on both engine and
+    oracle: ``w >= (sum_a/cnt_a + sum_b/cnt_b) / 2`` is evaluated as
+    ``2*w*cnt_a*cnt_b >= sum_a*cnt_b + sum_b*cnt_a`` so float division
+    can never flip a boundary pair between engines.
+
+    Returns a Dataset of ``(doc_a, doc_b, weight)``, ids ordered.
+    """
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rid, rsh = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            for s in set(shingles(t, k)):
+                rid.append(i)
+                rsh.append(s)
+        return pd.DataFrame({"shingle": rsh, "doc": rid})
+
+    sh = ds.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df
+        if max_doc_freq is not None:
+            cnt = sub.groupby("shingle", sort=False)["doc"] \
+                .transform("size")
+            sub = sub[cnt <= max_doc_freq]
+        m = sub.merge(sub, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        if m.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype=df["doc"].dtype),
+                "doc_b": pd.Series(dtype=df["doc"].dtype),
+                "weight": pd.Series(dtype="int64")})
+        return m.groupby(["doc_a", "doc_b"], as_index=False,
+                         sort=False).size() \
+            .rename(columns={"size": "weight"}).astype({"weight": "int64"})
+
+    pairs = grouped_agg(grouped_map(sh, "shingle", bucket_pairs),
+                        ["doc_a", "doc_b"], weight=("weight", "sum"))
+
+    # endpoint stats: each pair contributes its weight to BOTH docs
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": np.concatenate([df["doc_a"].to_numpy(),
+                                   df["doc_b"].to_numpy()]),
+            "w": np.concatenate([df["weight"].to_numpy()] * 2)})
+
+    ends = grouped_agg(
+        pairs.map_batches(both_ends, batch_format="pandas"),
+        "doc", s=("w", "sum"), c=("w", "size"))
+
+    j = hash_join(
+        pairs.map_batches(lambda df: df.rename(columns={"doc_a": "doc"}),
+                          batch_format="pandas"),
+        ends, on="doc", lcols=["doc", "doc_b", "weight"],
+        rcols=["doc", "s", "c"])
+    j = hash_join(
+        j.map_batches(lambda df: df.rename(
+            columns={"doc": "doc_a", "s": "s_a", "c": "c_a",
+                     "doc_b": "doc"}), batch_format="pandas"),
+        ends, on="doc", lcols=["doc_a", "doc", "weight", "s_a", "c_a"],
+        rcols=["doc", "s", "c"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["weight"].astype("int64")
+        keep = 2 * w * df["c_a"].astype("int64") \
+            * df["c"].astype("int64") \
+            >= df["s_a"].astype("int64") * df["c"].astype("int64") \
+            + df["s"].astype("int64") * df["c_a"].astype("int64")
+        out = df[keep]
+        return pd.DataFrame({"doc_a": out["doc_a"].astype("int64"),
+                             "doc_b": out["doc"].astype("int64"),
+                             "weight": out["weight"].astype("int64")})
+
+    return j.map_batches(prune, batch_format="pandas")
+
+
 def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   passage_words: int = 16, num_buckets: int = 64):
     """Passage-level EXACT dedup — the sub-document granularity large web
