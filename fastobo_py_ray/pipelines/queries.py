@@ -2826,6 +2826,21 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     return f_to_pandas(ds, f)
 
 
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Banded simhash near-dup pairs (stages/dedup.py:simhash_pairs):
+    EXACT retrieval for hamming <= 3 by pigeonhole over 4 x 16-bit
+    bands.  Rows-only (siphash signatures have no SQL form); set
+    equality vs the brute-force all-pairs scan is pytest-gated
+    (tests/test_dedup_ann.py)."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    for c in ("doc_a", "doc_b", "hamming"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return f_to_pandas(
@@ -4688,6 +4703,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_fingerprint": q_fingerprint,
         "q_langid": q_langid,
         "q_media_features": q_media_features,

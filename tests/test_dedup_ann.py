@@ -447,3 +447,45 @@ def test_q_dedup_best_keeps_max_quality_per_cluster(ray_session):
         assert kept["doc_id"] == best["doc_id"]
     # multi-member clusters exist on this corpus (the rule is exercised)
     assert (g.size() > 1).any()
+
+
+def test_simhash_pairs_exact_at_low_hamming(ray_session):
+    """Banded simhash retrieval is EXACT for hamming <= bands-1
+    (pigeonhole): the distributed pair set equals the brute-force
+    all-pairs scan, with exact hamming distances; the bands>hamming
+    precondition is enforced."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import simhash64_batch, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "riverbank while data pipelines hum softly in the night")
+    words = base.split()
+    texts = [base]
+    for i in range(60):                      # small perturbations
+        w = list(words)
+        w[i % len(w)] = f"tok{i % 7}"
+        if i % 3 == 0:
+            w[(i * 5) % len(w)] = f"alt{i % 5}"
+        texts.append(" ".join(w))
+    df = pd.DataFrame({"doc_id": range(len(texts)),
+                       "text": pd.Series(texts, dtype="string")})
+
+    got = simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got_set = {(int(a), int(b)): int(h) for a, b, h in
+               zip(got["doc_a"], got["doc_b"], got["hamming"])}
+
+    h = simhash64_batch(df["text"]).astype(np.uint64)
+    want = {}
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = int(bin(int(h[i] ^ h[j])).count("1"))
+            if d <= 3:
+                want[(i, j)] = d
+    assert want, "fixture must actually produce close pairs"
+    assert got_set == want
+
+    with pytest.raises(ValueError, match="exact only"):
+        simhash_pairs(rd.from_pandas(df), max_hamming=4, num_bands=4)
