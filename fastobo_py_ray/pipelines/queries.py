@@ -2826,6 +2826,23 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     return f_to_pandas(ds, f)
 
 
+def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib compression-ratio quality signal
+    (stages/textstats.py:compression_ratio_batch) — batch-local, zero
+    exchanges.  Rows-only: zlib's exact output has no SQL form; the
+    signal's ordering semantics (repetitive << prose << random) are
+    pytest-gated (tests/test_textstats_values.py)."""
+    from ..stages.textstats import compression_ratio_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda df: compression_ratio_batch(df)[["doc_id",
+                                                "compress_ratio"]],
+        batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """Banded simhash near-dup pairs (stages/dedup.py:simhash_pairs):
     EXACT retrieval for hamming <= 3 by pigeonhole over 4 x 16-bit
@@ -4704,6 +4721,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_compress_ratio": q_compress_ratio,
         "q_fingerprint": q_fingerprint,
         "q_langid": q_langid,
         "q_media_features": q_media_features,

@@ -23,6 +23,26 @@ _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 DEFAULT_STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in"})
 
 
+def compression_ratio_batch(df: pd.DataFrame, text_col: str = "text",
+                            level: int = 6) -> pd.DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap quality/repetition signal for web curation: heavily
+    templated or repeated text compresses far below natural prose, and
+    random bytes sit near (slightly above) 1.0.  Stdlib zlib, one C
+    call per row, no Python token work; empty docs report 0.0.
+    Adds ``compress_ratio`` (round 6)."""
+    import zlib
+
+    ratios = np.zeros(len(df), dtype="float64")
+    for i, t in enumerate(df[text_col]):
+        b = (t or "").encode()
+        if b:
+            ratios[i] = len(zlib.compress(b, level)) / len(b)
+    out = df.copy()
+    out["compress_ratio"] = np.round(ratios, 6)
+    return out
+
+
 def token_stats_batch(df: pd.DataFrame, text_col: str = "text",
                       stopwords=DEFAULT_STOPWORDS) -> pd.DataFrame:
     """Whitespace tokens, BPE-ish tokens, stopword count, punct count.

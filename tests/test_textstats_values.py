@@ -323,3 +323,27 @@ def test_json_extract_regex_parity_on_edge_inputs():
     assert eng["sum_k"].astype(int).tolist() == \
         sql["sum_k"].astype(int).tolist()
     np.testing.assert_allclose(eng["avg_k"], sql["avg_k"])
+
+
+def test_compression_ratio_ordering_and_edges():
+    """Repetitive text compresses far below prose, prose below random
+    bytes; empty docs report 0; idempotent per row (pure function)."""
+    import numpy as np
+
+    from fastobo_py_ray.stages.textstats import compression_ratio_batch
+
+    rng = np.random.RandomState(11)
+    rand = " ".join("".join(chr(rng.randint(33, 127)) for _ in range(6))
+                    for _ in range(200))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders along the river bank to find something new ") * 12
+    rep = "spam " * 400
+    df = pd.DataFrame({"text": pd.Series([rep, prose, rand, ""],
+                                         dtype="string")})
+    out = compression_ratio_batch(df)["compress_ratio"].tolist()
+    assert out[0] < out[1] < out[2]
+    assert out[0] < 0.05          # pure repetition collapses
+    assert out[2] > 0.6           # random text barely compresses
+    assert out[3] == 0.0
+    out2 = compression_ratio_batch(df)["compress_ratio"].tolist()
+    assert out == out2
