@@ -274,11 +274,17 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     double-counts evidence; the checkpoint layer's lineage manifests
     are the dedup boundary for that).
 
-    Crash safety: each touched bucket swaps via a two-phase rename
-    (live -> ``.trash``, merged -> live, delete trash), so a bucket is
-    NEVER in a half-written state; a crash between the two renames
-    leaves the bucket recoverable — run :func:`repair_adjacency` to
-    restore any stranded ``.trash`` dirs before retrying.
+    Crash safety — the swap phase is RESUMABLE, not just per-bucket
+    atomic: the merged buckets are fully written to a staging dir with
+    a ``_PLAN`` file (the touched-bucket list) BEFORE any live bucket
+    moves, then each bucket swaps via two renames (live -> ``.trash``,
+    staged -> live, delete trash).  A crash anywhere in the swap loop
+    leaves the plan + remaining staged buckets on disk, and
+    :func:`repair_adjacency` FINISHES the interrupted swaps from the
+    staging dir (never re-merging — so a crashed update is completed,
+    not re-applied, and evidence counts cannot double).  Only a crash
+    BEFORE the staging write completes requires re-running the update,
+    and at that point no live bucket has been touched.
 
     Returns ``{"touched_buckets": [...], "delta_triples": n}``.
     """
@@ -359,19 +365,41 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
         merged = merged.map_batches(split_urls_pa,
                                     batch_format="pyarrow")
     merged.write_parquet(tmp_root, partition_cols=["subj_bucket"])
+    # the plan marks staging COMPLETE: from here a crash is finished
+    # (never re-merged) by repair_adjacency
+    import json as _json
+    with open(os.path.join(tmp_root, "_PLAN"), "w") as fh:
+        _json.dump({"touched_buckets": touched}, fh)
 
-    # two-phase swap per bucket: live -> trash, merged -> live, rm trash
+    _apply_swap_plan(adjacency_dir, tmp_root, touched)
+    return {"touched_buckets": touched, "delta_triples": delta_rows}
+
+
+def _apply_swap_plan(adjacency_dir: str, tmp_root: str,
+                     touched) -> list:
+    """Finish (or resume) the bucket swaps of a staged merge: for each
+    planned bucket still present in the staging dir, two renames
+    (live -> trash, staged -> live) then drop the trash; a bucket
+    absent from staging already swapped on a previous attempt.
+    Removes the staging dir when every swap is done.  Returns the
+    buckets swapped by THIS call."""
+    import shutil
+
+    done = []
     for b in touched:
         live = os.path.join(adjacency_dir, f"subj_bucket={b}")
         new = os.path.join(tmp_root, f"subj_bucket={b}")
+        if not os.path.isdir(new):
+            continue                      # swapped before a crash
         trash = live + ".trash"
         shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(live):
             os.rename(live, trash)
         os.rename(new, live)
         shutil.rmtree(trash, ignore_errors=True)
+        done.append(b)
     shutil.rmtree(tmp_root, ignore_errors=True)
-    return {"touched_buckets": touched, "delta_triples": delta_rows}
+    return done
 
 
 def khop_subgraph(adjacency_dir: str, seeds, k: int,
@@ -441,16 +469,36 @@ def khop_subgraph(adjacency_dir: str, seeds, k: int,
 
 
 def repair_adjacency(adjacency_dir: str) -> list:
-    """Restore buckets stranded by a crash between
-    :func:`update_adjacency`'s two renames: any ``subj_bucket=K.trash``
-    whose live dir is MISSING is renamed back (the merge is then
-    re-runnable from scratch); a trash dir whose live dir exists is a
-    completed swap's leftover and is deleted.  Returns the restored
-    bucket dirs."""
+    """Recover from a crash anywhere in :func:`update_adjacency`:
+
+    1. if a COMPLETE staging dir exists (``.delta_merge_tmp`` with its
+       ``_PLAN``), FINISH the interrupted swaps from the staged merged
+       buckets — the crashed update is completed, never re-applied;
+    2. an incomplete staging dir (no plan: the crash hit during the
+       staging write, before any live bucket moved) is deleted — the
+       caller re-runs the update from scratch safely;
+    3. any still-stranded ``subj_bucket=K.trash`` whose live dir is
+       missing (crash between the two renames, pre-plan-era layouts)
+       is renamed back; a trash beside a live dir is a completed
+       swap's leftover and is deleted.
+
+    Returns the bucket dirs this call completed or restored."""
     import glob
+    import json as _json
     import shutil
 
-    restored = []
+    changed = []
+    tmp_root = os.path.join(adjacency_dir, ".delta_merge_tmp")
+    plan_file = os.path.join(tmp_root, "_PLAN")
+    if os.path.exists(plan_file):
+        with open(plan_file) as fh:
+            touched = _json.load(fh)["touched_buckets"]
+        changed += [os.path.join(adjacency_dir, f"subj_bucket={b}")
+                    for b in _apply_swap_plan(adjacency_dir, tmp_root,
+                                              touched)]
+    else:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
     for trash in sorted(glob.glob(
             os.path.join(adjacency_dir, "subj_bucket=*.trash"))):
         live = trash[:-len(".trash")]
@@ -458,10 +506,8 @@ def repair_adjacency(adjacency_dir: str) -> list:
             shutil.rmtree(trash)
         else:
             os.rename(trash, live)
-            restored.append(live)
-    shutil.rmtree(os.path.join(adjacency_dir, ".delta_merge_tmp"),
-                  ignore_errors=True)
-    return restored
+            changed.append(live)
+    return changed
 
 
 def run_kg_pipeline(pages_ds, obo_text: str, out_dir: Optional[str] = None,

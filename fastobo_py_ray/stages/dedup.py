@@ -855,8 +855,12 @@ def meta_blocking_pairs(ds, id_col: str = "doc_id",
                          sort=False).size() \
             .rename(columns={"size": "weight"}).astype({"weight": "int64"})
 
+    # materialized: the skinny pair list is consumed twice (endpoint
+    # stats + join left side) — without this the shingle exchange
+    # would re-run for each consumer
     pairs = grouped_agg(grouped_map(sh, "shingle", bucket_pairs),
-                        ["doc_a", "doc_b"], weight=("weight", "sum"))
+                        ["doc_a", "doc_b"],
+                        weight=("weight", "sum")).materialize()
 
     # endpoint stats: each pair contributes its weight to BOTH docs
     def both_ends(df: pd.DataFrame) -> pd.DataFrame:

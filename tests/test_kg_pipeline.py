@@ -490,3 +490,74 @@ def test_khop_subgraph_matches_bfs_reference(ray_session, tmp_path):
     with _pytest.raises(ValueError, match="max_frontier"):
         khop_subgraph(out, sorted(full["subj"].unique()), k=2,
                       subj_buckets=P, max_frontier=1)
+
+
+def test_update_crash_mid_swap_is_completed_not_reapplied(
+        ray_session, tmp_path, monkeypatch):
+    """A crash in the middle of the swap loop (staging complete, some
+    buckets swapped) must be FINISHED by repair_adjacency from the
+    staged merge — producing exactly the committed-update state, with
+    no double-applied evidence counts."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines import kg as kgmod
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    P = 4
+    t = synth_pages_table(120, seed=3)
+    A, B = t.slice(0, 80), t.slice(80)
+
+    def build(pages, out):
+        idx_ref = ray.put(prepare_index(MINI_OBO))
+        d = dedup_triples(kgmod.annotate_pages(
+            rd.from_arrow(pages), idx_ref, batch_size=16, langs=["en"]))
+        kgmod.materialize_adjacency(d, out, presorted=True,
+                                    subj_buckets=P)
+
+    good = str(tmp_path / "good")
+    crash = str(tmp_path / "crash")
+    build(A, good)
+    build(A, crash)
+
+    kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, good,
+                           subj_buckets=P, batch_size=16, langs=["en"])
+
+    real_apply = kgmod._apply_swap_plan
+
+    # stage-preserving crash: swap bucket 0 by hand, then die
+    def crashy2(adjacency_dir, tmp_root, touched):
+        import shutil
+        b = touched[0]
+        live = os.path.join(adjacency_dir, f"subj_bucket={b}")
+        new = os.path.join(tmp_root, f"subj_bucket={b}")
+        trash = live + ".trash"
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        os.rename(new, live)
+        shutil.rmtree(trash, ignore_errors=True)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(kgmod, "_apply_swap_plan", crashy2)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated"):
+        kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, crash,
+                               subj_buckets=P, batch_size=16,
+                               langs=["en"])
+    monkeypatch.setattr(kgmod, "_apply_swap_plan", real_apply)
+
+    # the staging dir + plan must still be there; repair completes it
+    assert os.path.exists(os.path.join(crash, ".delta_merge_tmp",
+                                       "_PLAN"))
+    completed = kgmod.repair_adjacency(crash)
+    assert completed
+    assert not os.path.exists(os.path.join(crash, ".delta_merge_tmp"))
+
+    def load(d):
+        df = rd.read_parquet(d).to_pandas()
+        cols = ["subj", "pred", "obj", "n_evidence"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load(crash), load(good))
