@@ -64,7 +64,8 @@ def cmd_run(args) -> int:
     run_kg_pipeline(pages, obo_text, out_dir=tmp,
                     batch_size=args.batch_size,
                     langs=args.langs.split(",") if args.langs else None,
-                    subj_buckets=args.subj_buckets)
+                    subj_buckets=args.subj_buckets,
+                    k_urls=args.k_urls)
     _swap_in(tmp, args.out)
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"adjacency_dir": args.out, "n_triples": int(n)}))
@@ -168,6 +169,8 @@ def main(argv=None) -> int:
         if name == "run":
             s.add_argument("--subj-buckets", type=int, default=0,
                            dest="subj_buckets")
+            s.add_argument("--k-urls", type=int, default=0,
+                           dest="k_urls")
         s.set_defaults(fn=fn)
     s = sub.add_parser("update")
     s.add_argument("--corpus", required=True)

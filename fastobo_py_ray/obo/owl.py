@@ -434,6 +434,9 @@ def _ofn_tokens(text: str):
             j, buf = i + 1, []
             while j < n and text[j] != '"':
                 if text[j] == "\\":
+                    if j + 1 >= n:      # escape at end-of-document
+                        raise ValueError(
+                            "ofn: unterminated string literal")
                     buf.append(text[j + 1])
                     j += 2
                 else:

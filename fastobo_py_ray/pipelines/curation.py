@@ -104,7 +104,8 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.5,
            max_top_word_frac: float = 0.5, jaccard_threshold: float = 0.8,
            decontam_k: int = 5, pack_budget: int = 256,
-           work_dir: str | None = None, resume: bool = False):
+           work_dir: str | None = None, resume: bool = False,
+           input_fingerprint: str = ""):
     """documents -> (packed kept docs Dataset, funnel stats dict).
 
     ``bench_ds`` is the (small) eval-benchmark Dataset for the
@@ -121,6 +122,13 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     whose ``_SUCCESS`` marker matches this call's parameter
     fingerprint — a restarted funnel recomputes only unfinished stages
     (see :func:`_ckpt`); parameter changes invalidate the markers.
+    CAUTION: the fingerprint covers PARAMETERS, not corpus content —
+    the markers cannot see that ``ds`` or ``bench_ds`` changed, so a
+    resume against a different input silently returns the old stages.
+    Pass ``input_fingerprint`` (e.g. the corpus path + mtime or a
+    snapshot id) whenever the same ``work_dir`` may outlive one input;
+    it is folded into every stage marker and any change forces a full
+    recompute.
     """
     import ray.data as rd
 
@@ -137,7 +145,7 @@ def curate(ds, bench_ds=None, id_col: str = "doc_id",
     # parameters (bench presence included — it changes the stage list)
     fp = repr((id_col, text_col, min_quality, max_top_word_frac,
                jaccard_threshold, decontam_k, pack_budget,
-               bench_ds is not None))
+               bench_ds is not None, input_fingerprint))
 
     stats = {}
     # metadata-only for parquet-backed / materialized inputs (the usual

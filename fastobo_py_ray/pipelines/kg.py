@@ -321,9 +321,12 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
         return out.append_column("subj_bucket",
                                  pa.array(vals, pa.int64()))
 
-    delta = delta.map_batches(bucket_and_join, batch_format="pyarrow")
-    # the delta is ontology-bounded (dedup_triples pre-reduced it), so
-    # a driver collect of its bucket ids is KB-scale
+    # materialized: the delta is ontology-bounded (dedup_triples
+    # pre-reduced it) and consumed three times (touched-bucket scan,
+    # count, merge input) — without this the corpus-scale annotate +
+    # dedup pipeline would re-execute per consumer
+    delta = delta.map_batches(bucket_and_join,
+                              batch_format="pyarrow").materialize()
     touched = sorted({r["subj_bucket"] for r in
                       delta.select_columns(["subj_bucket"]).take_all()})
     delta_rows = delta.count()
@@ -341,6 +344,19 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
                 for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
     merged = delta
     if existing:
+        import pyarrow.parquet as _pq
+
+        old_has_urls = "urls" in _pq.ParquetFile(existing[0]) \
+            .schema_arrow.names
+        # schema contract: k_urls must MATCH the existing adjacency —
+        # a mismatched union would either fail on schemas or silently
+        # drop the url evidence column
+        if old_has_urls != bool(k_urls):
+            raise ValueError(
+                f"k_urls={k_urls} does not match the existing "
+                f"adjacency ({'has' if old_has_urls else 'lacks'} a "
+                "urls column): pass the same k_urls the base build "
+                "used (run --k-urls)")
         old = rd.read_parquet(existing)
         merged = delta.union(old.map_batches(bucket_and_join,
                                              batch_format="pyarrow"))

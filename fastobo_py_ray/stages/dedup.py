@@ -892,8 +892,10 @@ def meta_blocking_pairs(ds, id_col: str = "doc_id",
             >= df["s_a"].astype("int64") * df["c"].astype("int64") \
             + df["s"].astype("int64") * df["c_a"].astype("int64")
         out = df[keep]
-        return pd.DataFrame({"doc_a": out["doc_a"].astype("int64"),
-                             "doc_b": out["doc"].astype("int64"),
+        # ids keep their input dtype (string ids are first-class —
+        # only the derived columns are cast)
+        return pd.DataFrame({"doc_a": out["doc_a"].to_numpy(),
+                             "doc_b": out["doc"].to_numpy(),
                              "weight": out["weight"].astype("int64")})
 
     return j.map_batches(prune, batch_format="pandas")

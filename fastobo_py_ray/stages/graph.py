@@ -169,13 +169,21 @@ def _partition_refs(ds, key: str, num_buckets: int) -> list:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
+    @ray.remote
+    def first(t):
+        # num_returns=1 hands back ONE ref whose value is the whole
+        # 1-tuple — unwrap it so downstream always sees DataFrames
+        return t[0]
+
     block_refs = []
     for bundle in ds.iter_internal_ref_bundles():
         block_refs.extend(bundle.block_refs)
     outs = []
     for r in block_refs:
-        o = split.options(num_returns=B).remote(r)
-        outs.append([o] if B == 1 else o)
+        if B == 1:
+            outs.append([first.remote(split.remote(r))])
+        else:
+            outs.append(split.options(num_returns=B).remote(r))
     return [cat.remote(*[o[i] for o in outs]) for i in range(B)]
 
 
@@ -356,6 +364,10 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     tele = (tele_num * unit) // (den * n)
 
     @ray.remote
+    def _first_of(t):
+        return t[0]
+
+    @ray.remote
     def init_ranks(nb: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": nb["node"],
                              "dang": nb["dang"].astype(bool),
@@ -394,10 +406,13 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     for _ in range(num_iters):
         # dangling mass: B scalars to the driver, nothing node-shaped
         mass = sum(ray.get([bucket_mass.remote(rb) for rb in rank_refs]))
-        outs = [bucket_contrib.options(num_returns=B).remote(
-            edge_refs[i], rank_refs[i]) for i in range(B)]
         if B == 1:
-            outs = [[o] for o in outs]
+            # num_returns=1 returns ONE ref to the whole 1-tuple
+            outs = [[_first_of.remote(bucket_contrib.remote(
+                edge_refs[i], rank_refs[i]))] for i in range(B)]
+        else:
+            outs = [bucket_contrib.options(num_returns=B).remote(
+                edge_refs[i], rank_refs[i]) for i in range(B)]
         rank_refs = [bucket_apply.remote(node_refs[j], mass // n,
                                          *[outs[i][j] for i in range(B)])
                      for j in range(B)]

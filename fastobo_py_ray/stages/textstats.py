@@ -352,9 +352,13 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
         return pd.DataFrame({"word": pd.Series(uniques, dtype="string"),
                              "df": wc.astype("int64")})
 
+    # materialized: df_tbl is vocabulary-sized (KB-scale) and consumed
+    # twice (count + broadcast/join) — without this the corpus-scale
+    # df pass would re-execute per consumer
     df_tbl = grouped_agg(
         ds.map_batches(df_partial, batch_format="pandas"),
-        "word", num_buckets=min(num_buckets, 16), df=("df", "sum"))
+        "word", num_buckets=min(num_buckets, 16),
+        df=("df", "sum")).materialize()
 
     n_vocab = df_tbl.count()
     if n_vocab <= df_broadcast_limit:

@@ -16,6 +16,9 @@ SQL so the queries carry value-bearing DuckDB oracles):
    all-trailing, not one, so canonicalization is idempotent,
    hypothesis-gated).
 
+6. drop userinfo (``user:pass@host`` -> ``host``) — credentials are
+   never an identity key for sharding or dedup.
+
 Deliberately NOT done here (documented non-goals, they need tables or
 policy): tracking-param removal (utm_*), IDN/punycode folding, IPv6
 authority brackets, scheme-relative ``//host`` URLs.
@@ -43,7 +46,10 @@ def url_canonicalize_batch(df: pd.DataFrame, url_col: str = "url"
     auth = parts[1].fillna("")
     rest = parts[2].fillna("").str.replace(r"/+$", "", regex=True)
 
-    split = auth.str.split(":")
+    # userinfo ('user:pass@host') is dropped before the host:port
+    # split — it is NOT an identity key for sharding/dedup
+    hostport = auth.str.split("@").str[-1]
+    split = hostport.str.split(":")
     host = split.str[0].str.lower()
     # "string" dtype keeps a typed NA when no row carries a port (a
     # float64-NaN series would break the concat below)
@@ -83,14 +89,17 @@ def url_canon_sql(inner_sql: str) -> str:
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
                      '/+$', '') AS _rest
           FROM u0),
+    hp AS (SELECT *,
+                  regexp_extract(_auth, '([^@]*)$', 1) AS _hostport
+           FROM p),
     c AS (SELECT *,
-                 lower(str_split(_auth, ':')[1]) AS _host,
-                 CASE WHEN _auth LIKE '%:%'
-                      THEN str_split(_auth, ':')[2] ELSE NULL
+                 lower(str_split(_hostport, ':')[1]) AS _host,
+                 CASE WHEN _hostport LIKE '%:%'
+                      THEN str_split(_hostport, ':')[2] ELSE NULL
                  END AS _port
-          FROM p)
+          FROM hp)
     SELECT * EXCLUDE (_nofrag, _has_scheme, _scheme, _auth, _rest,
-                      _host, _port),
+                      _hostport, _host, _port),
            CASE WHEN _has_scheme THEN
                 _scheme || '://' || _host ||
                 CASE WHEN _port IS NOT NULL

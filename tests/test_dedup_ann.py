@@ -489,3 +489,26 @@ def test_simhash_pairs_exact_at_low_hamming(ray_session):
 
     with pytest.raises(ValueError, match="exact only"):
         simhash_pairs(rd.from_pandas(df), max_hamming=4, num_bands=4)
+
+
+def test_meta_blocking_wnp_and_string_ids(ray_session):
+    """WNP prunes below-endpoint-average edges (crafted graph) and the
+    operator preserves string doc ids end to end."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import meta_blocking_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        "d1": base,                                  # clique of dups
+        "d2": base,
+        "d3": base.replace("theta", "iota"),
+        "d9": "totally different words over here now entirely",
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = meta_blocking_pairs(ds).to_pandas()
+    assert out["doc_a"].map(type).eq(str).all()      # ids stay strings
+    pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert ("d1", "d2") in pairs                     # strongest edge kept
+    assert all("d9" not in p for p in pairs)         # no shared blocks

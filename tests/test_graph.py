@@ -139,3 +139,24 @@ def test_triangle_counts_triangle_free_graph(ray_session):
     edges = pd.DataFrame([(1, 2), (2, 3), (3, 4)], columns=["a", "b"])
     out = triangle_counts(rd.from_pandas(edges))
     assert out.empty and list(out.columns) == ["node", "n_tri"]
+
+
+def test_pagerank_join_tier_single_bucket(ray_session):
+    """num_buckets=1 exercises the num_returns=1 unwrap path (Ray
+    returns ONE ref to the whole 1-tuple); result must be bit-equal to
+    the broadcast tier."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import pagerank
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "d", "e"],
+        "dst": ["b", "c", "c", "a", "a", "b"]})
+    ds = rd.from_pandas(edges)
+    bc = pagerank(ds, num_iters=4, mode="broadcast").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    j1 = pagerank(rd.from_pandas(edges), num_iters=4, mode="join",
+                  num_buckets=1).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, j1)

@@ -586,3 +586,11 @@ def test_miniyaml_tab_after_dash_and_colon():
     assert safe_load("k:\tv") == {"k": "v"}
     with pytest.raises(ValueError, match="tab indentation"):
         safe_load("k:\n\t- a")
+
+
+def test_ofn_escape_at_eof_raises_valueerror():
+    from fastobo_py_ray.obo.owl import parse_ofn_axioms
+
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_ofn_axioms('Ontology(<http://x/o> '
+                         'AnnotationAssertion(rdfs:label <x> "abc\\')
