@@ -109,7 +109,9 @@ def cmd_curate(args) -> int:
         if args.bench else None
     packed, stats = curate(docs, bench_ds=bench,
                            min_quality=args.min_quality,
-                           pack_budget=args.pack_budget)
+                           pack_budget=args.pack_budget,
+                           work_dir=args.work_dir, resume=args.resume,
+                           input_fingerprint=args.input_fingerprint)
     tmp = args.out.rstrip("/") + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     # hive-partitioned by split so a training consumer reads only
@@ -194,6 +196,13 @@ def main(argv=None) -> int:
                    dest="min_quality")
     s.add_argument("--pack-budget", type=int, default=256,
                    dest="pack_budget")
+    # resumable funnel: persistent stage dir + skip-finished markers;
+    # pass --input-fingerprint (e.g. corpus snapshot id) so a changed
+    # corpus invalidates the markers (see curation.curate docstring)
+    s.add_argument("--work-dir", default=None, dest="work_dir")
+    s.add_argument("--resume", action="store_true")
+    s.add_argument("--input-fingerprint", default="",
+                   dest="input_fingerprint")
     s.set_defaults(fn=cmd_curate)
     args = p.parse_args(argv)
     rc = args.fn(args)
