@@ -744,10 +744,19 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     Scale shape: per-batch signatures (one siphash pass), a
     (band, value)-keyed exchange whose groups self-merge in C with a
-    ``max_bucket_size`` hot-bucket cap (an all-zeros band — empty
-    docs — would otherwise emit O(m^2)), then one pair-keyed exchange
+    ``max_bucket_size`` hot-bucket cap, then one pair-keyed exchange
     deduping the <=num_bands copies of each pair.  Returns
     ``(doc_a, doc_b, hamming)``, ids ordered.
+
+    Duplicate-clique caveat (measured in the 5M rehearsal,
+    BASELINE.md): an m-document exact-duplicate clique shares every
+    band, so PAIR enumeration is inherently O(m^2) — the cap bounds
+    task memory by DROPPING buckets larger than ``max_bucket_size``
+    (recall loss on mega-cliques, never an OOM).  When the goal is
+    clustering rather than the explicit pair list, use
+    :func:`minhash_dedup`'s star-edge representation (O(m) per
+    clique) or run :func:`exact_dedup` first so identical documents
+    collapse before hamming search.
     """
     from ..functions.relops import grouped_agg, grouped_map
 
@@ -818,6 +827,13 @@ def meta_blocking_pairs(ds, id_col: str = "doc_id",
     pre-summed per pair, one skinny pair exchange; ``max_doc_freq``
     stop-gram cap for hot blocks), then the endpoint statistics are a
     doc-keyed KB-scale aggregate joined back onto the pair list.
+    Pair volume is bounded by (blocks under the cap) x M^2 — fine on
+    real web corpora where shingle document-frequency is Zipf with a
+    df~1 tail, but a SMALL shingle space (short synthetic vocab, tiny
+    alphabets) makes every block hot and the blocking graph inherently
+    quadratic: raise ``k`` or lower ``max_doc_freq`` below the mean df
+    there (measured: the 40-word/64k-trigram rehearsal corpus needs
+    M << its mean df ~360 or the pair list explodes).
 
     The WNP threshold compare is INTEGER-exact on both engine and
     oracle: ``w >= (sum_a/cnt_a + sum_b/cnt_b) / 2`` is evaluated as
