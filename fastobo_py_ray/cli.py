@@ -140,7 +140,7 @@ def cmd_update(args) -> int:
         pages, obo_text, args.out, subj_buckets=args.subj_buckets,
         batch_size=args.batch_size,
         langs=args.langs.split(",") if args.langs else None,
-        k_urls=args.k_urls)
+        k_urls=args.k_urls, delta_id=args.delta_id)
     print(json.dumps({"adjacency_dir": args.out,
                       "repaired": restored, **info}))
     return 0
@@ -184,6 +184,9 @@ def main(argv=None) -> int:
                    dest="batch_size")
     s.add_argument("--langs", default="en")
     s.add_argument("--k-urls", type=int, default=0, dest="k_urls")
+    # idempotency key: a retried update with the same --delta-id is a
+    # no-op once the ledger records it (exactly-once ingestion)
+    s.add_argument("--delta-id", default=None, dest="delta_id")
     s.set_defaults(fn=cmd_update)
     s = sub.add_parser("report")
     s.add_argument("--out", required=True)

@@ -258,7 +258,8 @@ def _merge_triple_frames(df: pd.DataFrame, k_urls: int = 0
 def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
                      subj_buckets: int, batch_size: int = 1024,
                      langs: Optional[list] = ("en",),
-                     k_urls: int = 0) -> dict:
+                     k_urls: int = 0,
+                     delta_id: Optional[str] = None) -> dict:
     """INCREMENTAL crawl ingestion: merge a NEW page batch into an
     existing subject-bucketed adjacency (written by
     ``materialize_adjacency(subj_buckets=P)``) rewriting ONLY the
@@ -269,10 +270,16 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     Equality contract (pytest-gated): ``pipeline(A) then update(B)``
     produces byte-identical per-bucket tables to ``pipeline(A + B)`` —
     evidence counts are additive, confidence is a max, and the
-    evidence-url sample min-merges, all associative.  The caller owns
-    at-most-once delivery of pages (re-ingesting the same pages
-    double-counts evidence; the checkpoint layer's lineage manifests
-    are the dedup boundary for that).
+    evidence-url sample min-merges, all associative.
+
+    IDEMPOTENCY: pass ``delta_id`` (a caller-chosen key per page
+    batch, e.g. the crawl-segment name) and an at-least-once retry
+    loop becomes exactly-once: an id already in the adjacency's
+    applied-delta ledger makes the call a no-op
+    (``{"skipped": delta_id}``), and the ledger commit rides the swap
+    plan's completion — see :func:`_apply_swap_plan` for the crash
+    ordering.  Without a ``delta_id`` the caller owns at-most-once
+    delivery (re-ingesting the same pages double-counts evidence).
 
     Crash safety — the swap phase is RESUMABLE, not just per-bucket
     atomic: the merged buckets are fully written to a staging dir with
@@ -282,18 +289,52 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     leaves the plan + remaining staged buckets on disk, and
     :func:`repair_adjacency` FINISHES the interrupted swaps from the
     staging dir (never re-merging — so a crashed update is completed,
-    not re-applied, and evidence counts cannot double).  Only a crash
-    BEFORE the staging write completes requires re-running the update,
-    and at that point no live bucket has been touched.
+    not re-applied, and evidence counts cannot double).  A direct
+    re-run is equally safe: update_adjacency FINISHES any pending
+    complete plan before reading the live buckets (a leftover
+    incomplete staging dir — crash during the staging write, no live
+    bucket touched yet — is discarded and the update recomputes).
 
     Returns ``{"touched_buckets": [...], "delta_triples": n}``.
     """
+    import glob as _glob
     import shutil
 
     import ray
     import ray.data as rd
 
     from ..context import tune_data_context
+
+    # a pending COMPLETE plan from a crashed update must be finished
+    # (not destroyed) before a new merge reads the live buckets —
+    # otherwise the delta that plan carried would be double-applied
+    tmp_root = os.path.join(adjacency_dir, ".delta_merge_tmp")
+    if os.path.exists(os.path.join(tmp_root, "_PLAN")):
+        repair_adjacency(adjacency_dir)
+    else:
+        shutil.rmtree(tmp_root, ignore_errors=True)  # incomplete stage
+
+    if delta_id is not None and delta_id in applied_delta_ids(
+            adjacency_dir):
+        return {"touched_buckets": [], "delta_triples": 0,
+                "skipped": delta_id}
+
+    # k_urls schema guard FIRST (one parquet footer, milliseconds) —
+    # against ANY existing bucket, not just touched ones, so a delta
+    # landing only in brand-new buckets cannot write mixed schemas
+    any_existing = sorted(_glob.glob(os.path.join(
+        adjacency_dir, "subj_bucket=*", "*.parquet")))
+    if any_existing:
+        import pyarrow.parquet as _pq
+
+        old_has_urls = "urls" in _pq.ParquetFile(any_existing[0]) \
+            .schema_arrow.names
+        if old_has_urls != bool(k_urls):
+            raise ValueError(
+                f"k_urls={k_urls} does not match the existing "
+                f"adjacency ({'has' if old_has_urls else 'lacks'} a "
+                "urls column): pass the same k_urls the base build "
+                "used (run --k-urls)")
 
     tune_data_context()
     index_ref = ray.put(prepare_index(obo_text))
@@ -333,30 +374,13 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     if not touched:
         return {"touched_buckets": [], "delta_triples": 0}
 
-    tmp_root = os.path.join(adjacency_dir, ".delta_merge_tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
-
     old_dirs = [os.path.join(adjacency_dir, f"subj_bucket={b}")
                 for b in touched]
-    import glob as _glob
-
     existing = [f for d in old_dirs if os.path.isdir(d)
                 for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
     merged = delta
     if existing:
-        import pyarrow.parquet as _pq
-
-        old_has_urls = "urls" in _pq.ParquetFile(existing[0]) \
-            .schema_arrow.names
-        # schema contract: k_urls must MATCH the existing adjacency —
-        # a mismatched union would either fail on schemas or silently
-        # drop the url evidence column
-        if old_has_urls != bool(k_urls):
-            raise ValueError(
-                f"k_urls={k_urls} does not match the existing "
-                f"adjacency ({'has' if old_has_urls else 'lacks'} a "
-                "urls column): pass the same k_urls the base build "
-                "used (run --k-urls)")
+        # (k_urls schema compatibility was guarded up front)
         old = rd.read_parquet(existing)
         merged = delta.union(old.map_batches(bucket_and_join,
                                              batch_format="pyarrow"))
@@ -382,23 +406,49 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
                                     batch_format="pyarrow")
     merged.write_parquet(tmp_root, partition_cols=["subj_bucket"])
     # the plan marks staging COMPLETE: from here a crash is finished
-    # (never re-merged) by repair_adjacency
+    # (never re-merged) by repair_adjacency.  Written ATOMICALLY
+    # (tmp + rename) so plan existence implies a complete plan — a
+    # truncated _PLAN would wedge every later repair
     import json as _json
-    with open(os.path.join(tmp_root, "_PLAN"), "w") as fh:
-        _json.dump({"touched_buckets": touched}, fh)
+    plan = os.path.join(tmp_root, "_PLAN")
+    with open(plan + ".tmp", "w") as fh:
+        _json.dump({"touched_buckets": touched,
+                    "delta_id": delta_id}, fh)
+    os.rename(plan + ".tmp", plan)
 
-    _apply_swap_plan(adjacency_dir, tmp_root, touched)
+    _apply_swap_plan(adjacency_dir, tmp_root, touched,
+                     delta_id=delta_id)
     return {"touched_buckets": touched, "delta_triples": delta_rows}
 
 
+_DELTA_LEDGER = "_APPLIED_DELTAS"
+
+
+def applied_delta_ids(adjacency_dir: str) -> list:
+    """delta_ids already merged into this adjacency (the idempotency
+    ledger :func:`update_adjacency` appends to on plan completion)."""
+    import json as _json
+
+    path = os.path.join(adjacency_dir, _DELTA_LEDGER)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return _json.load(fh)
+
+
 def _apply_swap_plan(adjacency_dir: str, tmp_root: str,
-                     touched) -> list:
+                     touched, delta_id=None) -> list:
     """Finish (or resume) the bucket swaps of a staged merge: for each
     planned bucket still present in the staging dir, two renames
     (live -> trash, staged -> live) then drop the trash; a bucket
-    absent from staging already swapped on a previous attempt.
-    Removes the staging dir when every swap is done.  Returns the
-    buckets swapped by THIS call."""
+    absent from staging already swapped on a previous attempt.  When
+    the plan carries a ``delta_id``, it is appended to the adjacency's
+    idempotency ledger (atomic tmp+rename) BEFORE the staging dir is
+    removed — the rmtree is the commit point, so any crash up to it
+    leaves a resumable plan and any crash after it leaves the ledger
+    entry that makes a retry a no-op.  Returns the buckets swapped by
+    THIS call."""
+    import json as _json
     import shutil
 
     done = []
@@ -414,6 +464,14 @@ def _apply_swap_plan(adjacency_dir: str, tmp_root: str,
         os.rename(new, live)
         shutil.rmtree(trash, ignore_errors=True)
         done.append(b)
+    if delta_id is not None:
+        ledger = applied_delta_ids(adjacency_dir)
+        if delta_id not in ledger:
+            ledger.append(delta_id)
+            path = os.path.join(adjacency_dir, _DELTA_LEDGER)
+            with open(path + ".tmp", "w") as fh:
+                _json.dump(ledger, fh)
+            os.rename(path + ".tmp", path)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return done
 
@@ -508,10 +566,12 @@ def repair_adjacency(adjacency_dir: str) -> list:
     plan_file = os.path.join(tmp_root, "_PLAN")
     if os.path.exists(plan_file):
         with open(plan_file) as fh:
-            touched = _json.load(fh)["touched_buckets"]
+            plan = _json.load(fh)
         changed += [os.path.join(adjacency_dir, f"subj_bucket={b}")
-                    for b in _apply_swap_plan(adjacency_dir, tmp_root,
-                                              touched)]
+                    for b in _apply_swap_plan(
+                        adjacency_dir, tmp_root,
+                        plan["touched_buckets"],
+                        delta_id=plan.get("delta_id"))]
     else:
         shutil.rmtree(tmp_root, ignore_errors=True)
 

@@ -54,6 +54,13 @@ def is_dag(edges: Iterable[Edge]) -> bool:
     return seen == len(indeg)
 
 
+def _tuple_first(t):
+    """Unwrap a 1-tuple: with ``num_returns=1`` Ray hands back ONE ref
+    whose value is the WHOLE tuple — both bucket-splitting sites wrap
+    this as a remote to normalize the B == 1 case."""
+    return t[0]
+
+
 def descendants(edges: Iterable[Edge], root: str) -> Set[str]:
     """All transitive children of ``root`` (graph.ipynb cell 5,
     ``networkx.descendants`` on the reversed is_a arrows)."""
@@ -169,11 +176,7 @@ def _partition_refs(ds, key: str, num_buckets: int) -> list:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
-    @ray.remote
-    def first(t):
-        # num_returns=1 hands back ONE ref whose value is the whole
-        # 1-tuple — unwrap it so downstream always sees DataFrames
-        return t[0]
+    first = ray.remote(_tuple_first)
 
     block_refs = []
     for bundle in ds.iter_internal_ref_bundles():
@@ -363,9 +366,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     r0 = unit // n
     tele = (tele_num * unit) // (den * n)
 
-    @ray.remote
-    def _first_of(t):
-        return t[0]
+    _first_of = ray.remote(_tuple_first)
 
     @ray.remote
     def init_ranks(nb: pd.DataFrame) -> pd.DataFrame:

@@ -29,13 +29,13 @@ def compression_ratio_batch(df: pd.DataFrame, text_col: str = "text",
     classic cheap quality/repetition signal for web curation: heavily
     templated or repeated text compresses far below natural prose, and
     random bytes sit near (slightly above) 1.0.  Stdlib zlib, one C
-    call per row, no Python token work; empty docs report 0.0.
+    call per row, no Python token work; empty/null docs report 0.0.
     Adds ``compress_ratio`` (round 6)."""
     import zlib
 
     ratios = np.zeros(len(df), dtype="float64")
-    for i, t in enumerate(df[text_col]):
-        b = (t or "").encode()
+    for i, t in enumerate(df[text_col].fillna("").astype(str)):
+        b = t.encode()
         if b:
             ratios[i] = len(zlib.compress(b, level)) / len(b)
     out = df.copy()

@@ -528,7 +528,7 @@ def test_update_crash_mid_swap_is_completed_not_reapplied(
     real_apply = kgmod._apply_swap_plan
 
     # stage-preserving crash: swap bucket 0 by hand, then die
-    def crashy2(adjacency_dir, tmp_root, touched):
+    def crashy2(adjacency_dir, tmp_root, touched, delta_id=None):
         import shutil
         b = touched[0]
         live = os.path.join(adjacency_dir, f"subj_bucket={b}")
@@ -560,4 +560,84 @@ def test_update_crash_mid_swap_is_completed_not_reapplied(
         cols = ["subj", "pred", "obj", "n_evidence"]
         return df[cols].sort_values(cols).reset_index(drop=True)
 
+    pd.testing.assert_frame_equal(load(crash), load(good))
+
+
+def test_update_delta_id_makes_retry_exactly_once(ray_session, tmp_path,
+                                                  monkeypatch):
+    """With a delta_id, an at-least-once retry loop is exactly-once:
+    (a) a plain re-run with the same id is a no-op, (b) a crash
+    mid-swap followed by a RE-RUN (not repair) finishes the pending
+    plan, records the ledger, and skips the re-application — final
+    state equals a single application."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines import kg as kgmod
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    P = 4
+    t = synth_pages_table(120, seed=3)
+    A, B = t.slice(0, 80), t.slice(80)
+
+    def build(pages, out):
+        idx_ref = ray.put(prepare_index(MINI_OBO))
+        d = dedup_triples(kgmod.annotate_pages(
+            rd.from_arrow(pages), idx_ref, batch_size=16, langs=["en"]))
+        kgmod.materialize_adjacency(d, out, presorted=True,
+                                    subj_buckets=P)
+
+    good = str(tmp_path / "good")
+    retry = str(tmp_path / "retry")
+    build(A, good)
+    build(A, retry)
+    kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, good,
+                           subj_buckets=P, batch_size=16, langs=["en"])
+
+    # (a) plain double-apply with the same id: second call no-ops
+    info1 = kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, retry,
+                                   subj_buckets=P, batch_size=16,
+                                   langs=["en"], delta_id="seg-001")
+    assert info1["touched_buckets"]
+    info2 = kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, retry,
+                                   subj_buckets=P, batch_size=16,
+                                   langs=["en"], delta_id="seg-001")
+    assert info2.get("skipped") == "seg-001"
+
+    def load(d):
+        df = rd.read_parquet(d).to_pandas()
+        cols = ["subj", "pred", "obj", "n_evidence"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load(retry), load(good))
+
+    # (b) crash mid-swap then RE-RUN with the same id
+    crash = str(tmp_path / "crash")
+    build(A, crash)
+    real_apply = kgmod._apply_swap_plan
+
+    def crashy(adjacency_dir, tmp_root, touched, delta_id=None):
+        import shutil
+        b = touched[0]
+        live = os.path.join(adjacency_dir, f"subj_bucket={b}")
+        os.rename(os.path.join(tmp_root, f"subj_bucket={b}"),
+                  live + ".new")
+        shutil.rmtree(live, ignore_errors=True)
+        os.rename(live + ".new", live)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(kgmod, "_apply_swap_plan", crashy)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated"):
+        kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, crash,
+                               subj_buckets=P, batch_size=16,
+                               langs=["en"], delta_id="seg-002")
+    monkeypatch.setattr(kgmod, "_apply_swap_plan", real_apply)
+
+    info3 = kgmod.update_adjacency(rd.from_arrow(B), MINI_OBO, crash,
+                                   subj_buckets=P, batch_size=16,
+                                   langs=["en"], delta_id="seg-002")
+    assert info3.get("skipped") == "seg-002"   # plan finished -> ledgered
     pd.testing.assert_frame_equal(load(crash), load(good))
