@@ -146,6 +146,17 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Integrity check for a bucketed adjacency store (misplaced
+    subjects, unsorted rows, schema drift, pending repair artifacts);
+    exit 1 when problems are found."""
+    from .pipelines.kg import verify_adjacency
+
+    rep = verify_adjacency(args.out, subj_buckets=args.subj_buckets)
+    print(json.dumps(rep))
+    return 1 if rep["problems"] else 0
+
+
 def cmd_report(args) -> int:
     from .pipelines.checkpoint import completed_partitions
 
@@ -188,6 +199,11 @@ def main(argv=None) -> int:
     # no-op once the ledger records it (exactly-once ingestion)
     s.add_argument("--delta-id", default=None, dest="delta_id")
     s.set_defaults(fn=cmd_update)
+    s = sub.add_parser("fsck")
+    s.add_argument("--out", required=True)
+    s.add_argument("--subj-buckets", type=int, required=True,
+                   dest="subj_buckets")
+    s.set_defaults(fn=cmd_fsck)
     s = sub.add_parser("report")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_report)

@@ -476,6 +476,60 @@ def _apply_swap_plan(adjacency_dir: str, tmp_root: str,
     return done
 
 
+def verify_adjacency(adjacency_dir: str, subj_buckets: int) -> dict:
+    """fsck for a bucketed adjacency store — the operational check a
+    100TB graph needs before trusting a resume: per bucket dir,
+    (a) every row's subject hashes to ITS bucket (misplaced rows break
+    khop pruning and incremental merges silently), (b) rows are sorted
+    by (subj, pred, obj) (consumers rely on the range order), and
+    (c) schemas agree across buckets; plus (d) no leftover staging /
+    trash dirs (a pending repair).  Reads bucket-by-bucket with
+    pyarrow — driver memory is one bucket, never the store.
+
+    Returns ``{"buckets": n, "rows": n, "problems": [...]}`` —
+    empty ``problems`` means clean."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    problems = []
+    schema_names = None
+    n_rows = 0
+    bucket_dirs = sorted(_glob.glob(
+        os.path.join(adjacency_dir, "subj_bucket=*")))
+    bucket_dirs = [d for d in bucket_dirs if not d.endswith(".trash")]
+    for d in bucket_dirs:
+        b = int(os.path.basename(d).split("=")[1])
+        for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            t = _pq.read_table(f)
+            n_rows += t.num_rows
+            names = [c for c in t.column_names if c != "subj_bucket"]
+            if schema_names is None:
+                schema_names = names
+            elif names != schema_names:
+                problems.append(f"schema mismatch in {f}: {names} != "
+                                f"{schema_names}")
+            subs = t["subj"].to_pylist()
+            bad = [s for s in subs
+                   if _subj_bucket_series([s], subj_buckets)[0] != b]
+            if bad:
+                problems.append(
+                    f"{len(bad)} misplaced subjects in {f} "
+                    f"(e.g. {bad[0]!r} does not hash to bucket {b})")
+            keys = list(zip(subs, t["pred"].to_pylist(),
+                            t["obj"].to_pylist()))
+            if keys != sorted(keys):
+                problems.append(f"rows not (subj,pred,obj)-sorted: {f}")
+    for leftover in ("*.trash", ".delta_merge_tmp"):
+        hits = _glob.glob(os.path.join(adjacency_dir, leftover))
+        if hits:
+            problems.append(
+                f"pending repair artifacts: {sorted(hits)} — run "
+                "repair_adjacency")
+    return {"buckets": len(bucket_dirs), "rows": n_rows,
+            "problems": problems}
+
+
 def khop_subgraph(adjacency_dir: str, seeds, k: int,
                   subj_buckets: int, max_frontier: int = 1_000_000
                   ) -> pd.DataFrame:

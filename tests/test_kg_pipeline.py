@@ -641,3 +641,64 @@ def test_update_delta_id_makes_retry_exactly_once(ray_session, tmp_path,
                                    langs=["en"], delta_id="seg-002")
     assert info3.get("skipped") == "seg-002"   # plan finished -> ledgered
     pd.testing.assert_frame_equal(load(crash), load(good))
+
+
+def test_verify_adjacency_detects_each_problem(ray_session, tmp_path):
+    """fsck: clean store passes; misplaced subjects, unsorted rows,
+    schema drift and pending repair artifacts are each reported."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import (annotate_pages,
+                                             materialize_adjacency,
+                                             verify_adjacency)
+    from fastobo_py_ray.testing.corpus import synth_pages_table
+
+    P = 4
+    out = str(tmp_path / "adj")
+    idx_ref = ray.put(prepare_index(MINI_OBO))
+    d = dedup_triples(annotate_pages(
+        rd.from_arrow(synth_pages_table(80, seed=7)), idx_ref,
+        batch_size=16, langs=["en"]))
+    materialize_adjacency(d, out, presorted=True, subj_buckets=P)
+
+    rep = verify_adjacency(out, subj_buckets=P)
+    assert rep["problems"] == [] and rep["rows"] > 0
+
+    # (a) misplaced subject: copy a row into the WRONG bucket
+    dirs = sorted(os.listdir(out))
+    f0 = [os.path.join(out, dirs[0], f)
+          for f in os.listdir(os.path.join(out, dirs[0]))
+          if f.endswith(".parquet")][0]
+    f1dir = os.path.join(out, dirs[1])
+    t = pq.read_table(f0)
+    pq.write_table(t.slice(0, 1), os.path.join(f1dir, "evil.parquet"))
+    rep = verify_adjacency(out, subj_buckets=P)
+    assert any("misplaced" in p for p in rep["problems"])
+    os.remove(os.path.join(f1dir, "evil.parquet"))
+
+    # (b) unsorted rows
+    rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+    pq.write_table(rev, f0)
+    rep = verify_adjacency(out, subj_buckets=P)
+    assert t.num_rows < 2 or any("not (subj,pred,obj)-sorted" in p
+                                 for p in rep["problems"])
+    pq.write_table(t, f0)
+
+    # (c) schema drift
+    extra = t.append_column("rogue", pa.array([1] * t.num_rows))
+    pq.write_table(extra, os.path.join(f1dir, "drift.parquet"))
+    rep = verify_adjacency(out, subj_buckets=P)
+    assert any("schema mismatch" in p for p in rep["problems"])
+    os.remove(os.path.join(f1dir, "drift.parquet"))
+
+    # (d) pending repair artifacts
+    shutil.copytree(os.path.join(out, dirs[0]),
+                    os.path.join(out, dirs[0]) + ".trash")
+    rep = verify_adjacency(out, subj_buckets=P)
+    assert any("pending repair" in p for p in rep["problems"])
