@@ -284,9 +284,11 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     Crash safety — the swap phase is RESUMABLE, not just per-bucket
     atomic: the merged buckets are fully written to a staging dir with
     a ``_PLAN`` file (the touched-bucket list) BEFORE any live bucket
-    moves, then each bucket swaps via two renames (live -> ``.trash``,
-    staged -> live, delete trash).  A crash anywhere in the swap loop
-    leaves the plan + remaining staged buckets on disk, and
+    moves, then each bucket swaps via two renames (live ->
+    ``.trash.subj_bucket=K``, staged -> live, delete trash; the '.'
+    prefix keeps pyarrow hive discovery from ever parsing a trash dir
+    as a partition during the crash window).  A crash anywhere in the
+    swap loop leaves the plan + remaining staged buckets on disk, and
     :func:`repair_adjacency` FINISHES the interrupted swaps from the
     staging dir (never re-merging — so a crashed update is completed,
     not re-applied, and evidence counts cannot double).  A direct
@@ -295,8 +297,30 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     incomplete staging dir — crash during the staging write, no live
     bucket touched yet — is discarded and the update recomputes).
 
+    CONCURRENCY: the whole ledger-check -> merge -> swap -> commit
+    span holds an exclusive inter-process :class:`_adjacency_lock`
+    (flock on ``<adjacency_dir>/_LOCK``), so concurrent updates —
+    including an at-least-once retry of the SAME delta_id racing the
+    original — serialize; the loser then sees the committed ledger
+    and no-ops.  Exactly-once therefore holds under concurrent
+    writers, not just single-writer discipline.
+
     Returns ``{"touched_buckets": [...], "delta_triples": n}``.
     """
+    with _adjacency_lock(adjacency_dir):
+        return _update_adjacency_locked(
+            new_pages_ds, obo_text, adjacency_dir, subj_buckets,
+            batch_size=batch_size, langs=langs, k_urls=k_urls,
+            delta_id=delta_id)
+
+
+def _update_adjacency_locked(new_pages_ds, obo_text: str,
+                             adjacency_dir: str, subj_buckets: int,
+                             batch_size: int = 1024,
+                             langs: Optional[list] = ("en",),
+                             k_urls: int = 0,
+                             delta_id: Optional[str] = None) -> dict:
+    """Body of :func:`update_adjacency`; caller holds the store lock."""
     import glob as _glob
     import shutil
 
@@ -310,7 +334,7 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
     # otherwise the delta that plan carried would be double-applied
     tmp_root = os.path.join(adjacency_dir, ".delta_merge_tmp")
     if os.path.exists(os.path.join(tmp_root, "_PLAN")):
-        repair_adjacency(adjacency_dir)
+        _repair_adjacency_locked(adjacency_dir)
     else:
         shutil.rmtree(tmp_root, ignore_errors=True)  # incomplete stage
 
@@ -321,9 +345,14 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
 
     # k_urls schema guard FIRST (one parquet footer, milliseconds) —
     # against ANY existing bucket, not just touched ones, so a delta
-    # landing only in brand-new buckets cannot write mixed schemas
-    any_existing = sorted(_glob.glob(os.path.join(
-        adjacency_dir, "subj_bucket=*", "*.parquet")))
+    # landing only in brand-new buckets cannot write mixed schemas.
+    # Legacy pre-lock stores may hold 'subj_bucket=K.trash' leftovers
+    # that this glob would match — exclude them (current swaps name
+    # trash '.trash.subj_bucket=K', which the glob never matches).
+    any_existing = sorted(
+        f for f in _glob.glob(os.path.join(
+            adjacency_dir, "subj_bucket=*", "*.parquet"))
+        if ".trash" not in f)
     if any_existing:
         import pyarrow.parquet as _pq
 
@@ -422,6 +451,46 @@ def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
 
 
 _DELTA_LEDGER = "_APPLIED_DELTAS"
+_LOCK_FILE = "_LOCK"
+
+
+class _adjacency_lock:
+    """Exclusive inter-process lock on an adjacency store (flock on
+    ``<adjacency_dir>/_LOCK``) held for the whole ledger-check ->
+    merge -> swap -> ledger-commit span of :func:`update_adjacency`
+    and for :func:`repair_adjacency`.  Without it two concurrent runs
+    of the SAME delta_id (a scheduler retry firing while the original
+    is still alive) both see an empty ledger and double-count
+    evidence, and a concurrent unrelated update can rmtree the other
+    run's staging dir — the exactly-once contract assumes one writer,
+    and this makes that assumption mechanical instead of operational.
+    Blocking by default: the loser waits, then re-reads the ledger and
+    no-ops.  flock is advisory, per open-file-description, and
+    released by the kernel on crash — no stale-lock recovery needed.
+    (Caveat shared by every flock user: on NFS<4 or other
+    non-flock-coherent filesystems this degrades to per-node locking;
+    run single-writer per store there.)"""
+
+    def __init__(self, adjacency_dir: str, blocking: bool = True):
+        self._path = os.path.join(adjacency_dir, _LOCK_FILE)
+        self._blocking = blocking
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        self._fh = open(self._path, "a")
+        flags = fcntl.LOCK_EX | (0 if self._blocking else fcntl.LOCK_NB)
+        fcntl.flock(self._fh, flags)   # raises BlockingIOError if NB
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        self._fh = None
 
 
 def applied_delta_ids(adjacency_dir: str) -> list:
@@ -457,7 +526,10 @@ def _apply_swap_plan(adjacency_dir: str, tmp_root: str,
         new = os.path.join(tmp_root, f"subj_bucket={b}")
         if not os.path.isdir(new):
             continue                      # swapped before a crash
-        trash = live + ".trash"
+        # '.'-prefixed so pyarrow dataset discovery ignores it: a plain
+        # read_parquet(adjacency_dir) hitting the crash window must not
+        # hive-parse a trash dir as a partition and double-count bucket b
+        trash = os.path.join(adjacency_dir, f".trash.subj_bucket={b}")
         shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(live):
             os.rename(live, trash)
@@ -481,10 +553,14 @@ def verify_adjacency(adjacency_dir: str, subj_buckets: int) -> dict:
     100TB graph needs before trusting a resume: per bucket dir,
     (a) every row's subject hashes to ITS bucket (misplaced rows break
     khop pruning and incremental merges silently), (b) rows are sorted
-    by (subj, pred, obj) (consumers rely on the range order), and
-    (c) schemas agree across buckets; plus (d) no leftover staging /
-    trash dirs (a pending repair).  Reads bucket-by-bucket with
-    pyarrow — driver memory is one bucket, never the store.
+    by (subj, pred, obj) within each file AND files within a bucket
+    dir cover non-overlapping key ranges (an interleaved multi-file
+    bucket is unsorted to any reader that concatenates in file order),
+    (c) FULL Arrow schemas — names and types — agree across buckets
+    (dtype drift from a bad writer is schema drift too); plus (d) no
+    leftover staging / trash dirs (a pending repair).  Reads
+    bucket-by-bucket with pyarrow — driver memory is one bucket,
+    never the store.
 
     Returns ``{"buckets": n, "rows": n, "problems": [...]}`` —
     empty ``problems`` means clean."""
@@ -493,22 +569,24 @@ def verify_adjacency(adjacency_dir: str, subj_buckets: int) -> dict:
     import pyarrow.parquet as _pq
 
     problems = []
-    schema_names = None
+    ref_schema = None
     n_rows = 0
     bucket_dirs = sorted(_glob.glob(
         os.path.join(adjacency_dir, "subj_bucket=*")))
     bucket_dirs = [d for d in bucket_dirs if not d.endswith(".trash")]
     for d in bucket_dirs:
         b = int(os.path.basename(d).split("=")[1])
+        ranges = []                       # (min_key, max_key, file)
         for f in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
             t = _pq.read_table(f)
             n_rows += t.num_rows
-            names = [c for c in t.column_names if c != "subj_bucket"]
-            if schema_names is None:
-                schema_names = names
-            elif names != schema_names:
-                problems.append(f"schema mismatch in {f}: {names} != "
-                                f"{schema_names}")
+            sch = pa.schema([fld for fld in t.schema
+                             if fld.name != "subj_bucket"])
+            if ref_schema is None:
+                ref_schema = sch
+            elif not sch.equals(ref_schema):
+                problems.append(f"schema mismatch in {f}: {sch} != "
+                                f"{ref_schema}")
             subs = t["subj"].to_pylist()
             bad = [s for s in subs
                    if _subj_bucket_series([s], subj_buckets)[0] != b]
@@ -520,7 +598,20 @@ def verify_adjacency(adjacency_dir: str, subj_buckets: int) -> dict:
                             t["obj"].to_pylist()))
             if keys != sorted(keys):
                 problems.append(f"rows not (subj,pred,obj)-sorted: {f}")
-    for leftover in ("*.trash", ".delta_merge_tmp"):
+            if keys:
+                ranges.append((keys[0], keys[-1], f))
+        # cross-file order within the bucket: sort by min key, assert
+        # ranges don't overlap (order-insensitive, so it holds whatever
+        # the writer's file-naming scheme is)
+        ranges.sort()
+        for (lo_a, hi_a, fa), (lo_b, _hi_b, fb) in zip(ranges,
+                                                       ranges[1:]):
+            if hi_a > lo_b:
+                problems.append(
+                    f"interleaved key ranges within bucket {b}: "
+                    f"{fa} max {hi_a!r} > {fb} min {lo_b!r}")
+    for leftover in ("*.trash", ".trash.subj_bucket=*",
+                     ".delta_merge_tmp"):
         hits = _glob.glob(os.path.join(adjacency_dir, leftover))
         if hits:
             problems.append(
@@ -605,12 +696,22 @@ def repair_adjacency(adjacency_dir: str) -> list:
     2. an incomplete staging dir (no plan: the crash hit during the
        staging write, before any live bucket moved) is deleted — the
        caller re-runs the update from scratch safely;
-    3. any still-stranded ``subj_bucket=K.trash`` whose live dir is
+    3. any still-stranded trash dir (``.trash.subj_bucket=K``, or the
+       legacy pre-lock ``subj_bucket=K.trash`` name) whose live dir is
        missing (crash between the two renames, pre-plan-era layouts)
        is renamed back; a trash beside a live dir is a completed
        swap's leftover and is deleted.
 
-    Returns the bucket dirs this call completed or restored."""
+    Takes the store's exclusive :class:`_adjacency_lock` first — a
+    repair racing a live update would otherwise rmtree its staging
+    dir mid-write.  Returns the bucket dirs this call completed or
+    restored."""
+    with _adjacency_lock(adjacency_dir):
+        return _repair_adjacency_locked(adjacency_dir)
+
+
+def _repair_adjacency_locked(adjacency_dir: str) -> list:
+    """Body of :func:`repair_adjacency`; caller holds the store lock."""
     import glob
     import json as _json
     import shutil
@@ -629,9 +730,16 @@ def repair_adjacency(adjacency_dir: str) -> list:
     else:
         shutil.rmtree(tmp_root, ignore_errors=True)
 
-    for trash in sorted(glob.glob(
-            os.path.join(adjacency_dir, "subj_bucket=*.trash"))):
-        live = trash[:-len(".trash")]
+    stranded = [
+        (t, t[:-len(".trash")]) for t in glob.glob(
+            os.path.join(adjacency_dir, "subj_bucket=*.trash"))
+    ] + [
+        (t, os.path.join(adjacency_dir,
+                         os.path.basename(t)[len(".trash."):]))
+        for t in glob.glob(os.path.join(
+            adjacency_dir, ".trash.subj_bucket=*"))
+    ]
+    for trash, live in sorted(stranded):
         if os.path.isdir(live):
             shutil.rmtree(trash)
         else:

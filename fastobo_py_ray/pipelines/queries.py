@@ -62,23 +62,10 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=None,
     return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kwargs)
 
 
-# per-worker-process cache for broadcast numpy arrays (ObjectRef.hex ->
-# array): zero-copy plasma fetch once per worker, not once per batch —
-# the resolve_index pattern (stages/mentions.py)
-_WORKER_ARRAY_CACHE: dict = {}
-
-
-def _worker_cached_array(ref) -> np.ndarray:
-    import ray
-
-    key = ref.hex()
-    arr = _WORKER_ARRAY_CACHE.get(key)
-    if arr is None:
-        if len(_WORKER_ARRAY_CACHE) >= 4:
-            _WORKER_ARRAY_CACHE.clear()
-        arr = ray.get(ref)
-        _WORKER_ARRAY_CACHE[key] = arr
-    return arr
+# per-worker-process cache for broadcast objects: fetch/deserialize
+# once per worker, not once per batch (shared helper — the
+# resolve_index pattern, stages/mentions.py)
+from ..functions.broadcast import worker_cached as _worker_cached_array  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -4614,7 +4601,11 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     cent = _as_matrix(cdf["embedding"])
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ds.map_batches(_label_stage(cent, "vec_id", "embedding"),
+    # exact=True: direct sum-of-squared-differences, the same
+    # arithmetic form as the oracle's list_distance — the BLAS
+    # expansion form's roundoff can flip argmin on near-tied centroids
+    out = ds.map_batches(_label_stage(cent, "vec_id", "embedding",
+                                      exact=True),
                          batch_format="pandas").to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     out["cluster"] = out["cluster"].astype("int64")

@@ -34,12 +34,30 @@ import pandas as pd
 from .ann import _as_matrix
 
 
-def _assign(m: np.ndarray, cent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def _assign(m: np.ndarray, cent: np.ndarray, exact: bool = False
+            ) -> Tuple[np.ndarray, np.ndarray]:
     """Squared-Euclidean argmin of rows ``m`` against centroids ``cent``
     -> (assignment, squared distance).  The ||m||^2 term is folded in so
-    the reported inertia is the true sum of squared distances."""
-    d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
-          + (cent * cent).sum(axis=1)[None, :])
+    the reported inertia is the true sum of squared distances.
+
+    ``exact=True`` computes the DIRECT sum of squared differences
+    (one k-length loop of ``((m - c)**2).sum``) instead of the BLAS
+    ``||m||^2 - 2mc + ||c||^2`` expansion: the two forms differ in
+    float roundoff, and on near-tied centroids that can flip the
+    argmin relative to an oracle that sums squares directly (DuckDB's
+    ``list_distance``).  Oracle-checked paths (q_kmeans_assign) use
+    the exact form so engine and oracle share arithmetic; the Lloyd
+    iterations keep the expansion (one GEMM, ~d/3x fewer flops —
+    roundoff there only perturbs which near-tied centroid a point
+    refines, not a checked answer)."""
+    if exact:
+        d2 = np.empty((len(m), len(cent)), dtype=np.float64)
+        for j in range(len(cent)):
+            diff = m - cent[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    else:
+        d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ cent.T)
+              + (cent * cent).sum(axis=1)[None, :])
     a = d2.argmin(axis=1)
     return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
 
@@ -109,9 +127,11 @@ def _kmeans_fit(ds, k: int, iters: int, vec_col: str, id_col: str):
     return cent, work, inertia_history
 
 
-def _label_stage(cent, id_col: str, vec_col: str, extra_cols=()):
+def _label_stage(cent, id_col: str, vec_col: str, extra_cols=(),
+                 exact: bool = False):
     """Batch fn assigning rows to broadcast centroids -> (id, [extras],
-    cluster).  Shared by :func:`kmeans` and :func:`semantic_dedup`."""
+    cluster).  Shared by :func:`kmeans` and :func:`semantic_dedup`;
+    ``exact`` selects :func:`_assign`'s oracle-matching distance form."""
     import ray
 
     cent_ref = ray.put(cent)
@@ -123,7 +143,8 @@ def _label_stage(cent, id_col: str, vec_col: str, extra_cols=()):
                    for c in cols}
             out["cluster"] = pd.Series(dtype="int64")
             return pd.DataFrame(out)
-        a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref))
+        a, _ = _assign(_as_matrix(df[vec_col]), ray.get(cent_ref),
+                       exact=exact)
         out = {c: df[c].to_numpy() for c in cols}
         out["cluster"] = a.astype("int64")
         return pd.DataFrame(out)

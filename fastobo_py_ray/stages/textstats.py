@@ -303,8 +303,10 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
     2. score+top-k pass, tiered on the vocabulary row count:
 
        * vocab <= ``df_broadcast_limit`` (common case): the idf table
-         is broadcast ONCE via ``ray.put`` and fetched zero-copy per
-         worker.  Tokenize+score+top-k are FUSED into one batch fn
+         is broadcast ONCE via ``ray.put`` as two aligned numpy
+         arrays and resolved once per WORKER via the per-worker
+         cache (functions/broadcast.py) — never per batch.
+         Tokenize+score+top-k are FUSED into one batch fn
          over whole-document rows (a row can never split across
          batches, so the per-doc top-k is exact — separate tf/score
          stages would let Ray's batch re-slicing split a document's tf
@@ -362,10 +364,16 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
 
     n_vocab = df_tbl.count()
     if n_vocab <= df_broadcast_limit:
-        vocab_pd = df_tbl.to_pandas()
-        idf_ref = ray.put(pd.Series(
-            np.log(n_docs / vocab_pd["df"].to_numpy(dtype="float64")),
-            index=vocab_pd["word"]))
+        vocab_pd = df_tbl.to_pandas().sort_values("word")
+        # broadcast as a SORTED word array + aligned idf array: a
+        # pandas Series is not zero-copy out of plasma, so a per-batch
+        # ray.get would re-deserialize the whole vocabulary each batch;
+        # the per-worker cache (functions/broadcast.py) makes the
+        # fetch+index build once per worker process, and batch lookups
+        # are an O(u log V) searchsorted against the sorted words
+        idf_ref = ray.put((
+            vocab_pd["word"].to_numpy(dtype=object),
+            np.log(n_docs / vocab_pd["df"].to_numpy(dtype="float64"))))
 
         # FUSED tokenize+score+topk over whole-document rows: batch
         # re-slicing can split a doc's TF rows across batches (the r4
@@ -376,8 +384,10 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
         # idf via ONE tiny hashtable probe over the batch vocabulary,
         # per-doc top-k via lexsort + group-offset mask.
         def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import worker_cached
+
             rows, codes, uniques = _tokens(df)
-            idf = ray.get(idf_ref)  # zero-copy after first task
+            words, idf = worker_cached(idf_ref)  # once per worker
             nu = len(uniques)
             if nu == 0:
                 return pd.DataFrame({
@@ -386,8 +396,9 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
                     "score": pd.Series(dtype="float64")})
             uk, tf = np.unique(rows * nu + codes, return_counts=True)
             row_i, code = uk // nu, uk % nu
-            idf_u = idf.to_numpy()[idf.index.get_indexer(
-                pd.Index(uniques))]
+            # every batch word came from the same corpus the df pass
+            # saw, so searchsorted against the sorted vocab is exact
+            idf_u = idf[np.searchsorted(words, uniques)]
             score = (tf * idf_u[code]).round(round_to)
             # word-asc tie-break: lexicographic rank of each unique
             word_rank = np.empty(nu, dtype=np.int64)
