@@ -2816,9 +2816,16 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
     """Per-document zlib compression-ratio quality signal
     (stages/textstats.py:compression_ratio_batch) — batch-local, zero
-    exchanges.  Rows-only: zlib's exact output has no SQL form; the
-    signal's ordering semantics (repetitive << prose << random) are
-    pytest-gated (tests/test_textstats_values.py)."""
+    exchanges.  SQL-ORACLED via a PRECOMPUTED-COLUMN oracle: zlib's
+    output is deterministic given the bytes but has no ANSI-SQL form,
+    so the oracle joins ``md5(text)`` against a ground-truth fixture
+    (tests/fixtures/zlib_lens.parquet) generated straight from the
+    corpus parquet by ``tools/make_compress_fixture.py`` — stdlib
+    zlib only, never through the engine, so batching/plumbing/ratio
+    bugs mismatch and texts missing from the fixture FAIL the row
+    count rather than false-pass.  The signal's ordering semantics
+    (repetitive << prose << random) stay pytest-gated
+    (tests/test_textstats_values.py)."""
     from ..stages.textstats import compression_ratio_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2830,12 +2837,76 @@ def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_ZLIB_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures",
+    "zlib_lens.parquet")
+
+Q_COMPRESS_RATIO_SQL = f"""
+SELECT d.doc_id, f.compress_ratio
+FROM documents d
+JOIN read_parquet('{_ZLIB_FIXTURE}') f ON md5(d.text) = f.text_md5
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Banded simhash near-dup pairs (stages/dedup.py:simhash_pairs):
+    """Banded signature near-dup pairs (stages/dedup.py:simhash_pairs):
     EXACT retrieval for hamming <= 3 by pigeonhole over 4 x 16-bit
-    bands.  Rows-only (siphash signatures have no SQL form); set
-    equality vs the brute-force all-pairs scan is pytest-gated
-    (tests/test_dedup_ann.py)."""
+    bands.  SQL-ORACLED end to end in the replicable-signature regime:
+    the signature here is ``(md5_63(doc_id // 8) & ~7) | (doc_id % 8)``
+    — bit-identical in DuckDB (``md5_number_lower`` = little-endian
+    int of md5 digest bytes 8..16, verified) — so the WHOLE retrieval
+    machinery (identical-sig collapse exchange, banding, bucket
+    exchange, XOR-popcount verify, cross-band pair dedup) is checked
+    against a brute-force ``bit_count(xor(...))`` self-join; every
+    8-doc id-group forms a hamming<=3 clique, so the oracle exercises
+    hamming 1, 2 and 3.  The production TEXT-simhash signature keeps
+    its own entry (q_simhash_pairs_text, rows-only) plus the
+    brute-force set-equality pytest (tests/test_dedup_ann.py)."""
+    import hashlib
+
+    from ..stages.dedup import simhash_pairs
+
+    def add_sig(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        uniq, inv = np.unique((ids // 8).astype(str), return_inverse=True)
+        base = np.array([int.from_bytes(
+            hashlib.md5(s.encode()).digest()[8:], "little")
+            for s in uniq], dtype=np.uint64)[inv]
+        sig = ((base & np.uint64(0x7FFFFFFFFFFFFFF8))
+               | (ids.astype(np.uint64) & np.uint64(7)))
+        return pd.DataFrame({"doc_id": ids,
+                             "sig": sig.astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(add_sig, batch_format="pandas")
+    out = simhash_pairs(ds, sig_col="sig", max_hamming=3).to_pandas()
+    for c in ("doc_a", "doc_b", "hamming"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_SIMHASH_PAIRS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST((md5_number_lower(CAST(doc_id // 8 AS VARCHAR))
+               & 9223372036854775800)
+              | CAST(doc_id % 8 AS UBIGINT) AS BIGINT) AS sig
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash_pairs_text(sf_dir: str) -> pd.DataFrame:
+    """Banded TEXT-simhash near-dup pairs — the production signature
+    (stages/dedup.py:simhash64_batch).  Rows-only (siphash signatures
+    have no SQL form); set equality vs the brute-force all-pairs scan
+    is pytest-gated (tests/test_dedup_ann.py), and the retrieval
+    machinery itself is SQL-oracled via q_simhash_pairs."""
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4712,6 +4783,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_pairs_text": q_simhash_pairs_text,
         "q_compress_ratio": q_compress_ratio,
         "q_fingerprint": q_fingerprint,
         "q_langid": q_langid,
@@ -4885,4 +4957,14 @@ def oracles() -> Dict[str, str]:
         # langid's Latin-regime reduction (the script vote never fires
         # on the all-ASCII driver corpus) IS SQL-expressible:
         "q_langid": _langid_sql(),
+        # banded retrieval in the replicable-signature regime: the
+        # md5-derived signature is bit-identical in DuckDB, so the
+        # brute-force bit_count(xor) self-join checks the whole
+        # collapse/band/verify/dedup machinery (q_simhash_pairs_text
+        # keeps the production siphash signature, rows-only):
+        "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
+        # precomputed-column oracle: zlib lengths are deterministic
+        # constants of the bytes, generated corpus-direct by
+        # tools/make_compress_fixture.py (see q_compress_ratio doc):
+        "q_compress_ratio": Q_COMPRESS_RATIO_SQL,
     }

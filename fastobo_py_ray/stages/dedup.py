@@ -730,9 +730,21 @@ def embedding_near_dup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 # passage-level exact dedup (sub-document granularity)
 # ---------------------------------------------------------------------------
 
+def _hamming64(ha: np.ndarray, hb: np.ndarray) -> np.ndarray:
+    """Vectorized XOR-popcount between two int64 signature arrays."""
+    x = ha.astype(np.uint64) ^ hb.astype(np.uint64)
+    ham = np.zeros(len(x), dtype=np.int64)
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return ham
+
+
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, num_bands: int = 4,
-                  max_bucket_size: int = 2000):
+                  max_bucket_size: int = 2000, sig_col: str = None,
+                  output: str = "pairs", max_clique_pairs: int = 25_000_000,
+                  on_hot_bucket: str = "error"):
     """SimHash near-dup PAIRS with EXACT retrieval for
     ``hamming <= num_bands - 1``: the 63 signature bits are split into
     ``num_bands`` bands and candidates bucket on (band, band-value) —
@@ -740,23 +752,41 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     must agree on at least one whole band, so banding misses NOTHING
     at ``max_hamming <= num_bands - 1`` (exactness pytest-gated vs
     brute force; default 4 bands / hamming 3).  Verification is a
-    vectorized XOR-popcount.
+    vectorized XOR-popcount.  ``sig_col`` supplies a precomputed
+    int64 signature column instead of hashing ``text_col`` (the
+    SQL-oracle regime of q_simhash_pairs uses a DuckDB-replicable
+    signature so the whole retrieval machinery is oracle-checked).
 
-    Scale shape: per-batch signatures (one siphash pass), a
-    (band, value)-keyed exchange whose groups self-merge in C with a
-    ``max_bucket_size`` hot-bucket cap, then one pair-keyed exchange
-    deduping the <=num_bands copies of each pair.  Returns
-    ``(doc_a, doc_b, hamming)``, ids ordered.
+    Identical signatures COLLAPSE FIRST (one h-keyed exchange): an
+    m-document exact-duplicate clique becomes ONE representative row
+    before banding, so mega-cliques can never inflate a band bucket —
+    the non-monotone pair counts the r4 5M rehearsal measured (78.0M
+    pairs at 500k docs vs 6.2M at 5M, silent bucket drops) are
+    structurally impossible now.  Within-clique edges are emitted at
+    the collapse:
 
-    Duplicate-clique caveat (measured in the 5M rehearsal,
-    BASELINE.md): an m-document exact-duplicate clique shares every
-    band, so PAIR enumeration is inherently O(m^2) — the cap bounds
-    task memory by DROPPING buckets larger than ``max_bucket_size``
-    (recall loss on mega-cliques, never an OOM).  When the goal is
-    clustering rather than the explicit pair list, use
-    :func:`minhash_dedup`'s star-edge representation (O(m) per
-    clique) or run :func:`exact_dedup` first so identical documents
-    collapse before hamming search.
+    * ``output="pairs"`` (default): the full C(m,2) hamming-0 pair
+      list per clique — exact enumeration; a clique whose pair count
+      exceeds ``max_clique_pairs`` RAISES (pointing here) instead of
+      truncating, because the blowup is inherent to the exact output.
+    * ``output="star"``: O(m) star edges (min-id hub -> member,
+      hamming 0) per clique, and cross-signature matches emit one
+      representative-representative edge — every emitted edge is a
+      true <=``max_hamming`` pair and the transitive closure equals
+      the exact pair graph's (pytest-gated), which is what clustering
+      consumers need; this is the 100-TB mode.
+
+    Scale shape: per-batch signatures (one siphash pass), the h-keyed
+    collapse exchange, banding over DISTINCT signatures only, a
+    (band, value)-keyed exchange whose groups self-merge in C, then
+    one pair-keyed exchange deduping the <=num_bands copies of each
+    cross-signature pair (pairs mode carries each signature's member
+    ids through banding and expands matched signature pairs to member
+    pairs inside the bucket task).  No silent caps: a band bucket
+    holding more than ``max_bucket_size`` DISTINCT signatures raises
+    by default (``on_hot_bucket="error"``); pass ``"drop"`` to trade
+    recall for memory explicitly.  Returns ``(doc_a, doc_b,
+    hamming)``, ids ordered.
     """
     from ..functions.relops import grouped_agg, grouped_map
 
@@ -764,51 +794,174 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError(
             f"banding is exact only for max_hamming <= num_bands - 1 "
             f"({num_bands - 1}); got {max_hamming}")
+    if output not in ("pairs", "star"):
+        raise ValueError(f"output must be 'pairs' or 'star': {output!r}")
+    if on_hot_bucket not in ("error", "drop"):
+        raise ValueError(f"on_hot_bucket must be 'error' or 'drop': "
+                         f"{on_hot_bucket!r}")
     width = 64 // num_bands
+    star = output == "star"
 
-    def sign_and_band(df: pd.DataFrame) -> pd.DataFrame:
-        h = simhash64_batch(df[text_col]).astype(np.uint64)
-        ids = df[id_col].to_numpy()
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        if sig_col is not None:
+            h = df[sig_col].to_numpy().astype(np.int64)
+        else:
+            h = simhash64_batch(df[text_col])
+        return pd.DataFrame({"doc": df[id_col].to_numpy(), "h": h})
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+
+    # --- collapse identical signatures: one row per distinct h, plus
+    # the within-clique edges (star or full enumeration) --------------
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["h", "doc"], kind="stable")
+        h = g["h"].to_numpy()
+        docs = g["doc"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        sizes = np.diff(np.r_[starts, len(h)])
+        reps = docs[starts]               # min doc id per clique
+        out_a, out_b = [], []
+        if star:
+            # O(m) star edges per clique
+            hub = np.repeat(reps, sizes)
+            keep = hub != docs
+            out_a.append(hub[keep])
+            out_b.append(docs[keep])
+        else:
+            n_pairs = (sizes.astype(np.int64) *
+                       (sizes.astype(np.int64) - 1)) // 2
+            too_big = n_pairs > max_clique_pairs
+            if too_big.any():
+                m = int(sizes[too_big].max())
+                raise ValueError(
+                    f"simhash_pairs(output='pairs'): an identical-"
+                    f"signature clique of {m} documents needs "
+                    f"{m * (m - 1) // 2} pairs (> max_clique_pairs="
+                    f"{max_clique_pairs}); the exact pair list is "
+                    f"inherently O(m^2) — use output='star' (O(m), "
+                    f"same transitive closure) or raise the limit")
+            for s, z in zip(starts[sizes > 1], sizes[sizes > 1]):
+                mem = docs[s:s + z]
+                ia, ib = np.triu_indices(z, k=1)
+                out_a.append(mem[ia])
+                out_b.append(mem[ib])
+        if out_a:
+            ea, eb = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            ea = eb = docs[:0]
+        # single frame, two row kinds, with every column FILLED on both
+        # kinds (same-dtype placeholders, never NaN — a NaN hole would
+        # promote int64 doc ids to float64 across the pd.concat)
+        edges = pd.DataFrame({
+            "kind": np.repeat("edge", len(ea)),
+            "doc_a": ea, "doc_b": eb,
+            "hamming": np.zeros(len(ea), dtype=np.int64),
+            "h": np.zeros(len(ea), dtype=np.int64),
+            "rep": ea})
+        sig_rows = pd.DataFrame({
+            "kind": np.repeat("sig", len(reps)),
+            "doc_a": reps, "doc_b": reps,
+            "hamming": np.zeros(len(reps), dtype=np.int64),
+            "h": h[starts], "rep": reps})
+        if not star:
+            # carry the member ids (ids only, never text) so a matched
+            # signature pair can expand to member pairs in-bucket
+            edges["members"] = [docs[:0]] * len(edges)
+            sig_rows["members"] = [docs[s:s + z]
+                                   for s, z in zip(starts, sizes)]
+        return pd.concat([edges, sig_rows], ignore_index=True)
+
+    # materialize the skinny post-collapse stream (ids + signatures
+    # only, never text — a small fraction of corpus bytes, spillable):
+    # it has TWO consumers below, and without pinning the blocks each
+    # would re-execute the full sign+collapse lineage
+    collapsed = grouped_map(signed, "h", collapse,
+                            num_buckets=32).materialize()
+    clique_edges = collapsed.map_batches(
+        lambda df: df.loc[df["kind"] == "edge",
+                          ["doc_a", "doc_b", "hamming"]],
+        batch_format="pandas")
+    sigs = collapsed.map_batches(
+        lambda df: df.loc[df["kind"] == "sig",
+                          ["h", "rep"] + (["members"] if not star
+                                          else [])],
+        batch_format="pandas")
+
+    # --- band DISTINCT signatures -------------------------------------
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy().astype(np.int64).astype(np.uint64)
         n = len(df)
-        rows_id = np.tile(ids, num_bands)
-        rows_h = np.tile(h.astype(np.int64), num_bands)
-        band = np.repeat(np.arange(num_bands, dtype=np.int64), n)
-        val = np.concatenate([
-            ((h >> np.uint64(b * width))
-             & np.uint64((1 << width) - 1)).astype(np.int64)
-            for b in range(num_bands)])
-        return pd.DataFrame({
-            "bkey": band * (1 << width) + val,
-            "doc": rows_id, "h": rows_h})
+        parts = {
+            "bkey": np.concatenate([
+                b * (1 << width) + ((h >> np.uint64(b * width))
+                                    & np.uint64((1 << width) - 1))
+                .astype(np.int64)
+                for b in range(num_bands)]) if n else
+            np.empty(0, dtype=np.int64),
+            "h": np.tile(h.astype(np.int64), num_bands),
+            "rep": np.tile(df["rep"].to_numpy(), num_bands)}
+        if not star:
+            parts["members"] = np.tile(
+                df["members"].to_numpy(dtype=object), num_bands)
+        return pd.DataFrame(parts)
 
-    banded = ds.map_batches(sign_and_band, batch_format="pandas")
+    banded = sigs.map_batches(band, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df
-        cnt = sub.groupby("bkey", sort=False)["doc"].transform("size")
-        sub = sub[cnt <= max_bucket_size]
-        m = sub.merge(sub, on="bkey", suffixes=("_a", "_b"))
-        m = m[m["doc_a"] < m["doc_b"]]
+        empty = pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "hamming": pd.Series(dtype="int64")})
+        cnt = df.groupby("bkey", sort=False)["rep"].transform("size")
+        if (cnt > max_bucket_size).any():
+            if on_hot_bucket == "error":
+                raise ValueError(
+                    f"simhash_pairs: a band bucket holds "
+                    f"{int(cnt.max())} DISTINCT signatures (> "
+                    f"max_bucket_size={max_bucket_size}); candidate "
+                    f"verification is quadratic in that count — raise "
+                    f"max_bucket_size or pass on_hot_bucket='drop' to "
+                    f"trade recall for memory explicitly")
+            df = df[cnt <= max_bucket_size]
+        cols = ["bkey", "h", "rep"] + ([] if star else ["members"])
+        m = df[cols].merge(df[cols], on="bkey", suffixes=("_a", "_b"))
+        m = m[m["rep_a"] < m["rep_b"]]
         if m.empty:
-            return pd.DataFrame({
-                "doc_a": pd.Series(dtype=df["doc"].dtype),
-                "doc_b": pd.Series(dtype=df["doc"].dtype),
-                "hamming": pd.Series(dtype="int64")})
-        x = m["h_a"].to_numpy().astype(np.uint64) \
-            ^ m["h_b"].to_numpy().astype(np.uint64)
-        ham = np.zeros(len(m), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
+            return empty
+        ham = _hamming64(m["h_a"].to_numpy(), m["h_b"].to_numpy())
         m = m.assign(hamming=ham)
-        m = m[m["hamming"] <= max_hamming]
-        return m[["doc_a", "doc_b", "hamming"]] \
+        # distinct signatures: hamming >= 1 always, <= max kept
+        m = m[m["hamming"] <= max_hamming] \
+            .drop_duplicates(["rep_a", "rep_b"])
+        if m.empty:
+            return empty
+        if star:
+            return m.rename(columns={"rep_a": "doc_a",
+                                     "rep_b": "doc_b"})[
+                ["doc_a", "doc_b", "hamming"]]
+        # pairs mode: expand each matched signature pair to the full
+        # member cross product (the hamming between any two member
+        # docs IS the signature hamming)
+        out_a, out_b, out_h = [], [], []
+        for ma, mb, hv in zip(m["members_a"], m["members_b"],
+                              m["hamming"]):
+            a = np.repeat(np.asarray(ma), len(mb))
+            b = np.tile(np.asarray(mb), len(ma))
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_h.append(np.full(len(a), hv, dtype=np.int64))
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h)}) \
             .drop_duplicates(["doc_a", "doc_b"])
 
     pairs = grouped_map(banded, "bkey", bucket_pairs, num_buckets=32)
-    # a pair can surface from up to num_bands bands -> global dedup
-    return grouped_agg(pairs, ["doc_a", "doc_b"],
-                       hamming=("hamming", "min"))
+    # a signature pair can surface from up to num_bands bands -> dedup,
+    # then union the (already-unique) within-clique edges
+    cross = grouped_agg(pairs, ["doc_a", "doc_b"],
+                        hamming=("hamming", "min"))
+    return cross.union(clique_edges)
 
 
 def meta_blocking_pairs(ds, id_col: str = "doc_id",

@@ -491,6 +491,86 @@ def test_simhash_pairs_exact_at_low_hamming(ray_session):
         simhash_pairs(rd.from_pandas(df), max_hamming=4, num_bands=4)
 
 
+def _cc_labels(n, pairs):
+    lab = list(range(n))
+
+    def find(x):
+        while lab[x] != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        lab[ra] = rb
+    comps = {}
+    for i in range(n):
+        comps.setdefault(find(i), set()).add(i)
+    return {frozenset(c) for c in comps.values()}
+
+
+def test_simhash_pairs_cliques_star_and_guards(ray_session):
+    """Identical-text cliques: pairs mode enumerates every C(m,2)
+    hamming-0 pair exactly; star mode emits O(m) edges that are each a
+    true <=max_hamming pair AND whose transitive closure equals the
+    exact pair graph's; the mega-clique and hot-bucket guards RAISE
+    instead of silently dropping (the r4 'no silent caps' finding)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import simhash64_batch, simhash_pairs
+
+    base = ("streaming batches of arrow blocks flow through the object "
+            "store while actors vote on signature bits all night long")
+    words = base.split()
+    texts = [base] * 7                       # a 7-member exact clique
+    for i in range(40):
+        w = list(words)
+        w[i % len(w)] = f"tok{i % 6}"
+        texts.append(" ".join(w))
+    texts += [texts[9]] * 3                  # second clique, m=4
+    df = pd.DataFrame({"doc_id": range(len(texts)),
+                       "text": pd.Series(texts, dtype="string")})
+    n = len(df)
+
+    h = simhash64_batch(df["text"]).astype(np.uint64)
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = int(bin(int(h[i] ^ h[j])).count("1"))
+            if d <= 3:
+                want[(i, j)] = d
+    assert sum(1 for v in want.values() if v == 0) >= 21 + 6
+
+    got = simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got_set = {(int(a), int(b)): int(hv) for a, b, hv in
+               zip(got["doc_a"], got["doc_b"], got["hamming"])}
+    assert got_set == want                   # pairs mode: exact
+
+    st = simhash_pairs(rd.from_pandas(df), max_hamming=3,
+                       output="star").to_pandas()
+    st_set = {(int(a), int(b)): int(hv) for a, b, hv in
+              zip(st["doc_a"], st["doc_b"], st["hamming"])}
+    # every star edge is a true pair with the true hamming ...
+    assert all(want.get(k) == v for k, v in st_set.items())
+    # ... and the transitive closures agree
+    assert _cc_labels(n, st_set) == _cc_labels(n, want)
+
+    with pytest.raises(ValueError, match="max_clique_pairs"):
+        simhash_pairs(rd.from_pandas(df), max_hamming=3,
+                      max_clique_pairs=5).to_pandas()
+    with pytest.raises(Exception, match="max_bucket_size"):
+        simhash_pairs(rd.from_pandas(df), max_hamming=3,
+                      max_bucket_size=1).to_pandas()
+    # the explicit recall/memory trade still works
+    dropped = simhash_pairs(rd.from_pandas(df), max_hamming=3,
+                            max_bucket_size=1,
+                            on_hot_bucket="drop").to_pandas()
+    assert set(map(tuple, dropped[["doc_a", "doc_b"]].to_numpy())) \
+        <= set(want)
+
+
 def test_meta_blocking_wnp_and_string_ids(ray_session):
     """WNP prunes below-endpoint-average edges (crafted graph) and the
     operator preserves string doc ids end to end."""

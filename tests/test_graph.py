@@ -46,6 +46,22 @@ def test_distributed_descendants_matches_driver(ray_session):
         assert descendants_ds(ds, [root]) == descendants(edges, root)
 
 
+def test_descendants_ds_max_frontier_guard(ray_session):
+    """The driver-unioned expansion is bounded: exceeding max_frontier
+    raises (pointing at the distributed CC path) instead of silently
+    materializing a corpus-scale closure on the driver."""
+    import pytest
+    import ray.data as rd
+
+    onto = load(MS_OBO).ontology
+    edges = isa_edges(onto)
+    ds = rd.from_arrow(pa.table({
+        "subj": [c for c, _ in edges],
+        "obj": [p for _, p in edges]}))
+    with pytest.raises(ValueError, match="max_frontier"):
+        descendants_ds(ds, ["MS:1000031"], max_frontier=5)
+
+
 def test_pagerank_modes_match_dense_reference(ray_session):
     """Broadcast and join tiers both EXACTLY equal a pure-Python
     fixed-point power iteration (integer units of 1e-12), on a graph
