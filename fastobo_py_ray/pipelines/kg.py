@@ -95,7 +95,8 @@ def annotate_pages(pages_ds, index_ref, emit: str = "triples",
 
 
 def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
-                  collect_urls: int = 0):
+                  collect_urls: int = 0, scale_tier: str = "auto",
+                  distinct_tier_threshold: int = 100_000):
     """S8 — exact dedup with evidence aggregation.
 
     Combiner pattern: per-batch partial counts (one row per distinct triple
@@ -111,6 +112,31 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
     min-merge is order-independent, so results don't depend on block
     arrival order), giving the SURVEY §1.2 adjacency
     ``urls:list<string>`` column at a bounded per-key cost.
+
+    TWO reduce tiers, parity-tested value-identical
+    (tests/test_kg_pipeline.py), both emitting globally
+    (subj, pred, obj)-sorted output:
+
+    * ``"sort_groupby"`` — Ray's sort-based groupby: ONE exchange that
+      reduces AND range-orders.  Its per-distinct-group Python
+      dispatch (~0.1 ms/group measured) is ideal while the distinct
+      triple space stays ontology-bounded (the common KG case).
+    * ``"grouped_agg"`` — coarse hash-bucket exchange with C-speed
+      in-bucket pandas reduction (functions/relops.grouped_map shape)
+      followed by an explicit range sort: two exchanges, NO per-group
+      Python, the tier for open-world ontologies whose distinct
+      triple space outgrows the ontology-bounded case (measured,
+      BASELINE.md / tools/rehearse_dedup_tiers.py: crossover at
+      ~10-20k distinct with url collection on; 4.7x at 50k, 13x at
+      200k, and sort-groupby is unusable at 10^6+).
+    * ``"auto"`` (default): the partials are materialized (pre-reduced,
+      KB-scale per input block — a small spillable fraction of corpus
+      bytes) and the tier picked by comparing their row count, an
+      upper bound on distinct triples, to ``distinct_tier_threshold``
+      (default 100k partial rows: comfortably above the headline
+      corpus's ~13k block-diluted partials, below the measured
+      degradation band — overestimation only errs toward the tier
+      with no per-group cost).
 
     Output: (subj, pred, obj, n_evidence, confidence=max[, urls]).
     """
@@ -133,9 +159,20 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
         return df.groupby(["subj", "pred", "obj"], as_index=False).agg(
             **aggs)
 
+    if scale_tier not in ("auto", "sort_groupby", "grouped_agg"):
+        raise ValueError(f"scale_tier must be auto|sort_groupby|"
+                         f"grouped_agg: {scale_tier!r}")
+
     partials = triples_ds.map_batches(partial, batch_format="pandas")
     if num_partitions:
         partials = partials.repartition(num_partitions)
+    if scale_tier == "auto":
+        partials = partials.materialize()
+        scale_tier = ("grouped_agg"
+                      if partials.count() > distinct_tier_threshold
+                      else "sort_groupby")
+    if scale_tier == "grouped_agg":
+        return _dedup_triples_grouped_agg(partials, k)
     aggs = [Sum("n_evidence", alias_name="n_evidence"),
             Max("confidence", alias_name="confidence")]
     if k:
@@ -156,10 +193,8 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
     # sort elision rides that order (tripwire-asserted downstream). Its
     # per-distinct-group Python cost (~0.1 ms) is fine while the triple
     # space stays ontology-bounded (the pre-reduce above already
-    # collapsed corpus volume); for an ontology whose distinct-triple
-    # space reaches ~10^6+, switch to grouped_agg + an explicit sort
-    # (two exchanges, no per-group Python) — crossover ~100s of
-    # group-dispatch per million distinct triples.
+    # collapsed corpus volume); scale_tier="auto" dispatches to
+    # _dedup_triples_grouped_agg past distinct_tier_threshold.
     out = partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
     if k:
         # pyarrow batch fn: ragged Python lists in a PANDAS block break
@@ -167,6 +202,69 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
         # variable-shaped tensor); building the list<string> column in
         # Arrow keeps every later stage (bucket map, parquet write)
         # zero-copy-safe
+        def split_urls(t: pa.Table) -> pa.Table:
+            lists = [s.split("\x1f") if s else []
+                     for s in t["urls"].to_pylist()]
+            return t.drop_columns(["urls"]).append_column(
+                "urls", pa.array(lists, pa.list_(pa.string())))
+
+        out = out.map_batches(split_urls, batch_format="pyarrow")
+    return out
+
+
+def _dedup_triples_grouped_agg(partials, k: int):
+    """The >=10^6-distinct-triples reduce tier of :func:`dedup_triples`
+    (see its docstring): coarse hash-bucket exchange + C-speed pandas
+    reduction per bucket, then one explicit range sort so the output
+    order contract matches the sort-groupby tier (the adjacency
+    writer's sort-elision tripwire rides it).
+
+    No per-group Python in the reduce: sums/maxes are pandas C
+    kernels; the urls merge explodes the joined partial strings,
+    dedups + sorts + head-k's in C (cumcount), and the final per-key
+    join costs one O(<=k)-element ``str.join`` per DISTINCT triple —
+    ~1 us/group in-task, 5 orders below the ~0.1 ms/group exchange
+    dispatch this tier exists to avoid, and parallel across buckets.
+    A bucket holds every partial of its keys (grouped_map contract),
+    so head-k per bucket IS the global lexicographic head-k.
+    """
+    from ..functions.relops import grouped_map
+
+    keys = ["subj", "pred", "obj"]
+
+    def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False, sort=False).agg(
+            n_evidence=("n_evidence", "sum"),
+            confidence=("confidence", "max"))
+        # Ray's Max aggregate (the sort-groupby tier) widens to
+        # float64; match it so the tiers are schema-identical
+        out["confidence"] = out["confidence"].astype("float64")
+        if k:
+            e = df.loc[:, keys].copy()
+            e["url"] = df["urls"].str.split("\x1f")
+            e = e.explode("url", ignore_index=True)
+            e = e[e["url"].notna() & (e["url"] != "")] \
+                .drop_duplicates(keys + ["url"]) \
+                .sort_values(keys + ["url"], kind="stable")
+            e = e[e.groupby(keys, sort=False).cumcount() < k]
+            codes = e.groupby(keys, sort=False).ngroup().to_numpy()
+            if len(e):
+                starts = np.flatnonzero(
+                    np.r_[True, codes[1:] != codes[:-1]])
+                bounds = np.r_[starts, len(e)]
+                urls_arr = e["url"].to_numpy()
+                u = e.iloc[starts][keys].assign(
+                    urls=["\x1f".join(urls_arr[a:b])
+                          for a, b in zip(bounds[:-1], bounds[1:])])
+                out = out.merge(u, on=keys, how="left")
+                out["urls"] = out["urls"].fillna("")
+            else:
+                out["urls"] = ""
+        return out
+
+    out = grouped_map(partials, keys, bucket_reduce, num_buckets=64) \
+        .sort(keys)
+    if k:
         def split_urls(t: pa.Table) -> pa.Table:
             lists = [s.split("\x1f") if s else []
                      for s in t["urls"].to_pylist()]

@@ -81,6 +81,43 @@ def test_dedup_collect_urls(ray_session):
         assert n == cnt and 1 <= len(urls) <= 2
 
 
+def test_dedup_triples_tier_parity(ray_session):
+    """The grouped_agg reduce tier (>=10^6-distinct-triples shape) is
+    VALUE-IDENTICAL to the sort-groupby tier — counts, confidences,
+    head-k url samples and the global (subj,pred,obj) output order —
+    on a synthetic corpus with multi-partial triples, url ties and
+    more urls than k; and auto-tier dispatches by partial row count."""
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines.kg import annotate_pages, prepare_index
+    import ray
+
+    index_ref = ray.put(prepare_index(MINI_OBO))
+
+    def run(tier, **kw):
+        triples = annotate_pages(
+            rd.from_arrow(golden_pages_table()).repartition(4),
+            index_ref, emit="triples", batch_size=3)
+        df = dedup_triples(triples, collect_urls=2, scale_tier=tier,
+                           **kw).to_pandas()
+        df["urls"] = df["urls"].map(list)
+        return df.reset_index(drop=True)
+
+    small = run("sort_groupby")
+    big = run("grouped_agg")
+    pd.testing.assert_frame_equal(small, big)
+    # output of the big tier is globally sorted (the adjacency
+    # writer's sort-elision tripwire rides this)
+    keys = list(zip(big["subj"], big["pred"], big["obj"]))
+    assert keys == sorted(keys)
+    # auto with a tiny threshold dispatches to the big tier
+    forced_auto = run("auto", distinct_tier_threshold=1)
+    pd.testing.assert_frame_equal(small, forced_auto)
+    import pytest
+    with pytest.raises(ValueError, match="scale_tier"):
+        run("bogus")
+
+
 def test_adjacency_written_sorted(ray_session, tmp_path):
     """materialize_adjacency(presorted=True) relies on Ray Data's
     groupby-aggregate emitting globally range-ordered output over the group
