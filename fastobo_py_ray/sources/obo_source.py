@@ -77,7 +77,12 @@ def read_obo_frames(path: str, num_blocks: int = 8):
         t = t.append_column("doc_order", pa.array([], pa.int64()))
         return rd.from_arrow(t)
     per = max(1, (len(frames) + num_blocks - 1) // num_blocks)
-    chunks = [{"start": i, "chunk": "\n".join(frames[i:i + per])}
+    # header-first semantics (src/iter.rs:184-195): every chunk parses
+    # WITH the (tiny, shared) header so header-derived frame columns
+    # (default-namespace fill of ``namespace``) match the whole-doc
+    # parse exactly — asserted by the 300k-frame full-table parity test
+    prefix = header_text + "\n\n" if header_text.strip() else ""
+    chunks = [{"start": i, "chunk": prefix + "\n".join(frames[i:i + per])}
               for i in range(0, len(frames), per)]
     ds = rd.from_items(chunks)
 
