@@ -405,7 +405,7 @@ def _bucket_ids(df: pd.DataFrame, keys: List[str],
 
 
 def grouped_map(ds, keys: Union[str, List[str]], bucket_fn,
-                num_buckets: int = 64):
+                num_buckets: int = 64, exchange: str = "pandas"):
     """High-cardinality groupby-apply: coarse hash-bucket shuffle, then a
     C-speed pandas groupby inside each bucket task.
 
@@ -424,8 +424,37 @@ def grouped_map(ds, keys: Union[str, List[str]], bucket_fn,
     ``keys``. ``num_buckets`` is the parallelism/skew knob — size it to
     the cluster's core count; per-key skew inside a bucket is bounded by
     the hottest single key, same as any hash exchange.
+
+    ``exchange`` selects the BLOCK FORMAT the shuffle moves:
+    ``"pandas"`` (default) ships pandas blocks — object-string columns
+    cost ~2-3x Arrow memory on fat text; ``"pyarrow"`` tags and
+    exchanges Arrow blocks (bucket ids computed from the KEY columns
+    only — the fat payload columns never convert) and converts to
+    pandas only inside each bucket task, so ``bucket_fn`` is unchanged.
+    Measured A/B in BASELINE.md (passage_dedup / minhash verify);
+    note an object-dtype string column comes back from Arrow as
+    object, not pandas ``string`` — bucket_fns here don't care.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+
+    if exchange == "pyarrow":
+        import pyarrow as pa
+
+        def tag_a(t: "pa.Table") -> "pa.Table":
+            b = _bucket_ids(t.select(keys).to_pandas(), keys,
+                            num_buckets)
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+        def run_a(t: "pa.Table") -> "pa.Table":
+            df = t.drop_columns(["__bucket"]).to_pandas()
+            return pa.Table.from_pandas(typed_empty(bucket_fn(df)),
+                                        preserve_index=False)
+
+        return ds.map_batches(tag_a, batch_format="pyarrow") \
+                 .groupby("__bucket") \
+                 .map_groups(run_a, batch_format="pyarrow")
+    if exchange != "pandas":
+        raise ValueError(f"exchange must be pandas|pyarrow: {exchange!r}")
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -384,7 +384,7 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 64, bands: int = 16,
                   jaccard_threshold: float = 0.8, seed: int = 42,
                   max_bucket_size: Optional[int] = 1000,
-                  num_join_buckets: int = 32):
+                  num_join_buckets: int = 32, exchange: str = "pandas"):
     """Full near-dup pipeline, fully distributed — no document text ever
     lands on the driver:
 
@@ -500,7 +500,8 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     from ..functions.relops import grouped_map
 
     edges = grouped_map(joined, ["ka", "kb"], verify_bucket,
-                        num_buckets=num_join_buckets).materialize()
+                        num_buckets=num_join_buckets,
+                        exchange=exchange).materialize()
     if edges.count() == 0:
         return _empty()
 
@@ -1071,7 +1072,8 @@ def meta_blocking_pairs(ds, id_col: str = "doc_id",
 
 
 def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                  passage_words: int = 16, num_buckets: int = 64):
+                  passage_words: int = 16, num_buckets: int = 64,
+                  exchange: str = "pandas"):
     """Passage-level EXACT dedup — the sub-document granularity large web
     curation pipelines apply after document-level dedup (boilerplate
     paragraphs, license blocks, navigation text repeated across pages).
@@ -1140,9 +1142,9 @@ def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     passages = ds.map_batches(explode, batch_format="pandas")
     marked = grouped_map(passages, "passage", mark,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, exchange=exchange)
     return grouped_map(marked, id_col, reassemble,
-                       num_buckets=num_buckets)
+                       num_buckets=num_buckets, exchange=exchange)
 
 
 # ---------------------------------------------------------------------------
