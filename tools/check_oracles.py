@@ -2,7 +2,14 @@
 entry and its DuckDB oracle side by side; compare row count, sorted-column
 schema, and order-insensitive values. Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, per-entry results are also written in the driver's
+CORRECTNESS_r{N}.json schema (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err; rows-only entries carry
+err="no_oracle" like the driver's sweep) so a full self-sweep can be
+committed as CORRECTNESS_SELF_r{N}.json and diffed against the
+driver's sample.
 """
 
 from __future__ import annotations
@@ -34,8 +41,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    results = {}
 
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -57,24 +71,39 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        def record(rows_match=None, schema_match=None, hash_match=None,
+                   spark_rows=None, oracle_rows=None, err=None):
+            results[name] = {
+                "rows_match": rows_match, "schema_match": schema_match,
+                "hash_match": hash_match, "spark_rows": spark_rows,
+                "oracle_rows": oracle_rows, "err": err}
+
         try:
             got = to_df(fn(sf))
         except Exception as exc:
             print(f"FAIL {name}: query raised {exc!r}")
+            record(err=f"query raised: {exc!r}"[:300])
             failures += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok   {name}: rows-only, {len(got)} rows  [{dt:.1f}s]")
+            record(spark_rows=len(got), err="no_oracle")
             continue
         exp = con.execute(sqls[name]).df()
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            record(rows_match=len(g) == len(e), schema_match=False,
+                   spark_rows=len(g), oracle_rows=len(e),
+                   err="schema mismatch")
             failures += 1
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            record(rows_match=False, schema_match=True,
+                   spark_rows=len(g), oracle_rows=len(e),
+                   err="row count mismatch")
             failures += 1
             continue
         # the driver's compare HASHES values, so dtype kind matters:
@@ -86,16 +115,29 @@ def main() -> int:
         if kind_bad:
             print(f"FAIL {name}: dtype kind mismatch on {kind_bad}: "
                   f"{[(str(g[c].dtype), str(e[c].dtype)) for c in kind_bad]}")
+            record(rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(e),
+                   err=f"dtype kind mismatch: {kind_bad}")
             failures += 1
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
             print(f"ok   {name}: {len(g)} rows match  [{dt:.1f}s]")
+            record(rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(g), oracle_rows=len(e))
         except AssertionError as exc:
             print(f"FAIL {name}: values differ: {str(exc)[:400]}")
+            record(rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(e),
+                   err=f"values differ: {str(exc)[:200]}")
             failures += 1
     ray.shutdown()
+    if json_out:
+        import json
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {len(results)} entries -> {json_out}")
     return 1 if failures else 0
 
 
