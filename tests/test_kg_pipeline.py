@@ -739,3 +739,38 @@ def test_verify_adjacency_detects_each_problem(ray_session, tmp_path):
                     os.path.join(out, dirs[0]) + ".trash")
     rep = verify_adjacency(out, subj_buckets=P)
     assert any("pending repair" in p for p in rep["problems"])
+
+
+def test_adjacency_lock_mutual_exclusion(tmp_path):
+    """The exactly-once ledger span is guarded by an inter-process
+    flock (_adjacency_lock): while one process holds it, a second
+    process's non-blocking acquire fails, and after release it
+    succeeds.  (ADVICE r4: two concurrent updates of the same delta_id
+    must not both see an empty ledger.)"""
+    import subprocess
+    import sys
+    import textwrap
+
+    from fastobo_py_ray.pipelines.kg import _adjacency_lock
+
+    adj = str(tmp_path / "adj")
+    probe = textwrap.dedent("""
+        import sys
+        from fastobo_py_ray.pipelines.kg import _adjacency_lock
+        try:
+            with _adjacency_lock(sys.argv[1], blocking=False):
+                print("ACQUIRED")
+        except BlockingIOError:
+            print("BLOCKED")
+    """)
+
+    def probe_once() -> str:
+        out = subprocess.run(
+            [sys.executable, "-c", probe, adj], capture_output=True,
+            text=True, timeout=60)
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip()
+
+    with _adjacency_lock(adj):
+        assert probe_once() == "BLOCKED"
+    assert probe_once() == "ACQUIRED"

@@ -32,27 +32,32 @@ GiB = 1024 ** 3
 
 
 def spill_stats() -> tuple:
-    """(spilled_mb, spill_files) — evidenced from the session's
-    ``ray_spilled_objects*`` directory on disk (this container lacks
-    grpc, so Ray's memory_summary API is unavailable; bytes sitting in
-    the spill dir are the ground truth anyway).  Counts bytes CURRENTLY
-    on disk — deleted-after-restore spill files undercount, so treat
-    this as a lower bound / existence proof."""
+    """(spilled_mb, restored_mb) — parsed from the session's raylet
+    log (cumulative "Spilled N MiB" / "Restored N MiB" progress lines,
+    take the max).  This container lacks grpc so Ray's memory_summary
+    API is unavailable, and spill FILES are deleted as objects free,
+    so the log is the reliable cumulative record."""
     import glob
+    import re
 
     import ray._private.worker as w
     sess = w._global_node.get_session_dir_path()
-    total = 0
-    n = 0
-    for d in glob.glob(os.path.join(sess, "ray_spilled_objects*")):
-        for root, _dirs, files in os.walk(d):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                    n += 1
-                except OSError:
-                    pass
-    return round(total / 1024 / 1024, 1), n
+    spilled = restored = 0.0
+    for path in glob.glob(os.path.join(sess, "logs", "raylet*")):
+        try:
+            with open(path, errors="replace") as fh:
+                txt = fh.read()
+        except OSError:
+            continue
+        for pat, idx in ((r"Spilled (\d+) MiB", 0),
+                         (r"Restored (\d+) MiB", 1)):
+            vals = [float(x) for x in re.findall(pat, txt)]
+            if vals:
+                if idx == 0:
+                    spilled = max(spilled, max(vals))
+                else:
+                    restored = max(restored, max(vals))
+    return spilled, restored
 
 
 def run_kg(n_pages: int) -> tuple:
@@ -81,15 +86,18 @@ def run_kg(n_pages: int) -> tuple:
     return wall, check
 
 
-def run_minhash(n_docs: int) -> tuple:
-    """minhash_dedup over a distributed synthetic near-dup corpus
-    (generated inside map_batches — nothing driver-side); check =
-    (kept docs, total docs)."""
+def ensure_minhash_corpus(n_docs: int) -> str:
+    """Synthetic near-dup corpus materialized to parquet ONCE (generation
+    is row-wise and expensive; it must not pollute the capped-vs-uncapped
+    wall comparison, and every leg must read identical bytes)."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
 
-    from fastobo_py_ray.stages.dedup import minhash_dedup
+    out = f"/tmp/fastobo_spill_minhash_{n_docs}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
 
     WORDS = np.array(
         ("key agg row scan slow fast table value part hash merge batch "
@@ -109,11 +117,33 @@ def run_minhash(n_docs: int) -> tuple:
         return pd.DataFrame({"doc_id": ids,
                              "text": pd.Series(texts, dtype="string")})
 
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    (rd.range(n_docs, override_num_blocks=64)
+       .map_batches(gen, batch_format="pandas")
+       .write_parquet(out))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_minhash(n_docs: int) -> tuple:
+    """minhash_dedup over the pre-materialized near-dup corpus; check =
+    (cluster-member rows, distinct cluster reps) — a value-level pair
+    that would catch spill-induced drift in either the pair-verify
+    exchange or the CC contraction."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import minhash_dedup
+
+    corpus = ensure_minhash_corpus(n_docs)
     t0 = time.perf_counter()
-    src = rd.range(n_docs).map_batches(gen, batch_format="pandas")
-    kept = minhash_dedup(src).count()
+    src = rd.read_parquet(corpus)
+    clusters = minhash_dedup(src).materialize()   # skinny (id, rep) rows
+    members = clusters.count()
+    n_reps = clusters.groupby("cluster_rep").count().count()
     wall = time.perf_counter() - t0
-    return wall, (kept, n_docs)
+    return wall, (members, n_reps)
 
 
 def child(workload: str, cap_gb: float, n: int) -> None:
@@ -139,9 +169,13 @@ def main() -> int:
     if sys.argv[1] == "--all":
         kg_n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
         mh_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+        # 1 GiB forces real plasma spill (4 GiB was rehearsed first: the
+        # kg headline's streaming backpressure never exceeded it — zero
+        # spill — so the cap is set well below the shuffle working set)
+        cap_gb = float(os.environ.get("SPILL_CAP_GB", "1"))
         rows = []
-        for workload, n, caps in (("kg", kg_n, (0, 4)),
-                                  ("minhash", mh_n, (0, 4))):
+        for workload, n, caps in (("kg", kg_n, (0, cap_gb)),
+                                  ("minhash", mh_n, (0, cap_gb))):
             for cap in caps:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -157,12 +191,12 @@ def main() -> int:
                 print(rows[-1])
         by = {(r["workload"], r["cap_gb"]): r for r in rows}
         for w in ("kg", "minhash"):
-            a, b = by[(w, 0)], by[(w, 4)]
+            a, b = by[(w, 0)], by[(w, cap_gb)]
             assert a["check"] == b["check"], \
                 f"{w}: CORRECTNESS DRIFT under spill: " \
                 f"{a['check']} != {b['check']}"
             print(f"{w}: uncapped {a['wall_sec']}s "
-                  f"(spilled {a['spilled_mb']} MB) vs 4GiB-capped "
+                  f"(spilled {a['spilled_mb']} MB) vs {cap_gb}GiB-capped "
                   f"{b['wall_sec']}s (spilled {b['spilled_mb']} MB) "
                   f"-> {b['wall_sec'] / a['wall_sec']:.2f}x, "
                   f"check identical ({a['check']})")
