@@ -26,4 +26,42 @@ def tune_data_context():
     ctx = DataContext.get_current()
     if os.environ.get("FASTOBO_RAY_OP_RESERVATION", "0") != "1":
         ctx.op_resource_reservation_enabled = False
+    over = os.environ.get("FASTOBO_RAY_STORE_OVERCOMMIT")
+    if over:
+        allow_store_overcommit(float(over))
+    return ctx
+
+
+def allow_store_overcommit(multiple: float = 4.0):
+    """Let Ray Data's LOGICAL object-store budget exceed the physical
+    plasma cap by ``multiple``x, so blocking all-to-all stages (sort /
+    hash exchanges) keep admitting producer tasks and lean on plasma's
+    transparent disk spill for the overflow, instead of collapsing to
+    ~1 concurrent task.
+
+    Measured pathology (1M-doc ``minhash_dedup``, 32 cpus, plasma
+    capped to 1-4 GiB — below the ~10 GiB verify-exchange working
+    set): the streaming executor's logical budget is plasma x 0.25
+    (the no-reservation default fraction), every map op upstream of
+    the blocking exchange sits ``[backpressured]`` at <=1 running
+    task, and block progress stalls at ~30/256 after 8 minutes — a
+    >20x collapse while the DISK the store would spill to is idle.
+    The budget is logical bookkeeping (`resource_manager.py`
+    ``get_global_limits``: detected plasma x fraction); plasma itself
+    never exceeds its cap — overflow objects spill to disk and
+    restore on demand — so overcommitting the bookkeeping is safe for
+    heap: worker memory is bounded by concurrent tasks x batch size,
+    both unchanged.  See BASELINE.md "spill rehearsal (round 5)" for
+    the capped-vs-uncapped measurements.
+
+    On a multi-node deployment this is the "per-node store smaller
+    than the node's shuffle share" regime.  Prefer sizing
+    ``num_*_buckets`` so each bucket fits the node store; use this
+    overcommit to survive when the estimate is wrong.  Also settable
+    per-process via FASTOBO_RAY_STORE_OVERCOMMIT=<multiple>.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.override_object_store_memory_limit_fraction = float(multiple)
     return ctx

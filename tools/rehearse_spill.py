@@ -157,9 +157,19 @@ def child(workload: str, cap_gb: float, n: int) -> None:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    # A store cap below the blocking-exchange working set collapses the
+    # executor's LOGICAL budget (plasma x 0.25) long before physical
+    # spill helps; overcommit the bookkeeping so plasma's disk spill is
+    # actually exercised (see context.allow_store_overcommit).
+    overcommit = float(os.environ.get("SPILL_OVERCOMMIT", "0"))
+    if overcommit:
+        from fastobo_py_ray.context import allow_store_overcommit
+        allow_store_overcommit(overcommit)
+
     wall, check = (run_kg if workload == "kg" else run_minhash)(n)
     spilled, restored = spill_stats()
     print(json.dumps({"workload": workload, "cap_gb": cap_gb, "n": n,
+                      "overcommit": overcommit,
                       "wall_sec": round(wall, 1), "check": check,
                       "spilled_mb": spilled, "restored_mb": restored}))
     ray.shutdown()
@@ -169,18 +179,27 @@ def main() -> int:
     if sys.argv[1] == "--all":
         kg_n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
         mh_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
-        # 1 GiB forces real plasma spill (4 GiB was rehearsed first: the
-        # kg headline's streaming backpressure never exceeded it — zero
-        # spill — so the cap is set well below the shuffle working set)
+        # Caps per workload (measured round 5): the kg headline's
+        # streaming backpressure keeps its working set ~1 GiB at ANY
+        # corpus size (zero spill even capped to 1 GiB), so its spill
+        # leg runs at 0.25 GiB; minhash's blocking verify exchange has
+        # a ~10 GiB working set, so 1 GiB is a deep-spill cap.  Capped
+        # legs run with allow_store_overcommit(12): without it the
+        # executor's LOGICAL budget (plasma x 0.25) starves producers
+        # at <=1 task and the job never reaches the spill path (>20x
+        # collapse, killed after 55 min at 1-4 GiB caps).
         cap_gb = float(os.environ.get("SPILL_CAP_GB", "1"))
+        overcommit = os.environ.get("SPILL_OVERCOMMIT", "12")
         rows = []
-        for workload, n, caps in (("kg", kg_n, (0, cap_gb)),
+        for workload, n, caps in (("kg", kg_n, (0, min(cap_gb, 0.25))),
                                   ("minhash", mh_n, (0, cap_gb))):
             for cap in caps:
+                env = dict(os.environ)
+                env["SPILL_OVERCOMMIT"] = overcommit if cap else "0"
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      workload, str(cap), str(n)],
-                    capture_output=True, text=True)
+                    capture_output=True, text=True, env=env)
                 line = [l for l in out.stdout.splitlines()
                         if l.startswith("{")]
                 if not line:
@@ -191,7 +210,8 @@ def main() -> int:
                 print(rows[-1])
         by = {(r["workload"], r["cap_gb"]): r for r in rows}
         for w in ("kg", "minhash"):
-            a, b = by[(w, 0)], by[(w, cap_gb)]
+            a, b = by[(w, 0)], by[(w, min(cap_gb, 0.25) if w == "kg"
+                                   else cap_gb)]
             assert a["check"] == b["check"], \
                 f"{w}: CORRECTNESS DRIFT under spill: " \
                 f"{a['check']} != {b['check']}"
