@@ -146,6 +146,33 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_refresh(args) -> int:
+    """Ontology-release refresh: diff the old/new OBO releases, close
+    the affected-term set, re-annotate the corpus with the new
+    ontology, and rewrite only the adjacency buckets the delta touches
+    (full staged rebuild on header change or past
+    --max-affected-fraction).  Same corpus as the store was built from;
+    crawl deltas go through ``update`` first."""
+    import ray.data as rd
+
+    from .pipelines.kg import repair_adjacency
+    from .pipelines.refresh import refresh_adjacency
+
+    _init_ray()
+    restored = repair_adjacency(args.out)
+    pages = rd.read_parquet(args.corpus)
+    info = refresh_adjacency(
+        pages, open(args.old_obo).read(), open(args.new_obo).read(),
+        args.out, subj_buckets=args.subj_buckets,
+        batch_size=args.batch_size,
+        langs=args.langs.split(",") if args.langs else None,
+        k_urls=args.k_urls, refresh_id=args.refresh_id,
+        max_affected_fraction=args.max_affected_fraction)
+    print(json.dumps({"adjacency_dir": args.out,
+                      "repaired": restored, **info}))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Integrity check for a bucketed adjacency store (misplaced
     subjects, unsorted rows, schema drift, pending repair artifacts);
@@ -199,6 +226,23 @@ def main(argv=None) -> int:
     # no-op once the ledger records it (exactly-once ingestion)
     s.add_argument("--delta-id", default=None, dest="delta_id")
     s.set_defaults(fn=cmd_update)
+    s = sub.add_parser("refresh")
+    s.add_argument("--corpus", required=True)
+    s.add_argument("--old-obo", required=True, dest="old_obo")
+    s.add_argument("--new-obo", required=True, dest="new_obo")
+    s.add_argument("--out", required=True)
+    s.add_argument("--subj-buckets", type=int, required=True,
+                   dest="subj_buckets")
+    s.add_argument("--batch-size", type=int, default=1024,
+                   dest="batch_size")
+    s.add_argument("--langs", default="en")
+    s.add_argument("--k-urls", type=int, default=0, dest="k_urls")
+    # idempotency key (shares the update ledger): a retried refresh
+    # with the same --refresh-id is a no-op once committed
+    s.add_argument("--refresh-id", default=None, dest="refresh_id")
+    s.add_argument("--max-affected-fraction", type=float, default=0.5,
+                   dest="max_affected_fraction")
+    s.set_defaults(fn=cmd_refresh)
     s = sub.add_parser("fsck")
     s.add_argument("--out", required=True)
     s.add_argument("--subj-buckets", type=int, required=True,

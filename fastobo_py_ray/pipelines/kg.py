@@ -353,6 +353,54 @@ def _merge_triple_frames(df: pd.DataFrame, k_urls: int = 0
         .reset_index(drop=True)
 
 
+def _k_urls_guard(adjacency_dir: str, k_urls: int) -> None:
+    """k_urls schema guard (one parquet footer, milliseconds) — against
+    ANY existing bucket, not just touched ones, so a delta landing only
+    in brand-new buckets cannot write mixed schemas.  Legacy pre-lock
+    stores may hold 'subj_bucket=K.trash' leftovers that this glob
+    would match — exclude them (current swaps name trash
+    '.trash.subj_bucket=K', which the glob never matches)."""
+    import glob as _glob
+
+    any_existing = sorted(
+        f for f in _glob.glob(os.path.join(
+            adjacency_dir, "subj_bucket=*", "*.parquet"))
+        if ".trash" not in f)
+    if any_existing:
+        import pyarrow.parquet as _pq
+
+        old_has_urls = "urls" in _pq.ParquetFile(any_existing[0]) \
+            .schema_arrow.names
+        if old_has_urls != bool(k_urls):
+            raise ValueError(
+                f"k_urls={k_urls} does not match the existing "
+                f"adjacency ({'has' if old_has_urls else 'lacks'} a "
+                "urls column): pass the same k_urls the base build "
+                "used (run --k-urls)")
+
+
+def _bucket_and_join_fn(subj_buckets: int, k_urls: int):
+    """pyarrow batch fn: recompute the int64 subj_bucket key from subj
+    (hive reads surface the partition col, often as string) and, when
+    ``k_urls``, re-join the urls list to its \\x1f string form so the
+    exchange moves plain string columns (see _merge_triple_frames)."""
+    def bucket_and_join(t: pa.Table) -> pa.Table:
+        out = t
+        if "subj_bucket" in out.column_names:
+            out = out.drop_columns(["subj_bucket"])
+        if k_urls and "urls" in t.column_names:
+            joined = ["\x1f".join(lst) for lst in
+                      t["urls"].to_pylist()]
+            out = out.drop_columns(["urls"]).append_column(
+                "urls", pa.array(joined, pa.string()))
+        vals = _subj_bucket_series(out["subj"].to_pylist(),
+                                   subj_buckets)
+        return out.append_column("subj_bucket",
+                                 pa.array(vals, pa.int64()))
+
+    return bucket_and_join
+
+
 def update_adjacency(new_pages_ds, obo_text: str, adjacency_dir: str,
                      subj_buckets: int, batch_size: int = 1024,
                      langs: Optional[list] = ("en",),
@@ -441,27 +489,7 @@ def _update_adjacency_locked(new_pages_ds, obo_text: str,
         return {"touched_buckets": [], "delta_triples": 0,
                 "skipped": delta_id}
 
-    # k_urls schema guard FIRST (one parquet footer, milliseconds) —
-    # against ANY existing bucket, not just touched ones, so a delta
-    # landing only in brand-new buckets cannot write mixed schemas.
-    # Legacy pre-lock stores may hold 'subj_bucket=K.trash' leftovers
-    # that this glob would match — exclude them (current swaps name
-    # trash '.trash.subj_bucket=K', which the glob never matches).
-    any_existing = sorted(
-        f for f in _glob.glob(os.path.join(
-            adjacency_dir, "subj_bucket=*", "*.parquet"))
-        if ".trash" not in f)
-    if any_existing:
-        import pyarrow.parquet as _pq
-
-        old_has_urls = "urls" in _pq.ParquetFile(any_existing[0]) \
-            .schema_arrow.names
-        if old_has_urls != bool(k_urls):
-            raise ValueError(
-                f"k_urls={k_urls} does not match the existing "
-                f"adjacency ({'has' if old_has_urls else 'lacks'} a "
-                "urls column): pass the same k_urls the base build "
-                "used (run --k-urls)")
+    _k_urls_guard(adjacency_dir, k_urls)
 
     tune_data_context()
     index_ref = ray.put(prepare_index(obo_text))
@@ -470,24 +498,7 @@ def _update_adjacency_locked(new_pages_ds, obo_text: str,
                              langs=list(langs) if langs else None)
     delta = dedup_triples(triples, collect_urls=k_urls)
 
-    # bucket + (when k_urls) re-join the urls list to its \x1f string
-    # form so the exchange moves plain string columns (see
-    # _merge_triple_frames) — pyarrow in, pandas-friendly columns out
-    def bucket_and_join(t: pa.Table) -> pa.Table:
-        out = t
-        if "subj_bucket" in out.column_names:
-            # hive reads surface the partition col (often as string);
-            # recompute from subj for a uniform int64 key
-            out = out.drop_columns(["subj_bucket"])
-        if k_urls and "urls" in t.column_names:
-            joined = ["\x1f".join(lst) for lst in
-                      t["urls"].to_pylist()]
-            out = out.drop_columns(["urls"]).append_column(
-                "urls", pa.array(joined, pa.string()))
-        vals = _subj_bucket_series(out["subj"].to_pylist(),
-                                   subj_buckets)
-        return out.append_column("subj_bucket",
-                                 pa.array(vals, pa.int64()))
+    bucket_and_join = _bucket_and_join_fn(subj_buckets, k_urls)
 
     # materialized: the delta is ontology-bounded (dedup_triples
     # pre-reduced it) and consumed three times (touched-bucket scan,

@@ -2693,6 +2693,110 @@ def kg_triples_ckpt(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_obo_diff(sf_dir: str) -> pd.DataFrame:
+    """Distributed ontology version diff (obo/diff.py): frames of the
+    documents-ontology v1/v2 release pair parsed + canonically
+    re-serialized in parallel blocks, classified added/removed/changed
+    by ONE full-outer hash exchange on frame identity.  The oracle
+    embeds the same canonical frame texts computed DRIVER-side (the
+    kg_mentions embedded-golden style), so what the SQL verifies is the
+    distributed chunk-parse + join + classification."""
+    from ..obo.diff import obo_diff_ds
+    from ..testing.corpus import docs_obo_v2
+
+    out = obo_diff_ds(docs_obo(), docs_obo_v2()).to_pandas()
+    return out.sort_values(["frame_type", "id"]).reset_index(drop=True)
+
+
+def q_obo_diff_sql() -> str:
+    from ..obo.diff import _frame_rows
+    from ..testing.corpus import docs_obo_v2
+
+    def values(text: str) -> str:
+        _, rows = _frame_rows(text)
+        esc = lambda s: s.replace("'", "''")
+        return ", ".join(
+            f"('{k}', '{esc(i)}', '{esc(c)}')" for k, i, c in rows)
+
+    return f"""
+WITH a(frame_type, id, canon) AS (VALUES {values(docs_obo())}),
+     b(frame_type, id, canon) AS (VALUES {values(docs_obo_v2())})
+SELECT coalesce(a.frame_type, b.frame_type) AS frame_type,
+       coalesce(a.id, b.id) AS id,
+       CASE WHEN a.canon IS NULL THEN 'added'
+            WHEN b.canon IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b
+  ON a.frame_type = b.frame_type AND a.id = b.id
+WHERE a.canon IS NULL OR b.canon IS NULL OR a.canon <> b.canon
+"""
+
+
+def q_kg_refresh(sf_dir: str) -> pd.DataFrame:
+    """Ontology-delta incremental refresh, END-TO-END: build the
+    adjacency store under the v1 documents ontology, refresh it to the
+    v2 release (pipelines/refresh.py — selective re-annotation,
+    affected-closure filter, bucket-local staged swaps), and return the
+    refreshed store's triples.  The oracle derives the v2 triples
+    DIRECTLY from the hand-derived v2 dictionary/edges goldens
+    (testing/corpus.py docs_*_v2) — a fully independent check that
+    refresh(build(v1)) == build(v2), the operator's exactness contract."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .kg import materialize_adjacency
+    from .refresh import refresh_adjacency
+    from ..testing.corpus import docs_obo_v2
+
+    work = tempfile.mkdtemp(prefix="kg_refresh_")
+    try:
+        adj = os.path.join(work, "adj")
+        import ray
+
+        from .kg import annotate_pages, dedup_triples
+        idx_ref = ray.put(prepare_index(docs_obo()))
+        d = dedup_triples(annotate_pages(
+            documents_as_pages(sf_dir), idx_ref, batch_size=512,
+            langs=None))
+        materialize_adjacency(d, adj, presorted=True, subj_buckets=8)
+        refresh_adjacency(documents_as_pages(sf_dir), docs_obo(),
+                          docs_obo_v2(), adj, subj_buckets=8,
+                          batch_size=512, langs=None,
+                          max_affected_fraction=1.0)
+        out = rd.read_parquet(adj).to_pandas()
+        out["n_evidence"] = out["n_evidence"].astype("int64")
+        return (out[["subj", "pred", "obj", "n_evidence"]]
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_kg_refresh_sql() -> str:
+    from ..testing.corpus import (docs_canonical_edges_v2,
+                                  docs_canonical_word_map_v2)
+
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map_v2())
+    edge_rows = ", ".join(f"('{s}', '{p}', '{o}')"
+                          for s, p, o in docs_canonical_edges_v2())
+    return f"""
+WITH dict(word, term_id) AS (VALUES {dict_rows}),
+edges(subj, pred, obj) AS (VALUES {edge_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+ments AS (SELECT DISTINCT t.doc_id, d.term_id
+          FROM toks t JOIN dict d USING (word))
+SELECT e.subj, e.pred, e.obj, count(*) AS n_evidence
+FROM edges e
+JOIN ments ms ON ms.term_id = e.subj
+JOIN ments mo ON mo.doc_id = ms.doc_id AND mo.term_id = e.obj
+GROUP BY e.subj, e.pred, e.obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent; driver records weaker check)
 # ---------------------------------------------------------------------------
@@ -4808,6 +4912,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "kg_triples": kg_triples,
         "kg_triples_ckpt": kg_triples_ckpt,
         "kg_subtree_mentions": kg_subtree_mentions,
+        "q_obo_diff": q_obo_diff,
+        "q_kg_refresh": q_kg_refresh,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -4920,6 +5026,8 @@ def oracles() -> Dict[str, str]:
         "kg_triples": kg_triples_sql(),
         "kg_triples_ckpt": kg_triples_sql(),
         "kg_subtree_mentions": kg_subtree_mentions_sql(),
+        "q_obo_diff": q_obo_diff_sql(),
+        "q_kg_refresh": q_kg_refresh_sql(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

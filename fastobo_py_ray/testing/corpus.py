@@ -205,6 +205,75 @@ def docs_canonical_edges() -> List[Tuple[str, str, str]]:
 
 
 # ---------------------------------------------------------------------------
+# DOCS_OBO v2 — a deterministic "next release" of the documents ontology
+# (fixture for the ontology-delta refresh + diff operators)
+# ---------------------------------------------------------------------------
+
+# the four mutation classes a real release cycle produces, each chosen so
+# the DuckDB oracle stays hand-derivable (single-token surfaces, no
+# ambiguous candidates):
+#   1. term REMOVED: 'window' (drops its surface and its is_a edge)
+#   2. edge RETARGET: sort is_a order -> sort is_a agg
+#   3. surface ADDED: 'spark' gains EXACT synonym "the" (a v1 stopword —
+#      a high-frequency token starts hitting an existing term)
+#   4. identity-cluster SPLIT: 'vector' loses its ALT xref, so the
+#      v1 {value, vector, ALT:0000001} cluster splits and vector's
+#      canonical id reverts to its own DB id
+
+
+def docs_obo_v2() -> str:
+    """The v2 release text, derived from :func:`docs_obo` by the four
+    mutations above (textual, deterministic)."""
+    v1 = docs_obo()
+    win = _docs_id("window")
+    v2 = v1.replace(
+        f"\n[Term]\nid: {win}\nname: window\nis_a: {_docs_id('agg')}\n",
+        "\n")
+    v2 = v2.replace(
+        f"name: sort\nis_a: {_docs_id('order')}",
+        f"name: sort\nis_a: {_docs_id('agg')}")
+    v2 = v2.replace(
+        "name: spark\n",
+        'name: spark\nsynonym: "the" EXACT []\n')
+    # vector keeps its stanza but loses the shared ALT xref (value keeps
+    # its own) — count on 'vector' appearing after 'value' in DOCS_VOCAB
+    # order, so the SECOND xref line is vector's
+    first = v2.index("xref: ALT:0000001\n")
+    second = v2.index("xref: ALT:0000001\n", first + 1)
+    v2 = v2[:second] + v2[second + len("xref: ALT:0000001\n"):]
+    return v2
+
+
+def docs_canonical_word_map_v2() -> List[Tuple[str, str]]:
+    """Hand-derived (word -> canonical id) golden for v2 — the oracle's
+    independent derivation of the four mutations' dictionary effect."""
+    out = []
+    for w, t in docs_canonical_word_map():
+        if w == "window":
+            continue                      # removed term
+        if w == "vector":
+            out.append((w, _docs_id(w)))  # cluster split: own id again
+            continue
+        out.append((w, t))
+    out.append(("the", _docs_id("spark")))  # new synonym surface
+    return out
+
+
+def docs_canonical_edges_v2() -> List[Tuple[str, str, str]]:
+    rep = dict(docs_canonical_word_map_v2())
+
+    def c(w: str) -> str:
+        return rep[w]
+
+    isa = [e for e in _DOCS_ISA if e != ("window", "agg")
+           and e != ("sort", "order")] + [("sort", "agg")]
+    edges = [(c(s), "is_a", c(o)) for s, o in isa]
+    edges += [(c(s), "part_of", c(o)) for s, o in _DOCS_PART_OF]
+    edges += [(c(s), "related_to", c(o)) for s, o in _DOCS_RELATED]
+    return sorted(set(edges))
+
+
+# ---------------------------------------------------------------------------
 # pages corpus (FIXTURES.md F1)
 # ---------------------------------------------------------------------------
 

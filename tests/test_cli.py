@@ -174,3 +174,48 @@ def test_cli_run_bucketed_then_update(tmp_path):
     b = pq.read_table(full).to_pandas()[cols] \
         .sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cli_refresh(tmp_path):
+    """`refresh --old-obo v1 --new-obo v2` rewrites a bucketed store to
+    the new release; result equals a from-scratch run under v2, and a
+    retried --refresh-id is a ledgered no-op."""
+    base = str(tmp_path / "base")
+    write_pages_corpus(base, n_rows=120, n_files=3)
+    v1 = tmp_path / "v1.obo"
+    v1.write_text(MINI_OBO)
+    v2_text = MINI_OBO.replace(
+        "is_a: TST:0000002\n\n[Term]\nid: TST:0000005",
+        "is_a: TST:0000003\n\n[Term]\nid: TST:0000005")
+    v2 = tmp_path / "v2.obo"
+    v2.write_text(v2_text)
+    adj = str(tmp_path / "adj")
+    full2 = str(tmp_path / "full2")
+
+    _cli("run", "--corpus", base, "--obo", str(v1), "--out", adj,
+         "--langs", "", "--subj-buckets", "4")
+    ref = json.loads(_cli(
+        "refresh", "--corpus", base, "--old-obo", str(v1),
+        "--new-obo", str(v2), "--out", adj, "--subj-buckets", "4",
+        "--langs", "", "--refresh-id", "rel-2",
+        "--max-affected-fraction", "1.0")[-1])
+    assert ref["mode"] == "selective" and ref["touched_buckets"]
+
+    _cli("run", "--corpus", base, "--obo", str(v2), "--out", full2,
+         "--langs", "", "--subj-buckets", "4")
+
+    import pyarrow.parquet as pq
+
+    cols = ["subj", "pred", "obj", "n_evidence"]
+    a = pq.read_table(adj).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    b = pq.read_table(full2).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    again = json.loads(_cli(
+        "refresh", "--corpus", base, "--old-obo", str(v1),
+        "--new-obo", str(v2), "--out", adj, "--subj-buckets", "4",
+        "--langs", "", "--refresh-id", "rel-2",
+        "--max-affected-fraction", "1.0")[-1])
+    assert again["skipped"] == "rel-2"
