@@ -85,17 +85,33 @@ class OboDiff:
 
 def obo_diff(text_a: str, text_b: str) -> OboDiff:
     """Driver-side frame diff of two OBO documents (reference path)."""
-    header_a, rows_a = _frame_rows(text_a)
-    header_b, rows_b = _frame_rows(text_b)
-    da = pd.DataFrame(rows_a, columns=["frame_type", "id", "canon_a"])
-    db = pd.DataFrame(rows_b, columns=["frame_type", "id", "canon_b"])
+    from .parser import loads
+
+    return obo_diff_parsed(loads(text_a).ontology,
+                           loads(text_b).ontology)
+
+
+def obo_diff_parsed(onto_a, onto_b) -> OboDiff:
+    """:func:`obo_diff` over ALREADY-parsed ontologies — callers that
+    hold both versions parsed (pipelines/refresh.py needs the Ontology
+    objects anyway) skip a second full parse of each document."""
+    from .serializer import frame_to_text, header_to_text
+
+    def rows(onto):
+        return [(f.kind, f.id, frame_to_text(f)) for f in onto.frames]
+
+    da = pd.DataFrame(rows(onto_a),
+                      columns=["frame_type", "id", "canon_a"])
+    db = pd.DataFrame(rows(onto_b),
+                      columns=["frame_type", "id", "canon_b"])
     # a duplicated frame id within one document keeps its LAST stanza,
     # matching frame_by_id (dict insertion overwrite) semantics
     da = da.drop_duplicates(["frame_type", "id"], keep="last")
     db = db.drop_duplicates(["frame_type", "id"], keep="last")
     merged = da.merge(db, on=["frame_type", "id"], how="outer")
     return OboDiff(frames=_classify(merged),
-                   header_changed=header_a != header_b)
+                   header_changed=(header_to_text(onto_a.header)
+                                   != header_to_text(onto_b.header)))
 
 
 def _frames_dataset(obo_text: str, num_blocks: int = 8):

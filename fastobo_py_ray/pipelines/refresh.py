@@ -35,12 +35,20 @@ Why each closure rule exists (matching semantics in stages/mentions.py):
   over xref/alt equivalence edges; a changed frame can re-cluster every
   member, so clusters containing a changed id are wholly affected (in
   EITHER version — a split is as invalidating as a merge).
-* **surface-token overlap (fixpoint)** — detection is leftmost-longest
-  NON-OVERLAPPING: adding/removing a surface changes which spans other
-  surfaces can win.  Two word-boundary-anchored surfaces can only
-  contest a span if they share a token, so the closure adds any term
-  sharing a surface token with an affected term's surfaces, to a
-  fixpoint (consumption chains propagate).
+* **surface-overlap interaction (fixpoint)** — detection is
+  leftmost-longest NON-OVERLAPPING: adding/removing a surface changes
+  which spans other surfaces can win.  Two word-boundary-anchored
+  surfaces can contest a span IFF their token sequences overlap
+  boundary-aligned: one contains the other as a contiguous
+  subsequence, or a proper suffix of one equals a proper prefix of
+  the other (matches start/end only at ``\\b``, and inside a matched
+  surface the only ``\\b`` positions are its token boundaries).  The
+  closure adds every term reachable from an affected term through
+  this interaction graph (consumption chains propagate through the
+  fixpoint).  Mere token SHARING is not enough to interact —
+  "synthetic term 5" and "synthetic term 6" share two tokens but can
+  never overlap in text — which keeps the closure delta-sized on
+  real ontologies where most names share common words.
 * **ambiguous surfaces** — TF-IDF linking of multi-candidate surfaces
   depends on the GLOBAL idf table, which shifts under any frame edit;
   all terms reachable from a multi-candidate surface are therefore
@@ -65,7 +73,7 @@ import pyarrow as pa
 
 from ..obo import ids as obo_ids
 from ..obo import loads as obo_loads
-from ..obo.diff import OboDiff, obo_diff
+from ..obo.diff import OboDiff, obo_diff_parsed
 from ..stages.canonicalize import union_find
 from ..stages.mentions import _TOKEN_RE, OntologyIndex, build_index
 from .kg import (_adjacency_lock, _apply_swap_plan, _bucket_and_join_fn,
@@ -102,6 +110,72 @@ def _term_targets_surfaces(ontology) -> Dict[str, tuple]:
                 surfaces.append(syn["text"].lower())
         out[tid] = (target, surfaces)
     return out
+
+
+def _surface_interaction_graph(maps) -> Dict[str, Set[str]]:
+    """Symmetric term-level interaction graph over both versions'
+    dictionaries: an edge means two terms own surfaces that can occupy
+    OVERLAPPING \\b-aligned spans in some text, i.e. leftmost-longest
+    span consumption can couple their mention sets.  Criterion on the
+    lowercased token sequences (matches start/end only at ``\\b``;
+    inside a matched surface the only ``\\b`` positions are its token
+    boundaries):
+
+    * equality or contiguous-subsequence containment, or
+    * a proper suffix of one equals a proper prefix of the other.
+
+    Token SHARING alone is deliberately not an edge ("synthetic term 5"
+    / "synthetic term 6" share two tokens but no text can overlap
+    them), so common words do not weld a real ontology into one giant
+    component.  Cost: O(surfaces x k^2) dict ops for k-token surfaces
+    (k is small), run once per refresh on the driver.
+    """
+    full: Dict[tuple, Set[str]] = {}      # token tuple -> owner targets
+    subs: Dict[tuple, Set[str]] = {}      # proper contiguous subtuple
+    prefixes: Dict[tuple, Set[str]] = {}  # proper prefixes
+    rows = []                             # (tuple, target)
+    seen = set()
+    adj: Dict[str, Set[str]] = {}
+    for m in maps:
+        for _tid, (target, surfs) in m.items():
+            adj.setdefault(target, set())
+            for s in surfs:
+                tup = tuple(_TOKEN_RE.findall(s))
+                if not tup or (tup, target) in seen:
+                    continue
+                seen.add((tup, target))
+                rows.append((tup, target))
+                full.setdefault(tup, set()).add(target)
+                k = len(tup)
+                for i in range(k):
+                    for j in range(i + 1, k + 1):
+                        if j - i < k:
+                            subs.setdefault(tup[i:j], set()).add(target)
+                for j in range(1, k):
+                    prefixes.setdefault(tup[:j], set()).add(target)
+
+    suffixes: Dict[tuple, Set[str]] = {}
+    for tup, target in rows:
+        for j in range(1, len(tup)):
+            suffixes.setdefault(tup[j:], set()).add(target)
+
+    for tup, target in rows:
+        hits = set(full.get(tup, ()))          # same token sequence
+        hits |= subs.get(tup, set())           # I am inside another
+        k = len(tup)
+        for i in range(k):                     # another is inside me
+            for j in range(i + 1, k + 1):
+                if j - i < k:
+                    hits |= full.get(tup[i:j], set())
+        for j in range(1, k):                  # staggered overlaps
+            hits |= prefixes.get(tup[j:], set())
+            hits |= suffixes.get(tup[:j], set())
+        hits.discard(target)
+        if hits:
+            adj.setdefault(target, set()).update(hits)
+            for h in hits:
+                adj.setdefault(h, set()).add(target)
+    return adj
 
 
 def affected_closure(diff: OboDiff, onto_old, onto_new,
@@ -146,16 +220,12 @@ def affected_closure(diff: OboDiff, onto_old, onto_new,
             for x in mem:
                 co.setdefault(x, set()).update(mem)
 
-    # token maps keyed by dictionary TARGET (what detection emits)
-    token_terms: Dict[str, Set[str]] = {}
-    term_tokens: Dict[str, Set[str]] = {}
-    for m in (maps_old, maps_new):
-        for _tid, (target, surfs) in m.items():
-            for s in surfs:
-                toks = _TOKEN_RE.findall(s)
-                term_tokens.setdefault(target, set()).update(toks)
-                for tk in toks:
-                    token_terms.setdefault(tk, set()).add(target)
+    # surface-overlap interaction graph keyed by dictionary TARGET
+    # (what detection emits): term A interacts with term B iff some
+    # surface of A and some surface of B can occupy overlapping
+    # \b-aligned spans — token-sequence containment or proper
+    # suffix == proper prefix (see module docstring)
+    inter = _surface_interaction_graph((maps_old, maps_new))
 
     # idf coupling: multi-candidate surfaces in either version
     if not frames.empty:
@@ -170,16 +240,67 @@ def affected_closure(diff: OboDiff, onto_old, onto_new,
         nxt: Set[str] = set()
         for x in frontier:
             nxt |= co.get(x, set())
-            for tk in term_tokens.get(x, ()):
-                nxt |= token_terms[tk]
+            nxt |= inter.get(x, set())
         nxt -= affected
         affected |= nxt
         frontier = nxt
 
-    all_terms = (set(term_tokens) | set(maps_old) | set(maps_new))
+    all_terms = (set(inter) | set(maps_old) | set(maps_new))
     fraction = (len(affected & all_terms) / len(all_terms)
                 if all_terms else 1.0)
-    return {"terms": affected, "preds": pred_ids, "fraction": fraction}
+    return {"terms": affected, "preds": pred_ids, "fraction": fraction,
+            "inter": inter}   # interaction graph, reused for the
+    # restricted annotation automaton (_restricted_index)
+
+
+def _restricted_index(idx: OntologyIndex, F: Set[str], P: Set[str],
+                      inter: Dict[str, Set[str]]) -> OntologyIndex:
+    """Annotation index restricted to the refresh delta — the automaton
+    shrinks from ontology-sized to delta-sized while every produced
+    value stays EXACT (the rebuild-equality pytest covers all mutation
+    classes through this path):
+
+    * ``edges_by_subj`` keeps only edges touching the affected set
+      (subj/obj in ``F`` or pred in ``P``): emission yields exactly the
+      triples the refresh must recompute;
+    * ``surfaces`` keeps a surface iff one of its candidate targets is
+      an affected term, an endpoint of a kept edge (the partner whose
+      co-mention the triple needs), or reachable from one through the
+      surface-interaction graph — the BLOCKERS whose presence preserves
+      leftmost-longest span consumption for the terms we keep (F itself
+      is interaction-closed; partners need their own closure here);
+      kept surfaces keep their FULL candidate lists so multi-candidate
+      linking sees the same choice set;
+    * ``profiles`` / ``idf`` / ``representatives`` are kept WHOLE (they
+      are broadcast payload, not automaton size) so link() scores are
+      bit-identical to the full index's.
+    """
+    rep = idx.representatives
+    kept_edges: Dict[str, list] = {}
+    needed: Set[str] = set()
+    for s, pos in idx.edges_by_subj.items():
+        kept = [(p, o) for p, o in pos
+                if s in F or o in F or p in P]
+        if kept:
+            kept_edges[s] = kept
+            needed.add(s)
+            needed.update(o for _, o in kept)
+
+    allow = {t for t in inter if rep.get(t, t) in needed} | set(F)
+    frontier = set(allow)
+    while frontier:
+        nxt: Set[str] = set()
+        for x in frontier:
+            nxt |= inter.get(x, set())
+        nxt -= allow
+        allow |= nxt
+        frontier = nxt
+
+    surfaces = {s: cands for s, cands in idx.surfaces.items()
+                if any(t in allow for t, _ in cands)}
+    return OntologyIndex(surfaces=surfaces, profiles=idx.profiles,
+                         idf=idx.idf, edges_by_subj=kept_edges,
+                         representatives=rep)
 
 
 def refresh_adjacency(pages_ds, old_obo: str, new_obo: str,
@@ -242,13 +363,13 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
 
     _k_urls_guard(adjacency_dir, k_urls)
 
-    diff = obo_diff(old_obo, new_obo)
+    onto_old = obo_loads(old_obo).ontology
+    onto_new = obo_loads(new_obo).ontology
+    diff = obo_diff_parsed(onto_old, onto_new)
     if diff.frames.empty and not diff.header_changed:
         return {"mode": "noop", "touched_buckets": [],
                 "delta_triples": 0}
 
-    onto_old = obo_loads(old_obo).ontology
-    onto_new = obo_loads(new_obo).ontology
     idx_old = build_index(onto_old, union_find(
         onto_old.equivalence_edges()))
     idx_new = build_index(onto_new, union_find(
@@ -273,11 +394,21 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
         return m
 
     tune_data_context()
-    index_ref = ray.put(idx_new)
+    annot_idx = idx_new
+    if selective:
+        # delta-sized automaton: exact by construction (blockers keep
+        # leftmost-longest outcomes; idf/profiles shipped whole) — the
+        # scan cost of the corpus re-annotation now scales with the
+        # RELEASE DELTA, not the ontology
+        annot_idx = _restricted_index(idx_new, clo["terms"],
+                                      clo["preds"], clo["inter"])
+    index_ref = ray.put(annot_idx)
     triples = annotate_pages(pages_ds, index_ref, emit="triples",
                              batch_size=batch_size,
                              langs=list(langs) if langs else None)
     if selective:
+        # guard: the restricted emission already yields only affected-
+        # touching triples; keep the filter as the declared invariant
         triples = triples.map_batches(
             lambda t: t.filter(touching(t)), batch_format="pyarrow")
     delta = dedup_triples(triples, collect_urls=k_urls)
@@ -319,7 +450,9 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
     info = {"mode": "selective" if selective else "full",
             "delta_triples": delta_rows,
             "affected_terms": len(clo["terms"]),
-            "affected_fraction": round(clo["fraction"], 4)}
+            "affected_fraction": round(clo["fraction"], 4),
+            "automaton_surfaces": len(annot_idx.surfaces),
+            "full_surfaces": len(idx_new.surfaces)}
     if not touched:
         return {**info, "touched_buckets": []}
 
