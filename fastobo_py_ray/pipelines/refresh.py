@@ -376,6 +376,13 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
         onto_new.equivalence_edges()))
 
     selective = not diff.header_changed
+    # the interaction-graph build is O(surfaces x k^2) DRIVER memory;
+    # past this bound a full staged rebuild is cheaper than risking
+    # the closure build itself (reported in mode, like every fallback)
+    max_interaction_surfaces = 5_000_000
+    if (len(idx_old.surfaces) + len(idx_new.surfaces)
+            > max_interaction_surfaces):
+        selective = False
     clo = {"terms": set(), "preds": set(), "fraction": 1.0}
     if selective:
         clo = affected_closure(diff, onto_old, onto_new, idx_old,
