@@ -26,9 +26,12 @@ def tune_data_context():
     ctx = DataContext.get_current()
     if os.environ.get("FASTOBO_RAY_OP_RESERVATION", "0") != "1":
         ctx.op_resource_reservation_enabled = False
-    over = os.environ.get("FASTOBO_RAY_STORE_OVERCOMMIT")
-    if over:
-        allow_store_overcommit(float(over))
+    # "0" / "0.0" means DISABLED (the conventional off value), not a
+    # zero logical budget — fraction 0.0 would backpressure every
+    # operator to a standstill
+    over = float(os.environ.get("FASTOBO_RAY_STORE_OVERCOMMIT") or 0)
+    if over > 0:
+        allow_store_overcommit(over)
     return ctx
 
 

@@ -123,19 +123,16 @@ def _frames_dataset(obo_text: str, num_blocks: int = 8):
     import pyarrow as pa
     import ray.data as rd
 
-    from ..sources.obo_source import split_obo
+    from ..sources.obo_source import header_prefixed_chunks
 
-    header_text, frames = split_obo(obo_text)
-    prefix = header_text + "\n\n" if header_text.strip() else ""
+    _header, frames, chunks = header_prefixed_chunks(obo_text,
+                                                     num_blocks)
     if not frames:
         return rd.from_arrow(pa.table({
             "frame_type": pa.array([], pa.string()),
             "id": pa.array([], pa.string()),
             "canon": pa.array([], pa.string()),
             "doc_order": pa.array([], pa.int64())}))
-    per = max(1, (len(frames) + num_blocks - 1) // num_blocks)
-    chunks = [{"start": i, "chunk": prefix + "\n".join(frames[i:i + per])}
-              for i in range(0, len(frames), per)]
 
     def parse_chunk(batch: pa.Table) -> pa.Table:
         types, ids, canons, orders = [], [], [], []

@@ -94,6 +94,19 @@ def annotate_pages(pages_ds, index_ref, emit: str = "triples",
                                 batch_size=batch_size)
 
 
+def _split_urls_column(t: pa.Table) -> pa.Table:
+    """\x1f-joined urls STRING column -> ``list<string>`` (exchange
+    wire form -> adjacency schema).  Shared by both dedup reduce
+    tiers, the incremental update path and the release refresh —
+    building the list column in Arrow keeps every later stage
+    (bucket map, parquet write) zero-copy-safe; ragged Python lists
+    in a PANDAS block would break the block->Arrow conversion."""
+    lists = [s.split("\x1f") if s else []
+             for s in t["urls"].to_pylist()]
+    return t.drop_columns(["urls"]).append_column(
+        "urls", pa.array(lists, pa.list_(pa.string())))
+
+
 def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
                   collect_urls: int = 0, scale_tier: str = "auto",
                   distinct_tier_threshold: int = 100_000):
@@ -154,8 +167,13 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
         aggs = dict(n_evidence=("url", "size"),
                     confidence=("confidence", "max"))
         if k:
-            aggs["urls"] = ("url",
-                            lambda s: "\x1f".join(sorted(set(s))[:k]))
+            # drop empty-string urls at the SOURCE so both reduce
+            # tiers see the same evidence set (_merge_triple_frames
+            # and the grouped_agg tier filter '' when re-merging; an
+            # unfiltered partial here would let '' consume a head-k
+            # slot in the sort-groupby tier only — tier-parity bug)
+            aggs["urls"] = ("url", lambda s: "\x1f".join(
+                sorted({u for u in s if u})[:k]))
         return df.groupby(["subj", "pred", "obj"], as_index=False).agg(
             **aggs)
 
@@ -197,18 +215,7 @@ def dedup_triples(triples_ds, num_partitions: Optional[int] = 32,
     # _dedup_triples_grouped_agg past distinct_tier_threshold.
     out = partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
     if k:
-        # pyarrow batch fn: ragged Python lists in a PANDAS block break
-        # the block->Arrow conversion downstream (Ray tries a
-        # variable-shaped tensor); building the list<string> column in
-        # Arrow keeps every later stage (bucket map, parquet write)
-        # zero-copy-safe
-        def split_urls(t: pa.Table) -> pa.Table:
-            lists = [s.split("\x1f") if s else []
-                     for s in t["urls"].to_pylist()]
-            return t.drop_columns(["urls"]).append_column(
-                "urls", pa.array(lists, pa.list_(pa.string())))
-
-        out = out.map_batches(split_urls, batch_format="pyarrow")
+        out = out.map_batches(_split_urls_column, batch_format="pyarrow")
     return out
 
 
@@ -265,13 +272,7 @@ def _dedup_triples_grouped_agg(partials, k: int):
     out = grouped_map(partials, keys, bucket_reduce, num_buckets=64) \
         .sort(keys)
     if k:
-        def split_urls(t: pa.Table) -> pa.Table:
-            lists = [s.split("\x1f") if s else []
-                     for s in t["urls"].to_pylist()]
-            return t.drop_columns(["urls"]).append_column(
-                "urls", pa.array(lists, pa.list_(pa.string())))
-
-        out = out.map_batches(split_urls, batch_format="pyarrow")
+        out = out.map_batches(_split_urls_column, batch_format="pyarrow")
     return out
 
 
@@ -534,13 +535,7 @@ def _update_adjacency_locked(new_pages_ds, obo_text: str,
             d["subj"], subj_buckets)),
         num_buckets=min(16, max(1, len(touched))))
     if k_urls:
-        def split_urls_pa(t: pa.Table) -> pa.Table:
-            lists = [s.split("\x1f") if s else []
-                     for s in t["urls"].to_pylist()]
-            return t.drop_columns(["urls"]).append_column(
-                "urls", pa.array(lists, pa.list_(pa.string())))
-
-        merged = merged.map_batches(split_urls_pa,
+        merged = merged.map_batches(_split_urls_column,
                                     batch_format="pyarrow")
     merged.write_parquet(tmp_root, partition_cols=["subj_bucket"])
     # the plan marks staging COMPLETE: from here a crash is finished

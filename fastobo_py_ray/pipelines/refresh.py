@@ -427,10 +427,15 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
                      delta.select_columns(["subj_bucket"]).take_all()}
     delta_rows = delta.count()
 
+    # legacy pre-lock stores may hold stranded 'subj_bucket=K.trash'
+    # dirs (current swaps use the '.'-prefixed name); skip anything
+    # whose bucket id isn't a plain integer rather than crash AFTER
+    # the re-annotation already ran — repair_adjacency restores them
     existing = {
         int(p.split("=", 1)[1])
         for p in os.listdir(adjacency_dir)
-        if p.startswith("subj_bucket=")}
+        if p.startswith("subj_bucket=")
+        and p.split("=", 1)[1].isdigit()}
     bucket_files = {
         b: sorted(_glob.glob(os.path.join(
             adjacency_dir, f"subj_bucket={b}", "*.parquet")))
@@ -480,13 +485,9 @@ def _refresh_locked(pages_ds, old_obo: str, new_obo: str,
             d["subj"], subj_buckets)),
         num_buckets=min(16, max(1, len(touched))))
     if k_urls:
-        def split_urls_pa(t: pa.Table) -> pa.Table:
-            lists = [s.split("\x1f") if s else []
-                     for s in t["urls"].to_pylist()]
-            return t.drop_columns(["urls"]).append_column(
-                "urls", pa.array(lists, pa.list_(pa.string())))
+        from .kg import _split_urls_column
 
-        merged = merged.map_batches(split_urls_pa,
+        merged = merged.map_batches(_split_urls_column,
                                     batch_format="pyarrow")
     merged.write_parquet(tmp_root, partition_cols=["subj_bucket"])
     # a touched bucket whose every row was affected and re-emitted

@@ -43,6 +43,23 @@ def split_obo(text: str) -> Tuple[str, List[str]]:
     return header, frames
 
 
+def header_prefixed_chunks(text: str, num_blocks: int):
+    """``(header_text, frames, chunks)`` — frame-boundary split with
+    the (tiny, shared) header PREFIXED to every chunk, so
+    header-derived frame semantics (default-namespace fill of
+    ``namespace``, idspace compaction) match the whole-doc parse
+    exactly.  The one chunking discipline shared by
+    :func:`read_obo_frames` and the ontology-diff distributed path
+    (``obo/diff.py``) — asserted by the 300k-frame full-table parity
+    test and the diff parity test respectively."""
+    header_text, frames = split_obo(text)
+    prefix = header_text + "\n\n" if header_text.strip() else ""
+    per = max(1, (len(frames) + num_blocks - 1) // num_blocks)
+    chunks = [{"start": i, "chunk": prefix + "\n".join(frames[i:i + per])}
+              for i in range(0, len(frames), per)]
+    return header_text, frames, chunks
+
+
 def read_obo_header(path: str):
     """Eager header parse (header-first, src/iter.rs:184-195)."""
     from ..obo.parser import loads
@@ -68,7 +85,10 @@ def read_obo_frames(path: str, num_blocks: int = 8):
     """
     import ray.data as rd
 
-    header_text, frames = split_obo(_read_text(path))
+    # header-first semantics (src/iter.rs:184-195): shared chunking
+    # discipline with the diff path — see header_prefixed_chunks
+    header_text, frames, chunks = header_prefixed_chunks(
+        _read_text(path), num_blocks)
     if not frames:
         from ..obo.parser import loads
 
@@ -76,14 +96,6 @@ def read_obo_frames(path: str, num_blocks: int = 8):
         t = t.append_column("n_parse_errors", pa.array([], pa.int32()))
         t = t.append_column("doc_order", pa.array([], pa.int64()))
         return rd.from_arrow(t)
-    per = max(1, (len(frames) + num_blocks - 1) // num_blocks)
-    # header-first semantics (src/iter.rs:184-195): every chunk parses
-    # WITH the (tiny, shared) header so header-derived frame columns
-    # (default-namespace fill of ``namespace``) match the whole-doc
-    # parse exactly — asserted by the 300k-frame full-table parity test
-    prefix = header_text + "\n\n" if header_text.strip() else ""
-    chunks = [{"start": i, "chunk": prefix + "\n".join(frames[i:i + per])}
-              for i in range(0, len(frames), per)]
     ds = rd.from_items(chunks)
 
     def parse_chunk(batch: pa.Table) -> pa.Table:

@@ -909,9 +909,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     banded = sigs.map_batches(band, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # empty frames must carry the CALLER's id dtype (string doc
+        # ids travel as object) — a hardcoded int64 empty would break
+        # block-schema unification against non-empty string buckets
+        rep_dtype = (df["rep"].dtype if "rep" in df.columns
+                     else np.dtype("int64"))
         empty = pd.DataFrame({
-            "doc_a": pd.Series(dtype="int64"),
-            "doc_b": pd.Series(dtype="int64"),
+            "doc_a": pd.Series(dtype=rep_dtype),
+            "doc_b": pd.Series(dtype=rep_dtype),
             "hamming": pd.Series(dtype="int64")})
         cnt = df.groupby("bkey", sort=False)["rep"].transform("size")
         if (cnt > max_bucket_size).any():
@@ -948,6 +953,9 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                               m["hamming"]):
             a = np.repeat(np.asarray(ma), len(mb))
             b = np.tile(np.asarray(mb), len(ma))
+            if a.dtype.kind in "US":   # np.minimum has no str loop
+                a = a.astype(object)
+                b = b.astype(object)
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
             out_h.append(np.full(len(a), hv, dtype=np.int64))

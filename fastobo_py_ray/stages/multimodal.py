@@ -691,6 +691,15 @@ class VideoFrameSampler:
                 n_src, decoded, fps = decode_video_av(payload, cand)
             except ValueError:
                 return 0, None, self.fps
+            # a truncated stream can declare more frames than decode
+            # (header n_src=12, stream ends at 7): cap the sampled
+            # range at what actually decoded so frame_at never hits a
+            # missing index — degrade, don't raise (the collect-don't-
+            # raise contract the fake/avi decoders already follow)
+            if decoded:
+                n_src = min(n_src, max(decoded) + 1)
+            else:
+                n_src = 0
             return n_src, (lambda i: encode_bmp(decoded[i])), fps
         if self.decoder == "avi":
             try:

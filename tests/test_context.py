@@ -46,3 +46,14 @@ def test_tune_data_context_default_leaves_fraction_alone(restore_ctx,
     ctx = tune_data_context()
     assert ctx.override_object_store_memory_limit_fraction is None
     assert ctx.op_resource_reservation_enabled is False
+
+
+def test_tune_data_context_overcommit_zero_means_disabled(restore_ctx,
+                                                          monkeypatch):
+    """FASTOBO_RAY_STORE_OVERCOMMIT=0 is the conventional OFF value —
+    it must leave the fraction alone, not set a zero logical budget
+    that backpressures every operator to a standstill."""
+    monkeypatch.setenv("FASTOBO_RAY_STORE_OVERCOMMIT", "0")
+    restore_ctx.override_object_store_memory_limit_fraction = None
+    ctx = tune_data_context()
+    assert ctx.override_object_store_memory_limit_fraction is None

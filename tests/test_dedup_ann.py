@@ -592,3 +592,50 @@ def test_meta_blocking_wnp_and_string_ids(ray_session):
     pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
     assert ("d1", "d2") in pairs                     # strongest edge kept
     assert all("d9" not in p for p in pairs)         # no shared blocks
+
+
+def test_simhash_pairs_string_doc_ids(ray_session):
+    """String doc ids survive both output modes: empty exchange-bucket
+    frames must carry the CALLER's id dtype (a hardcoded int64 empty
+    broke block-schema unification), and pairs-mode member expansion
+    must min/max via object arrays (np.minimum has no str loop)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import simhash64_batch, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "riverbank while data pipelines hum softly in the night")
+    words = base.split()
+    texts = [base, base]                     # an identical-sig clique
+    for i in range(40):
+        w = list(words)
+        w[i % len(w)] = f"tok{i % 5}"
+        texts.append(" ".join(w))
+    ids = [f"doc-{i:04d}" for i in range(len(texts))]
+    df = pd.DataFrame({"doc_id": pd.Series(ids, dtype="string"),
+                       "text": pd.Series(texts, dtype="string")})
+
+    got = simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got_set = {(a, b): int(h) for a, b, h in
+               zip(got["doc_a"], got["doc_b"], got["hamming"])}
+
+    h = simhash64_batch(df["text"]).astype(np.uint64)
+    want = {}
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = int(bin(int(h[i] ^ h[j])).count("1"))
+            if d <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                want[(a, b)] = d
+    assert want and got_set == want
+
+    star = simhash_pairs(rd.from_pandas(df), max_hamming=3,
+                         output="star").to_pandas()
+    # star covers the same transitive closure over the same nodes
+    idx = {d: i for i, d in enumerate(ids)}
+    want_cc = _cc_labels(len(ids), [(idx[a], idx[b]) for a, b in want])
+    got_cc = _cc_labels(len(ids), [(idx[a], idx[b]) for a, b in
+                                   zip(star["doc_a"], star["doc_b"])])
+    singles = {c for c in want_cc if len(c) == 1}
+    assert {c for c in got_cc if len(c) > 1} == want_cc - singles

@@ -774,3 +774,26 @@ def test_adjacency_lock_mutual_exclusion(tmp_path):
     with _adjacency_lock(adj):
         assert probe_once() == "BLOCKED"
     assert probe_once() == "ACQUIRED"
+
+
+def test_dedup_triples_empty_url_tier_parity(ray_session):
+    """Evidence rows with url='' must produce IDENTICAL url samples in
+    both reduce tiers (the sort-groupby partial used to keep '' — it
+    consumed a head-k slot in that tier only)."""
+    import ray.data as rd
+
+    rows = pd.DataFrame({
+        "subj": ["A"] * 3, "pred": ["is_a"] * 3, "obj": ["B"] * 3,
+        "url": ["", "http://b", "http://a"],
+        "confidence": [0.5, 0.9, 0.7]})
+
+    out = {}
+    for tier in ("sort_groupby", "grouped_agg"):
+        df = dedup_triples(rd.from_pandas(rows).repartition(3),
+                           collect_urls=2, scale_tier=tier).to_pandas()
+        df["urls"] = df["urls"].map(list)
+        out[tier] = df.reset_index(drop=True)
+    pd.testing.assert_frame_equal(out["sort_groupby"],
+                                  out["grouped_agg"])
+    assert out["sort_groupby"]["urls"].iloc[0] == ["http://a", "http://b"]
+    assert int(out["sort_groupby"]["n_evidence"].iloc[0]) == 3

@@ -388,3 +388,32 @@ def test_real_video_decode_via_pyav():
     # MJPEG is lossy but near-flat frames stay near their gray level
     first = decode_bmp(out["frame"][0]).astype(int)
     assert abs(first.mean() - 0) < 16
+
+
+def test_video_real_decoder_truncated_stream(ray_session, monkeypatch):
+    """A container that declares more frames than actually decode
+    (truncated stream) must degrade to the decodable prefix, never
+    KeyError (the collect-don't-raise contract the fake/avi decoders
+    follow)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import fastobo_py_ray.stages.multimodal as mm
+
+    frame = np.zeros((2, 2, 3), dtype=np.uint8)
+    monkeypatch.setattr(mm, "pyav_available", lambda: True)
+    # header says 12 frames; only candidates 0 and 5 decoded before
+    # the stream ended (10 requested but missing)
+    monkeypatch.setattr(mm, "decode_video_av",
+                        lambda payload, picks: (12, {0: frame, 5: frame},
+                                                30.0))
+    s = mm.VideoFrameSampler(every_nth=5, max_frames=3, decoder="real")
+    out = s(pa.table({"media_id": ["m1"], "payload": [b"\x00" * 64]}))
+    assert out["src_frame"].to_pylist() == [0, 5]   # pick 10 dropped
+    assert all(isinstance(b, bytes) for b in out["frame"].to_pylist())
+
+    # nothing decodable at all -> zero rows, not a crash
+    monkeypatch.setattr(mm, "decode_video_av",
+                        lambda payload, picks: (12, {}, 30.0))
+    out = s(pa.table({"media_id": ["m2"], "payload": [b"\x00" * 64]}))
+    assert out.num_rows == 0

@@ -265,3 +265,22 @@ def test_refresh_empties_buckets_cleanly(ray_session, tmp_path):
     live = [d for d in os.listdir(inc) if d.startswith("subj_bucket=")]
     assert live, "live bucket dirs must survive the swap"
     assert not glob.glob(os.path.join(inc, "subj_bucket=*", "*.parquet"))
+
+
+def test_refresh_tolerates_legacy_trash_dirs(ray_session, tmp_path):
+    """Legacy pre-lock stores can hold stranded 'subj_bucket=K.trash'
+    dirs; the touched-bucket scan must skip them (int('3.trash') used
+    to raise AFTER the re-annotation had already run)."""
+    import ray
+    import ray.data as rd
+
+    pages = synth_pages_table(60, seed=13)
+    inc = str(tmp_path / "inc")
+    _build(ray, rd, pages, V1, inc)
+    os.makedirs(os.path.join(inc, "subj_bucket=3.trash"))
+    info = refresh_adjacency(rd.from_arrow(pages), V1,
+                             MUTATIONS["isa_retarget"], inc,
+                             subj_buckets=P, batch_size=16,
+                             langs=["en"], k_urls=K,
+                             max_affected_fraction=1.0)
+    assert info["touched_buckets"]
