@@ -284,3 +284,105 @@ def test_refresh_tolerates_legacy_trash_dirs(ray_session, tmp_path):
                              langs=["en"], k_urls=K,
                              max_affected_fraction=1.0)
     assert info["touched_buckets"]
+
+
+def test_refresh_randomized_mutations(ray_session, tmp_path):
+    """Adversarial soundness gate for the affected closure: random
+    small ontologies with DELIBERATELY overlapping multi-word surfaces
+    (contained names, shared prefixes/suffixes, shared synonyms =
+    ambiguity) x random release mutations x random corpora — refresh
+    must equal a from-scratch rebuild on every seed.  A counterexample
+    here means a closure rule is missing, not a flaky test (everything
+    is seed-fixed)."""
+    import random
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.testing.corpus import EPOCH_US, pages_schema
+
+    POOL = ["alpha", "beta", "gamma", "delta", "factor", "complex",
+            "region", "signal", "core", "unit"]
+
+    def gen_onto(rng):
+        n = 8
+        lines = ["format-version: 1.4", "default-namespace: RT",
+                 "treat-xrefs-as-equivalent: ALT", "ontology: rnd"]
+        names = []
+        for i in range(n):
+            k = rng.randint(1, 3)
+            names.append(" ".join(rng.choice(POOL) for _ in range(k)))
+        for i in range(n):
+            lines += ["", "[Term]", f"id: RT:{i:07d}",
+                      f"name: {names[i]}"]
+            if rng.random() < 0.4:
+                lines.append(
+                    f'synonym: "{rng.choice(POOL)}" EXACT []')
+            if rng.random() < 0.25:
+                lines.append("xref: ALT:0000007")
+            if i and rng.random() < 0.8:
+                lines.append(f"is_a: RT:{rng.randrange(i):07d}")
+        return "\n".join(lines) + "\n"
+
+    def mutate(rng, v1):
+        stanzas = v1.split("\n\n")
+        kind = rng.choice(["remove", "add", "rename", "synonym",
+                           "retarget", "xref"])
+        i = rng.randrange(1, len(stanzas))          # 0 is the header
+        if kind == "remove":
+            del stanzas[i]
+        elif kind == "add":
+            nm = " ".join(rng.choice(POOL)
+                          for _ in range(rng.randint(1, 3)))
+            stanzas.append(f"[Term]\nid: RT:0000099\nname: {nm}")
+        elif kind == "rename":
+            lines = stanzas[i].splitlines()
+            lines[2] = ("name: "
+                        + " ".join(rng.choice(POOL)
+                                   for _ in range(rng.randint(1, 3))))
+            stanzas[i] = "\n".join(lines)
+        elif kind == "synonym":
+            stanzas[i] += f'\nsynonym: "{rng.choice(POOL)}" EXACT []'
+        elif kind == "retarget":
+            stanzas[i] = "\n".join(
+                ln for ln in stanzas[i].splitlines()
+                if not ln.startswith("is_a:"))
+            stanzas[i] += f"\nis_a: RT:{rng.randrange(8):07d}"
+        else:
+            if "xref: ALT:0000007" in stanzas[i]:
+                stanzas[i] = stanzas[i].replace(
+                    "\nxref: ALT:0000007", "")
+            else:
+                stanzas[i] += "\nxref: ALT:0000007"
+        return "\n\n".join(stanzas) + ("" if v1.endswith("\n") else "\n")
+
+    def gen_pages(rng):
+        rows = {"url": [], "warc_ts": [], "html": [], "text": [],
+                "lang": []}
+        for i in range(80):
+            words = [rng.choice(POOL) for _ in range(25)]
+            rows["url"].append(f"https://r.example/{i:05d}")
+            rows["warc_ts"].append(EPOCH_US + i)
+            rows["html"].append("<html></html>")
+            rows["text"].append(" ".join(words))
+            rows["lang"].append("en")
+        return pa.table(rows, schema=pages_schema())
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        v1 = gen_onto(rng)
+        v2 = mutate(rng, v1)
+        pages = gen_pages(rng)
+        full2 = str(tmp_path / f"full{seed}")
+        inc = str(tmp_path / f"inc{seed}")
+        _build(ray, rd, pages, v2, full2)
+        _build(ray, rd, pages, V1 if False else v1, inc)
+        refresh_adjacency(rd.from_arrow(pages), v1, v2, inc,
+                          subj_buckets=P, batch_size=16,
+                          langs=["en"], k_urls=K,
+                          max_affected_fraction=1.0)
+        a, b = _load(rd, full2), _load(rd, inc)
+        assert a.equals(b), (
+            f"seed {seed}: refresh != rebuild\nmutation v1->v2 diff:\n"
+            f"{obo_diff(v1, v2).frames}\nrebuild:\n{a}\nrefresh:\n{b}")
