@@ -386,3 +386,58 @@ def test_refresh_randomized_mutations(ray_session, tmp_path):
         assert a.equals(b), (
             f"seed {seed}: refresh != rebuild\nmutation v1->v2 diff:\n"
             f"{obo_diff(v1, v2).frames}\nrebuild:\n{a}\nrefresh:\n{b}")
+
+
+def test_refresh_crash_mid_swap_is_completed_not_reapplied(
+        ray_session, tmp_path, monkeypatch):
+    """A crash in the middle of refresh's swap loop (staging complete,
+    one bucket swapped) must be FINISHED from the staged merge by
+    repair_adjacency — landing on exactly the refreshed state, never a
+    mixed v1/v2 store or a re-applied merge."""
+    import ray
+    import ray.data as rd
+
+    from fastobo_py_ray.pipelines import kg as kgmod
+    from fastobo_py_ray.pipelines import refresh as rmod
+
+    v2 = MUTATIONS["isa_retarget"]
+    pages = synth_pages_table(120, seed=3)
+    full2 = str(tmp_path / "full2")
+    crash = str(tmp_path / "crash")
+    _build(ray, rd, pages, v2, full2)
+    _build(ray, rd, pages, V1, crash)
+
+    real_apply = rmod._apply_swap_plan
+
+    def crashy(adjacency_dir, tmp_root, touched, delta_id=None):
+        import shutil
+        b = touched[0]
+        live = os.path.join(adjacency_dir, f"subj_bucket={b}")
+        new = os.path.join(tmp_root, f"subj_bucket={b}")
+        trash = os.path.join(adjacency_dir, f".trash.subj_bucket={b}")
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        os.rename(new, live)
+        shutil.rmtree(trash, ignore_errors=True)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(rmod, "_apply_swap_plan", crashy)
+    with pytest.raises(RuntimeError, match="simulated"):
+        refresh_adjacency(rd.from_arrow(pages), V1, v2, crash,
+                          subj_buckets=P, batch_size=16, langs=["en"],
+                          k_urls=K, refresh_id="rel-x",
+                          max_affected_fraction=1.0)
+    monkeypatch.setattr(rmod, "_apply_swap_plan", real_apply)
+
+    assert os.path.exists(os.path.join(crash, ".delta_merge_tmp",
+                                       "_PLAN"))
+    assert kgmod.repair_adjacency(crash)
+    assert not os.path.exists(os.path.join(crash, ".delta_merge_tmp"))
+    # the ledger committed on completion: a retry is a no-op
+    again = refresh_adjacency(rd.from_arrow(pages), V1, v2, crash,
+                              subj_buckets=P, batch_size=16,
+                              langs=["en"], k_urls=K,
+                              refresh_id="rel-x",
+                              max_affected_fraction=1.0)
+    assert again.get("skipped") == "rel-x"
+    pd.testing.assert_frame_equal(_load(rd, full2), _load(rd, crash))
