@@ -4906,6 +4906,55 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_editdist(sf_dir: str) -> pd.DataFrame:
+    """Spelling-variant / entity-resolution primitive over the corpus
+    vocabulary: EXACT Levenshtein<=2 similarity self-join (FastSS
+    symmetric-delete candidate buckets + full-DP verify —
+    :func:`~..stages.dedup.edit_distance_pairs`) annotated with corpus
+    term frequencies.  Scale shape: the corpus reduces to
+    vocabulary-scale (token, count) partials on the same per-batch
+    combiner q_top_tokens rides (the exchange moves pre-reduced
+    partials, never the token stream); the delete-variant explode,
+    candidate pairing and DP verify all run on that vocabulary tier,
+    and the count annotation merges two vocabulary-bounded tables on
+    the driver (31 tokens on the driver corpus; vocabulary cardinality
+    is corpus-independent).  Oracle: DuckDB's native ``levenshtein``
+    over the same distinct-token CTE."""
+    from ..functions.relops import grouped_agg
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part = ds.map_batches(_token_counts, batch_format="pandas")
+    counts = grouped_agg(part, "token", cnt=("n_occurrences", "sum"))
+    vocab = counts.map_batches(
+        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
+        batch_format="pandas")
+    pairs = edit_distance_pairs(vocab, column="token", k=2).to_pandas()
+    cdf = counts.to_pandas()  # vocabulary-bounded by construction
+    out = pairs.merge(cdf.rename(columns={"token": "a", "cnt": "cnt_a"}),
+                      on="a") \
+        .merge(cdf.rename(columns={"token": "b", "cnt": "cnt_b"}), on="b")
+    out = out.rename(columns={"a": "tok_a", "b": "tok_b"})
+    out["tok_a"] = out["tok_a"].astype(str)
+    out["tok_b"] = out["tok_b"].astype(str)
+    for c in ("dist", "cnt_a", "cnt_b"):
+        out[c] = out[c].astype("int64")
+    return out[["tok_a", "tok_b", "dist", "cnt_a", "cnt_b"]] \
+        .sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+Q_EDITDIST_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w)
+SELECT a.w AS tok_a, b.w AS tok_b,
+       levenshtein(a.w, b.w)::BIGINT AS dist,
+       a.c AS cnt_a, b.c AS cnt_b
+FROM cnt a JOIN cnt b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY tok_a, tok_b
+"""
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -5017,6 +5066,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_media_ppm": q_media_ppm,
         "q_media_wav": q_media_wav,
         "q_media_video": q_media_video,
+        "q_editdist": q_editdist,
     }
 
 
@@ -5160,4 +5210,5 @@ def oracles() -> Dict[str, str]:
         # constants of the bytes, generated corpus-direct by
         # tools/make_compress_fixture.py (see q_compress_ratio doc):
         "q_compress_ratio": Q_COMPRESS_RATIO_SQL,
+        "q_editdist": Q_EDITDIST_SQL,
     }

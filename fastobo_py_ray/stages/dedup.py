@@ -1274,3 +1274,156 @@ def dedup_against(new_ds, seen_ds, text_col: str = "text",
     flagged = grouped_map(cand.union(survivors), text_col, verify,
                           num_buckets=8)
     return clear.union(flagged)
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance (Levenshtein <= k) similarity self-join
+# ---------------------------------------------------------------------------
+
+def _levenshtein_batch(a_strs, b_strs, max_len: int = 256) -> np.ndarray:
+    """Exact Levenshtein distances for aligned string lists, vectorized
+    across the PAIR axis: full Wagner-Fischer DP with the two length
+    axes as (small, bounded) Python loops and every cell update an
+    O(n_pairs) numpy op.  Strings are padded with per-side sentinels
+    that can never match; each pair's answer is harvested at its own
+    (len_a, len_b) corner.  Intended for verifying candidate pairs of
+    SHORT strings (tokens / names / hosts) — cost O(Lmax^2) vector ops."""
+    n = len(a_strs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    La, Lb = int(la.max()), int(lb.max())
+    if La > max_len or Lb > max_len:
+        raise ValueError(
+            f"_levenshtein_batch: string length {max(La, Lb)} exceeds "
+            f"max_len={max_len}; this DP verifier targets short strings "
+            f"(use ngram_jaccard / minhash for long text)")
+    # code-point matrices; -1 / -2 sentinels never compare equal
+    A = np.full((n, max(La, 1)), -1, dtype=np.int64)
+    B = np.full((n, max(Lb, 1)), -2, dtype=np.int64)
+    for i, s in enumerate(a_strs):
+        if s:
+            A[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    for i, s in enumerate(b_strs):
+        if s:
+            B[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64),
+                           (n, Lb + 1)).copy()
+    out = np.where(la == 0, lb, -1)
+    idx = np.arange(n)
+    # harvest rows whose a-side is empty came from the init above; the
+    # DP rows below harvest at i == len_a
+    cur = np.empty_like(prev)
+    for i in range(1, La + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, Lb + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            np.minimum(sub, prev[:, j] + 1, out=sub)
+            np.minimum(sub, cur[:, j - 1] + 1, out=sub)
+            cur[:, j] = sub
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    return out.astype(np.int64)
+
+
+def _delete_variants(s: str, k: int) -> set:
+    """All strings reachable from ``s`` by deleting up to ``k``
+    characters (the FastSS / SymSpell symmetric-delete neighbourhood)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_pairs(ds, column: str = "token", k: int = 2,
+                        num_buckets: int = 32, max_len: int = 64):
+    """EXACT edit-distance (Levenshtein <= k) similarity self-join over
+    a column of DISTINCT short strings — the spelling-variant / entity-
+    resolution primitive (FastSS / SymSpell symmetric-delete shape).
+
+    Candidate generation is COMPLETE: fix an optimal alignment of a and
+    b with ed(a,b) <= k; its matched positions form a common string
+    reachable from a by deleting the <= k characters a loses to
+    deletions/substitutions and from b by deleting the <= k characters
+    b loses to insertions/substitutions (each edit op consumes at most
+    one character per side).  The delete-neighbourhoods D_{<=k}(a) and
+    D_{<=k}(b) therefore intersect, so every true pair shares at least
+    one variant bucket; the full-DP verify (:func:`_levenshtein_batch`)
+    then makes the result exact — the index only PRUNES, never decides.
+
+    Scale shape: the input is a VOCABULARY-scale dataset (distinct
+    tokens / names / hosts — cardinality grows with the vocabulary, not
+    the corpus; same tier contract as tfidf's df table).  Each string
+    explodes into <= sum_{i<=k} C(len, i) delete variants, one
+    variant-keyed coarse exchange (:func:`~..functions.relops.grouped_map`)
+    emits in-bucket candidate pairs pre-deduped per bucket, the bounded
+    DP verify runs inside the same task, and ONE pair-keyed
+    ``grouped_agg(min)`` dedupes pairs that met in several variant
+    buckets (dist is deterministic, so min == the value).  A variant
+    shared by m strings emits O(m^2) candidates — inherent to
+    completeness (those strings genuinely are mutually close); strings
+    longer than ``max_len`` RAISE rather than silently truncating
+    (C(len,2) variant blow-up — use ngram_jaccard / minhash for long
+    text).
+
+    Returns a Dataset of (a, b, dist) with a < b and dist <= k.
+    """
+    from ..functions.relops import grouped_agg, grouped_map
+
+    if k < 1:
+        raise ValueError("edit_distance_pairs: k must be >= 1")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks, variants = [], []
+        for s in df[column].astype(str):
+            if len(s) > max_len:
+                raise ValueError(
+                    f"edit_distance_pairs: string of length {len(s)} "
+                    f"exceeds max_len={max_len} (delete-neighbourhood "
+                    f"blow-up); filter long strings or use "
+                    f"ngram_jaccard_pairs / minhash_candidate_pairs")
+            for v in _delete_variants(s, k):
+                toks.append(s)
+                variants.append(v)
+        return pd.DataFrame({
+            "variant": pd.Series(variants, dtype="string"),
+            "s": pd.Series(toks, dtype="string")})
+
+    var = ds.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="variant", suffixes=("_l", "_r"))
+        m = m[m["s_l"] < m["s_r"]]
+        m = m.drop_duplicates(["s_l", "s_r"])
+        if m.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="string"),
+                                 "b": pd.Series(dtype="string"),
+                                 "dist": pd.Series(dtype="int64")})
+        a = m["s_l"].tolist()
+        b = m["s_r"].tolist()
+        dist = _levenshtein_batch(a, b)
+        keep = dist <= k
+        return pd.DataFrame({"a": pd.Series(np.asarray(a, dtype=object)[keep],
+                                            dtype="string"),
+                             "b": pd.Series(np.asarray(b, dtype=object)[keep],
+                                            dtype="string"),
+                             "dist": dist[keep]})
+
+    cand = grouped_map(var, "variant", bucket_pairs,
+                       num_buckets=num_buckets)
+    return grouped_agg(cand, ["a", "b"], num_buckets=num_buckets,
+                       dist=("dist", "min"))

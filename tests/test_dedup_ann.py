@@ -639,3 +639,66 @@ def test_simhash_pairs_string_doc_ids(ray_session):
                                    zip(star["doc_a"], star["doc_b"])])
     singles = {c for c in want_cc if len(c) == 1}
     assert {c for c in got_cc if len(c) > 1} == want_cc - singles
+
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_levenshtein_batch_matches_reference_dp():
+    from fastobo_py_ray.stages.dedup import _levenshtein_batch
+    import random
+    rng = random.Random(11)
+    a = ["", "a", "héllo", "abc", "part", "kitten"] + \
+        ["".join(rng.choice("abxy") for _ in range(rng.randint(0, 8)))
+         for _ in range(60)]
+    b = ["ab", "", "hello", "abc", "spark", "sitting"] + \
+        ["".join(rng.choice("abxy") for _ in range(rng.randint(0, 8)))
+         for _ in range(60)]
+    got = _levenshtein_batch(a, b)
+    exp = [_lev_ref(x, y) for x, y in zip(a, b)]
+    assert got.tolist() == exp
+
+
+def test_edit_distance_pairs_brute_force_parity(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import edit_distance_pairs
+
+    rng = random.Random(7)
+    vocab = sorted({"".join(rng.choice("abc")
+                            for _ in range(rng.randint(1, 6)))
+                    for _ in range(120)})
+    ds = rd.from_pandas(
+        pd.DataFrame({"token": pd.Series(vocab, dtype="string")}))
+    for k in (1, 2):
+        got = edit_distance_pairs(ds, "token", k=k).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        exp = sorted((min(x, y), max(x, y), _lev_ref(x, y))
+                     for i, x in enumerate(vocab)
+                     for y in vocab[i + 1:] if _lev_ref(x, y) <= k)
+        assert list(map(tuple, got.to_numpy())) == exp
+
+
+def test_edit_distance_pairs_long_string_raises(ray_session):
+    import ray.data as rd
+
+    import pytest
+
+    from fastobo_py_ray.stages.dedup import edit_distance_pairs
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"token": pd.Series(["ok", "x" * 100], dtype="string")}))
+    with pytest.raises(Exception) as ei:
+        edit_distance_pairs(ds, "token", k=1, max_len=64).to_pandas()
+    assert "max_len" in str(ei.value)
