@@ -4955,6 +4955,89 @@ ORDER BY tok_a, tok_b
 """
 
 
+def q_spell_canon(sf_dir: str) -> pd.DataFrame:
+    """Spelling-variant canonicalization — the normalization stage a
+    webtext KG pipeline runs before entity linking: tokens within
+    Levenshtein distance 1 of each other are grouped into connected
+    components of the edit-distance graph, and every token maps to its
+    component's highest-frequency member (``canonical``); tie-break is
+    lexicographic, so the mapping is deterministic on both engines.
+
+    Composition of three already-scale-audited pieces on the
+    vocabulary tier: the corpus reduces to (token, count) partials
+    (q_top_tokens combiner — the only corpus-scale work), then
+    :func:`~..stages.dedup.edit_distance_pairs` (k=2) builds the
+    variant graph, :func:`~..stages.canonicalize
+    .connected_components_contract` labels it with a shuffle-free
+    tree-reduce, and the count-argmax canonical pick merges
+    vocabulary-bounded tables on the driver (same bounded-collect
+    contract q_editdist documents).  Oracle: recursive-CTE min-label
+    closure over DuckDB's native ``levenshtein`` pairs + a
+    row_number argmax — the q_cluster_best pattern."""
+    from ..functions.relops import grouped_agg
+    from ..stages.canonicalize import connected_components_contract
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part = ds.map_batches(_token_counts, batch_format="pandas")
+    counts = grouped_agg(part, "token", cnt=("n_occurrences", "sum"))
+    vocab = counts.map_batches(
+        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
+        batch_format="pandas")
+    pairs = edit_distance_pairs(vocab, column="token", k=2)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["a"].astype("string"),
+            "b": df["b"].astype("string")}),
+        batch_format="pandas")
+    labels = connected_components_contract(edges, col_a="a",
+                                           col_b="b").to_pandas()
+    cdf = counts.to_pandas()  # vocabulary-bounded by construction
+    cdf = cdf[cdf["token"].astype(str) != ""].copy()
+    cdf["token"] = cdf["token"].astype(str)
+    if labels.empty:  # no close pairs: every token is its own component
+        labels = pd.DataFrame({"node": [], "label": []})
+    lab_map = dict(zip(labels["node"].astype(str),
+                       labels["label"].astype(str)))
+    cdf["component"] = cdf["token"].map(lab_map).fillna(cdf["token"])
+    srt = cdf.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="stable")
+    canon = srt.drop_duplicates("component")[["component", "token"]] \
+        .rename(columns={"token": "canonical"})
+    out = cdf.merge(canon, on="component")
+    out["cnt"] = out["cnt"].astype("int64")
+    out["canonical"] = out["canonical"].astype(str)
+    return out[["token", "canonical", "cnt"]].sort_values("token") \
+        .reset_index(drop=True)
+
+
+Q_SPELL_CANON_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w),
+pairs AS (SELECT a.w AS wa, b.w AS wb FROM cnt a JOIN cnt b
+          ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 2),
+bidir AS (SELECT wa AS s, wb AS t FROM pairs
+          UNION ALL SELECT wb, wa FROM pairs),
+reach(w, lab) AS (
+  SELECT w, w FROM cnt
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN bidir e ON e.s = r.w
+),
+comp AS (SELECT w, min(lab) AS component FROM reach GROUP BY w),
+sel AS (SELECT c.component, n.w AS canonical,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY n.c DESC, n.w ASC) AS rn
+        FROM comp c JOIN cnt n ON c.w = n.w)
+SELECT comp.w AS token, s.canonical AS canonical, cnt.c AS cnt
+FROM comp
+JOIN (SELECT component, canonical FROM sel WHERE rn = 1) s
+  USING (component)
+JOIN cnt ON cnt.w = comp.w
+ORDER BY token
+"""
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -5067,6 +5150,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_media_wav": q_media_wav,
         "q_media_video": q_media_video,
         "q_editdist": q_editdist,
+        "q_spell_canon": q_spell_canon,
     }
 
 
@@ -5211,4 +5295,5 @@ def oracles() -> Dict[str, str]:
         # tools/make_compress_fixture.py (see q_compress_ratio doc):
         "q_compress_ratio": Q_COMPRESS_RATIO_SQL,
         "q_editdist": Q_EDITDIST_SQL,
+        "q_spell_canon": Q_SPELL_CANON_SQL,
     }

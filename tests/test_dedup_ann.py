@@ -702,3 +702,27 @@ def test_edit_distance_pairs_long_string_raises(ray_session):
     with pytest.raises(Exception) as ei:
         edit_distance_pairs(ds, "token", k=1, max_len=64).to_pandas()
     assert "max_len" in str(ei.value)
+
+
+def test_spell_canon_crafted_corpus(ray_session, tmp_path):
+    """q_spell_canon on a crafted corpus: 'teh'/'th' fold into the
+    highest-count member 'the' (k<=2 chain), ties break lexicographic,
+    and far tokens stay their own canonical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_spell_canon
+
+    docs = ["the cat sat", "teh cat", "th dog zebra", "the the zebra",
+            "zzzx zzzy"]  # zzzx/zzzy: dist 1, equal count -> lex min
+    pq.write_table(pa.table({"text": docs}), tmp_path / "documents.parquet")
+    out = q_spell_canon(str(tmp_path))
+    got = dict(zip(out["token"], out["canonical"]))
+    assert got["teh"] == "the" and got["th"] == "the" \
+        and got["the"] == "the"
+    assert got["zebra"] == "zebra"
+    # equal-count tie inside the {zzzx, zzzy} component -> lexicographic
+    assert got["zzzx"] == "zzzx" and got["zzzy"] == "zzzx"
+    # counts column is the token's own corpus count
+    cnt = dict(zip(out["token"], out["cnt"]))
+    assert cnt["the"] == 3 and cnt["teh"] == 1
