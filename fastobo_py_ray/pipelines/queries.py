@@ -5038,6 +5038,44 @@ ORDER BY token
 """
 
 
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """BPE merge training over the corpus (Sennrich et al. 2016):
+    the corpus reduces to the exact word-count table (vocab-tier
+    combiner — the only corpus-scale work), the deterministic merge
+    loop (count desc, lexicographic pair tie-break) runs on that
+    bounded table, guarded by ``vocab_limit`` (no silent sampling).
+    Rows-only by design (iterative argmax has no SQL form); the merge
+    list is value-gated in pytest against an independent
+    recompute-from-scratch reference and the textbook Sennrich
+    example."""
+    from ..stages.textstats import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = bpe_train(ds, num_merges=30)
+    out["left"] = out["left"].astype(str)
+    out["right"] = out["right"].astype(str)
+    return out.reset_index(drop=True)
+
+
+def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-document BPE token budget under merges trained on the same
+    corpus — the token-accounting pass of a training-data pipeline.
+    Merge ranks broadcast once (``ray.put`` + per-worker cache);
+    each batch encodes only its UNIQUE words (factorize + worker-wide
+    memo), so Zipf-hot words are encoded once per worker, not once
+    per occurrence.  Rows-only; invariants (whitespace lower bound,
+    char-count upper bound, exact values on a crafted corpus) are
+    pytest-gated."""
+    from ..stages.textstats import bpe_token_counts, bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=30)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
     return {
         "kg_mentions": kg_mentions,
@@ -5151,6 +5189,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_media_video": q_media_video,
         "q_editdist": q_editdist,
         "q_spell_canon": q_spell_canon,
+        "q_bpe_train": q_bpe_train,
+        "q_bpe_tokens": q_bpe_tokens,
     }
 
 

@@ -441,3 +441,193 @@ def tfidf_topk(ds, n_docs: int, text_col: str = "text",
 
     return grouped_map(scored, id_col, topk_bucket,
                        num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer: distributed word-count reduction, vocab-tier
+# merge training, broadcast rank-greedy encode
+# ---------------------------------------------------------------------------
+
+def word_counts(ds, text_col: str = "text"):
+    """Corpus -> exact ``(word, cnt)`` table on the vocabulary tier:
+    per-batch ``value_counts`` combiners (a hot word collapses to ONE
+    row per batch, so the exchange moves pre-reduced KB-scale partials,
+    never the token stream) -> one keyed ``grouped_agg`` sum.  Same
+    tier contract as tfidf's df pass — the ONLY corpus-scale work any
+    vocab-tier consumer (BPE training, edit-distance joins, spelling
+    canonicalization) ever does."""
+    from ..functions.relops import grouped_agg
+
+    def batch_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[toks != ""]
+        c = toks.value_counts()
+        return pd.DataFrame({
+            "word": pd.Series(c.index.to_numpy(), dtype="string"),
+            "n": c.to_numpy().astype("int64")})
+
+    part = ds.map_batches(batch_counts, batch_format="pandas")
+    return grouped_agg(part, "word", cnt=("n", "sum"))
+
+
+def bpe_train_from_counts(words, counts, num_merges: int,
+                          end_token: str = "</w>") -> pd.DataFrame:
+    """Deterministic byte-pair-encoding merge training over a word
+    frequency table (Sennrich et al. 2016 shape, the algorithm behind
+    GPT-2/SentencePiece-BPE vocabularies).  Each iteration merges the
+    adjacent symbol pair with the highest corpus count; ties break on
+    the lexicographically smallest ``(left, right)`` pair so the merge
+    list is identical regardless of input order or parallelism.
+
+    Incremental maintenance: a pair->word-set index means each merge
+    re-scans only the words CONTAINING the merged pair (the standard
+    trainer optimization) — cost per merge is O(total length of
+    affected words), not O(vocabulary).
+
+    Returns a DataFrame ``(rank, left, right, pair_count)``.
+    """
+    from collections import Counter, defaultdict
+
+    order = np.argsort(np.asarray(words, dtype=object), kind="stable")
+    seqs = [tuple(str(words[i])) + (end_token,) for i in order]
+    cnts = [int(counts[i]) for i in order]
+
+    pair_counts: Counter = Counter()
+    where = defaultdict(set)
+
+    def add_word(idx: int, sign: int) -> None:
+        s, c = seqs[idx], sign * cnts[idx]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += c
+            if sign > 0:
+                where[p].add(idx)
+
+    for idx in range(len(seqs)):
+        add_word(idx, +1)
+
+    merges = []
+    for rank in range(num_merges):
+        pair_counts += Counter()  # drop <=0 entries
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(),
+                          key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        new = a + b
+        for idx in sorted(where.get((a, b), ())):
+            add_word(idx, -1)
+            s = seqs[idx]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[idx] = tuple(out)
+            add_word(idx, +1)
+        where.pop((a, b), None)
+
+    return pd.DataFrame({
+        "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+        "left": pd.Series([m[1] for m in merges], dtype="string"),
+        "right": pd.Series([m[2] for m in merges], dtype="string"),
+        "pair_count": pd.Series([m[3] for m in merges], dtype="int64")})
+
+
+def bpe_train(ds, text_col: str = "text", num_merges: int = 200,
+              end_token: str = "</w>",
+              vocab_limit: int = 5_000_000) -> pd.DataFrame:
+    """Train BPE merges over a corpus Dataset: the corpus reduces to
+    the exact :func:`word_counts` table (the only corpus-scale work),
+    and the merge loop runs on that vocabulary-bounded table — the
+    shape every production tokenizer trainer uses (word counts fit one
+    machine even for 100-TB corpora; vocabulary cardinality grows with
+    the LANGUAGE, not the data).  ``vocab_limit`` guards the driver
+    collect: past it the input needs pre-filtering (e.g. min-count
+    threshold on the counts table), and we RAISE rather than silently
+    sample."""
+    wc = word_counts(ds, text_col).to_pandas()
+    if len(wc) > vocab_limit:
+        raise ValueError(
+            f"bpe_train: vocabulary {len(wc)} exceeds vocab_limit="
+            f"{vocab_limit}; pre-filter rare words (min-count) before "
+            f"training rather than silently sampling")
+    return bpe_train_from_counts(
+        wc["word"].astype(str).tolist(), wc["cnt"].to_numpy(),
+        num_merges, end_token)
+
+
+def bpe_encode_word(word: str, ranks: dict, end_token: str = "</w>"):
+    """Rank-greedy BPE encode of one word (GPT-2 ``get_pairs`` loop):
+    repeatedly apply the LOWEST-rank applicable merge to all its
+    non-overlapping occurrences left-to-right, until no merge applies.
+    For ranks produced by :func:`bpe_train_from_counts` this is
+    equivalent to replaying the merges in training order (pytest-gated
+    equivalence)."""
+    s = tuple(word) + (end_token,)
+    while len(s) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (s[i], s[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return s
+
+
+def bpe_token_counts(ds, merges: pd.DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", end_token: str = "</w>"):
+    """Per-document BPE token counts under a trained merge table —
+    the token-budget accounting pass of a training-data pipeline.
+    The merge ranks are broadcast ONCE (``ray.put``), resolved once
+    per worker (functions/broadcast.py), and each batch encodes only
+    its UNIQUE words (factorize + per-word memo shared across the
+    worker's batches), so a Zipf-hot word is encoded once per worker,
+    not once per occurrence.  Returns a Dataset of (id_col, n_tokens).
+    """
+    import ray
+
+    from ..functions.broadcast import worker_cached
+
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges["rank"], merges["left"].astype(str),
+        merges["right"].astype(str))}
+    ref = ray.put((ranks, {}))  # (ranks, shared per-worker word memo)
+
+    def encode_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rk, memo = worker_cached(ref)
+        s = df[text_col].astype(str).str.split(" ")
+        nw = s.str.len().fillna(0).astype("int64").to_numpy()
+        codes, uniq = pd.factorize(s.explode().to_numpy())
+        enc = np.empty(len(uniq), dtype=np.int64)
+        for u, w in enumerate(uniq):  # unique words only: Zipf-cheap
+            if not isinstance(w, str) or not w:
+                enc[u] = 0
+                continue
+            n = memo.get(w)
+            if n is None:
+                n = len(bpe_encode_word(w, rk, end_token))
+                memo[w] = n
+            enc[u] = n
+        lens = np.zeros(len(df), dtype=np.int64)
+        if codes.size:
+            np.add.at(lens, np.repeat(np.arange(len(df)), nw),
+                      enc[codes])
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_tokens": lens})
+
+    return ds.map_batches(encode_batch, batch_format="pandas")
