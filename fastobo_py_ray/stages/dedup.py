@@ -1313,10 +1313,9 @@ def _levenshtein_batch(a_strs, b_strs, max_len: int = 256) -> np.ndarray:
 
     prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64),
                            (n, Lb + 1)).copy()
-    out = np.where(la == 0, lb, -1)
-    idx = np.arange(n)
-    # harvest rows whose a-side is empty came from the init above; the
+    # rows whose a-side is empty are harvested by the init above; the
     # DP rows below harvest at i == len_a
+    out = np.where(la == 0, lb, -1)
     cur = np.empty_like(prev)
     for i in range(1, La + 1):
         cur[:, 0] = i
@@ -1415,7 +1414,14 @@ def edit_distance_pairs(ds, column: str = "token", k: int = 2,
                                  "dist": pd.Series(dtype="int64")})
         a = m["s_l"].tolist()
         b = m["s_r"].tolist()
-        dist = _levenshtein_batch(a, b)
+        # chunk the pair axis: the DP holds O(chunk x Lmax) int64
+        # scratch, so a hot-variant bucket with millions of candidate
+        # pairs stays at a bounded working set instead of one
+        # n_pairs-wide allocation
+        chunk = 1 << 16
+        dist = np.concatenate(
+            [_levenshtein_batch(a[i:i + chunk], b[i:i + chunk])
+             for i in range(0, len(a), chunk)])
         keep = dist <= k
         return pd.DataFrame({"a": pd.Series(np.asarray(a, dtype=object)[keep],
                                             dtype="string"),
