@@ -5038,6 +5038,59 @@ ORDER BY token
 """
 
 
+def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
+    """Typo-tolerant dictionary lookup — the bipartite sibling of
+    q_editdist: corpus vocabulary tokens fuzzy-joined (Levenshtein<=2,
+    EXACT) against the distinct words of the `part` name dictionary
+    (:func:`~..stages.dedup.edit_distance_join`).  The entity-linking
+    pre-pass shape: noisy web tokens vs a reference surface list.
+    Both sides are vocabulary-tier; the corpus is touched once by the
+    (token,count) combiner and the part dictionary once by a pruned
+    distinct-word pass.  Oracle: DuckDB native ``levenshtein`` cross
+    join over the same two distinct-word CTEs."""
+    from ..functions.relops import grouped_agg
+    from ..stages.dedup import edit_distance_join
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    part_tok = docs.map_batches(_token_counts, batch_format="pandas")
+    vocab = grouped_agg(part_tok, "token",
+                        cnt=("n_occurrences", "sum")).map_batches(
+        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
+        batch_format="pandas")
+
+    def name_words(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["p_name"].astype(str).str.split(" ").explode()
+        w = w[w != ""].drop_duplicates()
+        return pd.DataFrame({"word": pd.Series(w.to_numpy(),
+                                               dtype="string")})
+
+    parts = _read(sf_dir, "part", columns=["p_name"]) \
+        .map_batches(name_words, batch_format="pandas")
+    dict_words = grouped_agg(parts, "word", n=("word", "size")) \
+        .map_batches(lambda df: df[["word"]], batch_format="pandas")
+    out = edit_distance_join(vocab, dict_words, left_col="token",
+                             right_col="word", k=2).to_pandas()
+    out = out.rename(columns={"left": "tok", "right": "name_word"})
+    out["tok"] = out["tok"].astype(str)
+    out["name_word"] = out["name_word"].astype(str)
+    out["dist"] = out["dist"].astype("int64")
+    return out[["tok", "name_word", "dist"]] \
+        .sort_values(["tok", "name_word"]).reset_index(drop=True)
+
+
+Q_FUZZY_JOIN_SQL = """
+WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+             FROM documents),
+dict AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+         FROM part)
+SELECT t.w AS tok, d.w AS name_word,
+       levenshtein(t.w, d.w)::BIGINT AS dist
+FROM tok t, dict d
+WHERE t.w <> '' AND d.w <> '' AND levenshtein(t.w, d.w) <= 2
+ORDER BY tok, name_word
+"""
+
+
 def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     """BPE merge training over the corpus (Sennrich et al. 2016):
     the corpus reduces to the exact word-count table (vocab-tier
@@ -5191,6 +5244,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_spell_canon": q_spell_canon,
         "q_bpe_train": q_bpe_train,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -5336,4 +5390,5 @@ def oracles() -> Dict[str, str]:
         "q_compress_ratio": Q_COMPRESS_RATIO_SQL,
         "q_editdist": Q_EDITDIST_SQL,
         "q_spell_canon": Q_SPELL_CANON_SQL,
+        "q_fuzzy_join": Q_FUZZY_JOIN_SQL,
     }

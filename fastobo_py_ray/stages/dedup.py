@@ -1433,3 +1433,81 @@ def edit_distance_pairs(ds, column: str = "token", k: int = 2,
                        num_buckets=num_buckets)
     return grouped_agg(cand, ["a", "b"], num_buckets=num_buckets,
                        dist=("dist", "min"))
+
+
+def edit_distance_join(left_ds, right_ds, left_col: str = "token",
+                       right_col: str = "token", k: int = 2,
+                       num_buckets: int = 32, max_len: int = 64):
+    """EXACT bipartite edit-distance (Levenshtein <= k) join — fuzzy
+    DICTIONARY matching: every (left, right) string pair within ``k``
+    edits, e.g. noisy web-text tokens against a reference vocabulary
+    of entity surfaces (the typo-tolerant lookup an entity-linking
+    pipeline runs before exact automaton matching).
+
+    Same COMPLETE FastSS symmetric-delete candidate scheme as
+    :func:`edit_distance_pairs` (the completeness argument there is
+    side-agnostic), with the two inputs tagged and paired only ACROSS
+    sides inside each variant bucket; the chunked DP verify makes the
+    result exact.  Both inputs are vocabulary-tier (distinct short
+    strings); corpora reduce to that tier via the word-count combiner
+    first.  One variant-keyed exchange over both exploded sides + one
+    pair-keyed dedupe; ``max_len`` RAISES (no silent cap).
+
+    Returns a Dataset of (left, right, dist), dist <= k.
+    """
+    from ..functions.relops import grouped_agg, grouped_map
+
+    if k < 1:
+        raise ValueError("edit_distance_join: k must be >= 1")
+
+    def explode_side(col, side):
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            toks, variants = [], []
+            for s in df[col].astype(str):
+                if len(s) > max_len:
+                    raise ValueError(
+                        f"edit_distance_join: string of length {len(s)} "
+                        f"exceeds max_len={max_len} (delete-neighbourhood "
+                        f"blow-up); filter long strings or use "
+                        f"ngram_jaccard_pairs / minhash_candidate_pairs")
+                for v in _delete_variants(s, k):
+                    toks.append(s)
+                    variants.append(v)
+            return pd.DataFrame({
+                "variant": pd.Series(variants, dtype="string"),
+                "s": pd.Series(toks, dtype="string"),
+                "side": pd.Series([side] * len(toks), dtype="string")})
+        return explode
+
+    var = left_ds.map_batches(explode_side(left_col, "L"),
+                              batch_format="pandas") \
+        .union(right_ds.map_batches(explode_side(right_col, "R"),
+                                    batch_format="pandas"))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df.loc[df["side"] == "L", ["variant", "s"]]
+        rhs = df.loc[df["side"] == "R", ["variant", "s"]]
+        m = lhs.merge(rhs, on="variant", suffixes=("_l", "_r"))
+        m = m.drop_duplicates(["s_l", "s_r"])
+        if m.empty:
+            return pd.DataFrame({"left": pd.Series(dtype="string"),
+                                 "right": pd.Series(dtype="string"),
+                                 "dist": pd.Series(dtype="int64")})
+        a = m["s_l"].tolist()
+        b = m["s_r"].tolist()
+        chunk = 1 << 16
+        dist = np.concatenate(
+            [_levenshtein_batch(a[i:i + chunk], b[i:i + chunk])
+             for i in range(0, len(a), chunk)])
+        keep = dist <= k
+        return pd.DataFrame({
+            "left": pd.Series(np.asarray(a, dtype=object)[keep],
+                              dtype="string"),
+            "right": pd.Series(np.asarray(b, dtype=object)[keep],
+                               dtype="string"),
+            "dist": dist[keep]})
+
+    cand = grouped_map(var, "variant", bucket_pairs,
+                       num_buckets=num_buckets)
+    return grouped_agg(cand, ["left", "right"], num_buckets=num_buckets,
+                       dist=("dist", "min"))

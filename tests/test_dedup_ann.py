@@ -726,3 +726,35 @@ def test_spell_canon_crafted_corpus(ray_session, tmp_path):
     # counts column is the token's own corpus count
     cnt = dict(zip(out["token"], out["cnt"]))
     assert cnt["the"] == 3 and cnt["teh"] == 1
+
+
+def test_edit_distance_join_brute_force_parity(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import edit_distance_join
+
+    rng = random.Random(31)
+    lvoc = sorted({"".join(rng.choice("abc")
+                           for _ in range(rng.randint(1, 6)))
+                   for _ in range(80)})
+    rvoc = sorted({"".join(rng.choice("abcd")
+                           for _ in range(rng.randint(1, 6)))
+                   for _ in range(80)})
+    lds = rd.from_pandas(
+        pd.DataFrame({"token": pd.Series(lvoc, dtype="string")}))
+    rds = rd.from_pandas(
+        pd.DataFrame({"word": pd.Series(rvoc, dtype="string")}))
+    for k in (1, 2):
+        got = edit_distance_join(lds, rds, "token", "word", k=k) \
+            .to_pandas().sort_values(["left", "right"]) \
+            .reset_index(drop=True)
+        exp = sorted((x, y, _lev_ref(x, y)) for x in lvoc for y in rvoc
+                     if _lev_ref(x, y) <= k)
+        assert list(map(tuple, got.to_numpy())) == exp
+        # bipartite: identical strings on both sides appear at dist 0,
+        # and (l, r) ordering is sides, not lexicographic
+        both = set(lvoc) & set(rvoc)
+        zero = {(a, b) for a, b, d in exp if d == 0}
+        assert zero == {(w, w) for w in both}
