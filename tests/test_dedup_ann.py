@@ -758,3 +758,31 @@ def test_edit_distance_join_brute_force_parity(ray_session):
         both = set(lvoc) & set(rvoc)
         zero = {(a, b) for a, b, d in exp if d == 0}
         assert zero == {(w, w) for w in both}
+
+
+def test_levenshtein_batch_metric_properties():
+    """The DP kernel satisfies the metric axioms on random triples:
+    identity, symmetry, triangle inequality, and the unit-edit bound
+    |len(a)-len(b)| <= d <= max(len)."""
+    import random
+
+    from fastobo_py_ray.stages.dedup import _levenshtein_batch
+
+    rng = random.Random(41)
+    words = ["".join(rng.choice("abcde")
+                     for _ in range(rng.randint(0, 10)))
+             for _ in range(90)]
+    a = words[:30]
+    b = words[30:60]
+    c = words[60:]
+    dab = _levenshtein_batch(a, b)
+    dba = _levenshtein_batch(b, a)
+    dbc = _levenshtein_batch(b, c)
+    dac = _levenshtein_batch(a, c)
+    daa = _levenshtein_batch(a, a)
+    assert (daa == 0).all()
+    assert (dab == dba).all()
+    assert (dac <= dab + dbc).all()
+    for x, y, d in zip(a, b, dab):
+        assert abs(len(x) - len(y)) <= d <= max(len(x), len(y), 1) \
+            or (x == y and d == 0)

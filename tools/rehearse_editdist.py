@@ -77,6 +77,26 @@ def main() -> None:
     print(f"planted recovered: {len(set(planted)) - len(missed)}"
           f"/{len(set(planted))} (missed={len(missed)})")
     assert not missed, f"completeness violated: {list(missed)[:5]}"
+
+    # bipartite sibling: corpus-vocab side vs a dictionary side made of
+    # the planted variants (every planted (w, v) must be recovered
+    # across sides, whichever side each string landed on)
+    from fastobo_py_ray.stages.dedup import edit_distance_join
+
+    dict_words = sorted({p[0] for p in planted} | {p[1] for p in planted})
+    rds = rd.from_pandas(pd.DataFrame(
+        {"word": pd.Series(dict_words, dtype="string")})).repartition(8) \
+        .materialize()
+    t0 = time.perf_counter()
+    jp = edit_distance_join(ds, rds, "token", "word", k=k).to_pandas()
+    jwall = time.perf_counter() - t0
+    jgot = set(zip(jp["left"].astype(str), jp["right"].astype(str)))
+    jmissed = {(a, b) for a, b in planted
+               if (a, b) not in jgot and (b, a) not in jgot}
+    print(f"join: dict={len(dict_words)} pairs_found={len(jp)} "
+          f"wall={jwall:.2f}s; planted recovered across sides: "
+          f"{len(set(planted)) - len(jmissed)}/{len(set(planted))}")
+    assert not jmissed, f"join completeness violated: {list(jmissed)[:5]}"
     ray.shutdown()
 
 
