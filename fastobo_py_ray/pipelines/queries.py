@@ -4906,6 +4906,34 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+# The edit-distance query family (q_editdist / q_spell_canon /
+# q_fuzzy_join) shares ONE token-length contract with its SQL oracles:
+# tokens longer than this are excluded on BOTH sides (an explicit,
+# oracle-mirrored predicate — length(w) <= 64 in the SQL — not a
+# silent cap; web corpora carry URL/hash-like mega-tokens that would
+# otherwise trip the stage-level delete-neighbourhood guard).
+_EDITDIST_MAX_LEN = 64
+
+
+def _vocab_counts(sf_dir: str):
+    """Corpus -> vocabulary-tier (token, cnt) Dataset under the shared
+    edit-distance contract: the q_top_tokens per-batch combiner (the
+    exchange moves pre-reduced partials, never the token stream), then
+    drop empty tokens and tokens longer than ``_EDITDIST_MAX_LEN``
+    (mirrored in every consumer's SQL oracle)."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part = ds.map_batches(_token_counts, batch_format="pandas")
+    counts = grouped_agg(part, "token", cnt=("n_occurrences", "sum"))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["token"].astype(str)
+        return df.loc[(s != "") & (s.str.len() <= _EDITDIST_MAX_LEN)]
+
+    return counts.map_batches(keep, batch_format="pandas")
+
+
 def q_editdist(sf_dir: str) -> pd.DataFrame:
     """Spelling-variant / entity-resolution primitive over the corpus
     vocabulary: EXACT Levenshtein<=2 similarity self-join (FastSS
@@ -4919,16 +4947,13 @@ def q_editdist(sf_dir: str) -> pd.DataFrame:
     and the count annotation merges two vocabulary-bounded tables on
     the driver (31 tokens on the driver corpus; vocabulary cardinality
     is corpus-independent).  Oracle: DuckDB's native ``levenshtein``
-    over the same distinct-token CTE."""
-    from ..functions.relops import grouped_agg
+    over the same distinct-token CTE (shared length contract,
+    ``_EDITDIST_MAX_LEN``)."""
     from ..stages.dedup import edit_distance_pairs
 
-    ds = _read(sf_dir, "documents", columns=["text"])
-    part = ds.map_batches(_token_counts, batch_format="pandas")
-    counts = grouped_agg(part, "token", cnt=("n_occurrences", "sum"))
-    vocab = counts.map_batches(
-        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
-        batch_format="pandas")
+    counts = _vocab_counts(sf_dir)
+    vocab = counts.map_batches(lambda df: df[["token"]],
+                               batch_format="pandas")
     pairs = edit_distance_pairs(vocab, column="token", k=2).to_pandas()
     cdf = counts.to_pandas()  # vocabulary-bounded by construction
     out = pairs.merge(cdf.rename(columns={"token": "a", "cnt": "cnt_a"}),
@@ -4945,7 +4970,8 @@ def q_editdist(sf_dir: str) -> pd.DataFrame:
 
 Q_EDITDIST_SQL = """
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w)
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok
+        WHERE w <> '' AND length(w) <= 64 GROUP BY w)
 SELECT a.w AS tok_a, b.w AS tok_b,
        levenshtein(a.w, b.w)::BIGINT AS dist,
        a.c AS cnt_a, b.c AS cnt_b
@@ -4958,7 +4984,7 @@ ORDER BY tok_a, tok_b
 def q_spell_canon(sf_dir: str) -> pd.DataFrame:
     """Spelling-variant canonicalization — the normalization stage a
     webtext KG pipeline runs before entity linking: tokens within
-    Levenshtein distance 1 of each other are grouped into connected
+    Levenshtein distance 2 of each other are grouped into connected
     components of the edit-distance graph, and every token maps to its
     component's highest-frequency member (``canonical``); tie-break is
     lexicographic, so the mapping is deterministic on both engines.
@@ -4974,16 +5000,12 @@ def q_spell_canon(sf_dir: str) -> pd.DataFrame:
     contract q_editdist documents).  Oracle: recursive-CTE min-label
     closure over DuckDB's native ``levenshtein`` pairs + a
     row_number argmax — the q_cluster_best pattern."""
-    from ..functions.relops import grouped_agg
     from ..stages.canonicalize import connected_components_contract
     from ..stages.dedup import edit_distance_pairs
 
-    ds = _read(sf_dir, "documents", columns=["text"])
-    part = ds.map_batches(_token_counts, batch_format="pandas")
-    counts = grouped_agg(part, "token", cnt=("n_occurrences", "sum"))
-    vocab = counts.map_batches(
-        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
-        batch_format="pandas")
+    counts = _vocab_counts(sf_dir)
+    vocab = counts.map_batches(lambda df: df[["token"]],
+                               batch_format="pandas")
     pairs = edit_distance_pairs(vocab, column="token", k=2)
     edges = pairs.map_batches(
         lambda df: pd.DataFrame({
@@ -4993,7 +5015,6 @@ def q_spell_canon(sf_dir: str) -> pd.DataFrame:
     labels = connected_components_contract(edges, col_a="a",
                                            col_b="b").to_pandas()
     cdf = counts.to_pandas()  # vocabulary-bounded by construction
-    cdf = cdf[cdf["token"].astype(str) != ""].copy()
     cdf["token"] = cdf["token"].astype(str)
     if labels.empty:  # no close pairs: every token is its own component
         labels = pd.DataFrame({"node": [], "label": []})
@@ -5014,7 +5035,8 @@ def q_spell_canon(sf_dir: str) -> pd.DataFrame:
 Q_SPELL_CANON_SQL = """
 WITH RECURSIVE tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok
+        WHERE w <> '' AND length(w) <= 64 GROUP BY w),
 pairs AS (SELECT a.w AS wa, b.w AS wb FROM cnt a JOIN cnt b
           ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 2),
 bidir AS (SELECT wa AS s, wb AS t FROM pairs
@@ -5047,20 +5069,18 @@ def q_fuzzy_join(sf_dir: str) -> pd.DataFrame:
     Both sides are vocabulary-tier; the corpus is touched once by the
     (token,count) combiner and the part dictionary once by a pruned
     distinct-word pass.  Oracle: DuckDB native ``levenshtein`` cross
-    join over the same two distinct-word CTEs."""
+    join over the same two distinct-word CTEs (shared length
+    contract, ``_EDITDIST_MAX_LEN``)."""
     from ..functions.relops import grouped_agg
     from ..stages.dedup import edit_distance_join
 
-    docs = _read(sf_dir, "documents", columns=["text"])
-    part_tok = docs.map_batches(_token_counts, batch_format="pandas")
-    vocab = grouped_agg(part_tok, "token",
-                        cnt=("n_occurrences", "sum")).map_batches(
-        lambda df: df.loc[df["token"].astype(str) != "", ["token"]],
-        batch_format="pandas")
+    vocab = _vocab_counts(sf_dir).map_batches(
+        lambda df: df[["token"]], batch_format="pandas")
 
     def name_words(df: pd.DataFrame) -> pd.DataFrame:
         w = df["p_name"].astype(str).str.split(" ").explode()
-        w = w[w != ""].drop_duplicates()
+        w = w[(w != "") & (w.str.len() <= _EDITDIST_MAX_LEN)] \
+            .drop_duplicates()
         return pd.DataFrame({"word": pd.Series(w.to_numpy(),
                                                dtype="string")})
 
@@ -5086,7 +5106,9 @@ dict AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
 SELECT t.w AS tok, d.w AS name_word,
        levenshtein(t.w, d.w)::BIGINT AS dist
 FROM tok t, dict d
-WHERE t.w <> '' AND d.w <> '' AND levenshtein(t.w, d.w) <= 2
+WHERE t.w <> '' AND length(t.w) <= 64
+  AND d.w <> '' AND length(d.w) <= 64
+  AND levenshtein(t.w, d.w) <= 2
 ORDER BY tok, name_word
 """
 

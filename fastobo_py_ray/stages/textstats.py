@@ -480,12 +480,16 @@ def bpe_train_from_counts(words, counts, num_merges: int,
     list is identical regardless of input order or parallelism.
 
     Incremental maintenance: a pair->word-set index means each merge
-    re-scans only the words CONTAINING the merged pair (the standard
-    trainer optimization) — cost per merge is O(total length of
-    affected words), not O(vocabulary).
+    re-segments only the words CONTAINING the merged pair, and the
+    argmax rides a lazy-deletion heap keyed ``(-count, pair)`` (stale
+    entries are discarded on pop by comparing against the live count),
+    so per-merge cost is O(total length of affected words + heap
+    churn for the pairs those words touched) — never a full scan of
+    the pair table.
 
     Returns a DataFrame ``(rank, left, right, pair_count)``.
     """
+    import heapq
     from collections import Counter, defaultdict
 
     order = np.argsort(np.asarray(words, dtype=object), kind="stable")
@@ -494,12 +498,15 @@ def bpe_train_from_counts(words, counts, num_merges: int,
 
     pair_counts: Counter = Counter()
     where = defaultdict(set)
+    heap: list = []
+    dirty: set = set()
 
     def add_word(idx: int, sign: int) -> None:
         s, c = seqs[idx], sign * cnts[idx]
         for i in range(len(s) - 1):
             p = (s[i], s[i + 1])
             pair_counts[p] += c
+            dirty.add(p)
             if sign > 0:
                 where[p].add(idx)
 
@@ -508,12 +515,23 @@ def bpe_train_from_counts(words, counts, num_merges: int,
 
     merges = []
     for rank in range(num_merges):
-        pair_counts += Counter()  # drop <=0 entries
-        if not pair_counts:
+        for p in dirty:  # (re)publish every pair whose count moved
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+        dirty.clear()
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p, 0) == -negc:  # live entry
+                best = (p, -negc)
+                break
+            heapq.heappop(heap)  # stale: count moved since push
+        if best is None:
             break
-        (a, b), cnt = min(pair_counts.items(),
-                          key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
         merges.append((rank, a, b, cnt))
+        dirty.add((a, b))  # count goes to 0 below; republish check
         new = a + b
         for idx in sorted(where.get((a, b), ())):
             add_word(idx, -1)

@@ -786,3 +786,26 @@ def test_levenshtein_batch_metric_properties():
     for x, y, d in zip(a, b, dab):
         assert abs(len(x) - len(y)) <= d <= max(len(x), len(y), 1) \
             or (x == y and d == 0)
+
+
+def test_editdist_queries_exclude_mega_tokens(ray_session, tmp_path):
+    """The query layer's shared length contract (_EDITDIST_MAX_LEN,
+    mirrored by length(w) <= 64 in every oracle): a URL/hash-like
+    mega-token in the corpus is EXCLUDED on both sides instead of
+    tripping the stage-level delete-neighbourhood guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import (q_editdist,
+                                                  q_spell_canon)
+
+    mega = "x" * 80
+    docs = ["the cat sat", f"teh cat {mega}", "th dog", "the the"]
+    pq.write_table(pa.table({"text": docs}), tmp_path / "documents.parquet")
+    pairs = q_editdist(str(tmp_path))
+    assert mega not in set(pairs["tok_a"]) | set(pairs["tok_b"])
+    assert ("teh", "the") in set(zip(pairs["tok_a"], pairs["tok_b"]))
+    canon = q_spell_canon(str(tmp_path))
+    assert mega not in set(canon["token"])
+    got = dict(zip(canon["token"], canon["canonical"]))
+    assert got["teh"] == "the"

@@ -55,9 +55,9 @@ def main() -> None:
 
     rng = np.random.default_rng(7)
     alphabet = "abcdefghijklmnopqrstuvwxyz"
-    vocab = list({"".join(rng.choice(list(alphabet),
-                                     size=rng.integers(3, 10)))
-                  for _ in range(int(n_vocab * 1.3))})[:n_vocab]
+    vocab = sorted({"".join(rng.choice(list(alphabet),
+                                       size=rng.integers(3, 10)))
+                    for _ in range(int(n_vocab * 1.3))})[:n_vocab]
     print(f"vocab={len(vocab)}")
 
     prev_merges = None

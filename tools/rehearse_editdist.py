@@ -37,8 +37,8 @@ def main() -> None:
 
     rng = np.random.default_rng(13)
     alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
-    base = list({"".join(rng.choice(alphabet, size=rng.integers(5, 11)))
-                 for _ in range(int(n_words * 1.2))})[:n_words]
+    base = sorted({"".join(rng.choice(alphabet, size=rng.integers(5, 11)))
+                   for _ in range(int(n_words * 1.2))})[:n_words]
 
     # plant close variants of a sample of base words
     n_plant = min(2_000, n_words // 10)
