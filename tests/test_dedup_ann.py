@@ -681,7 +681,7 @@ def test_edit_distance_pairs_brute_force_parity(ray_session):
                     for _ in range(120)})
     ds = rd.from_pandas(
         pd.DataFrame({"token": pd.Series(vocab, dtype="string")}))
-    for k in (1, 2):
+    for k in (1, 2, 3):  # k=3 exercises the general pigeonhole depth
         got = edit_distance_pairs(ds, "token", k=k).to_pandas() \
             .sort_values(["a", "b"]).reset_index(drop=True)
         exp = sorted((min(x, y), max(x, y), _lev_ref(x, y))
