@@ -1232,6 +1232,38 @@ LIMIT 10
 """
 
 
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training (stages/ann.py:
+    hard_negative_topk): every anchor paired with its 5 most
+    cosine-similar CROSS-label vectors — the first consumer of the
+    embeddings table's ``label`` column.  One broadcast of the
+    id-sorted candidate arrays, one shuffle-free anchor stream; the
+    round-to-6-before-rank + ascending-neg_id tie-break is shared with
+    the SQL oracle's row_number ORDER BY, so values match exactly."""
+    from ..stages.ann import hard_negative_topk
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return hard_negative_topk(ds, k=5)
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label <> b.label),
+ranked AS (
+  SELECT vec_id, neg_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neg_id) AS neg_rank
+  FROM sims)
+SELECT vec_id, neg_id, neg_rank::BIGINT AS neg_rank, cos_sim
+FROM ranked WHERE neg_rank <= 5 ORDER BY vec_id, neg_rank
+"""
+
+
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index shuffle,
     no LSH approximation)."""
@@ -5214,6 +5246,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "q_hard_negatives": q_hard_negatives,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
@@ -5305,6 +5338,7 @@ def oracles() -> Dict[str, str]:
         # by design, with pytest error gates against the exact count.
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
+        "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_khop": Q_KHOP_SQL,

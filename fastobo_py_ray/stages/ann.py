@@ -251,3 +251,90 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
     candidates = ds.map_batches(probe_filter, batch_format="pandas")
     return brute_force_topk(candidates, query, k, id_col, vec_col,
                             exclude_ids=exclude_ids)
+
+
+def hard_negative_topk(ds, k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding", label_col: str = "label",
+                       max_corpus_rows: int = 200_000) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY anchor
+    vector, the ``k`` most cosine-similar vectors carrying a DIFFERENT
+    label (similarity rounded to 6 decimals BEFORE ranking, ties broken
+    by ascending neighbor id — the round-before-rank rule shared with
+    tfidf/kmeans so the SQL oracle agrees bit-for-bit).
+
+    Shape: the candidate side is collected once into three plain numpy
+    arrays (ids, labels, normalized matrix) and broadcast with ONE
+    ``ray.put`` — numpy arrays are zero-copy out of plasma, so the
+    per-batch ``ray.get`` costs nothing (the pandas-Series deserialization
+    trap ADVICE flagged on tfidf does not apply).  Anchors then STREAM
+    through one shuffle-free ``map_batches`` pass: a (B x N) block matmul,
+    same-label/self masking, and a stable argsort whose column order is
+    the id-sorted corpus — so ``kind="stable"`` IS the ascending-id
+    tie-break, no per-row lexsort loop.
+
+    Like :func:`embedding_near_dup`, the broadcast-everything candidate
+    side is the declared capped tier (``max_corpus_rows`` aborts past the
+    cap, naming the scale path): at corpus scale, mine negatives per
+    IVF cell — :func:`build_ivf_index` the corpus, probe each anchor's
+    nearest foreign-label cells, and run this same masked-matmul kernel
+    per (anchor block x probed cell), which bounds N to the cell size.
+    """
+    import ray
+
+    ids: List = []
+    labels: List = []
+    mats: List[np.ndarray] = []
+    n_seen = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        n_seen += len(batch)
+        if n_seen > max_corpus_rows:
+            raise ValueError(
+                f"hard_negative_topk broadcasts the whole candidate side "
+                f"and is capped at max_corpus_rows={max_corpus_rows}; for "
+                f"larger corpora mine per IVF cell (see docstring) or "
+                f"raise the cap explicitly.")
+        ids.extend(batch[id_col].tolist())
+        labels.extend(batch[label_col].tolist())
+        mats.append(_normalize(_as_matrix(batch[vec_col])))
+    cols = [id_col, "neg_id", "neg_rank", "cos_sim"]
+    if not mats:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "neg_id": pd.Series(dtype="int64"),
+                             "neg_rank": pd.Series(dtype="int64"),
+                             "cos_sim": pd.Series(dtype="float64")})
+    order = np.argsort(np.asarray(ids), kind="stable")
+    corpus_ids = np.asarray(ids)[order]
+    corpus_labels = np.asarray(labels)[order]
+    corpus_m = np.concatenate(mats, axis=0)[order]
+    ref = ray.put((corpus_ids, corpus_labels, corpus_m))
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        c_ids, c_labels, c_m = ray.get(ref)
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols[:3]}
+                                ) .assign(cos_sim=pd.Series(dtype="float64"))
+        a_m = _normalize(_as_matrix(df[vec_col]))
+        sims = np.round(a_m @ c_m.T, 6)                     # (B, N)
+        a_labels = df[label_col].to_numpy()
+        a_ids = df[id_col].to_numpy()
+        sims[a_labels[:, None] == c_labels[None, :]] = -np.inf
+        sims[a_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        # stable argsort on -sims: equal (rounded) sims keep column
+        # order, and columns are id-ascending by construction
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(df)), kk)
+        flat = top.ravel()
+        keep = np.isfinite(sims[rows, flat])
+        out = pd.DataFrame({
+            id_col: a_ids[rows][keep],
+            "neg_id": c_ids[flat][keep],
+            "neg_rank": (np.tile(np.arange(1, kk + 1), len(df)))[keep],
+            "cos_sim": sims[rows, flat][keep]})
+        return out
+
+    out = ds.map_batches(mine, batch_format="pandas").to_pandas()
+    for c in (id_col, "neg_id", "neg_rank"):
+        out[c] = out[c].astype("int64")
+    out["cos_sim"] = out["cos_sim"].astype("float64")
+    return out.sort_values([id_col, "neg_rank"]).reset_index(drop=True)

@@ -809,3 +809,59 @@ def test_editdist_queries_exclude_mega_tokens(ray_session, tmp_path):
     assert mega not in set(canon["token"])
     got = dict(zip(canon["token"], canon["canonical"]))
     assert got["teh"] == "the"
+
+
+def test_hard_negative_topk_matches_brute_force(ray_session):
+    """Engine output == a plain-numpy per-anchor scan with the same
+    round-before-rank / ascending-id tie-break rule."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import hard_negative_topk
+
+    rng = np.random.RandomState(7)
+    n, d, k = 80, 12, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [rng.normal(size=d).tolist() for _ in range(n)],
+        "label": (np.arange(n) % 3).astype("int32")})
+    got = hard_negative_topk(rd.from_pandas(df).repartition(4), k=k)
+
+    m = np.stack([np.asarray(v, float) for v in df["embedding"]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    labels = df["label"].to_numpy()
+    rows = []
+    for i in range(n):
+        sims = np.round(m @ m[i], 6)
+        cand = [(float(-sims[j]), j) for j in range(n)
+                if labels[j] != labels[i]]
+        for r, (neg_s, j) in enumerate(sorted(cand)[:k], start=1):
+            rows.append((i, j, r, -neg_s))
+    want = pd.DataFrame(rows, columns=["vec_id", "neg_id", "neg_rank",
+                                       "cos_sim"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"vec_id": "int64", "neg_id": "int64",
+                     "neg_rank": "int64"}).reset_index(drop=True))
+    # semantic gates: never a same-label or self pair, exactly k per anchor
+    lab = dict(zip(df["vec_id"], df["label"]))
+    assert (got["vec_id"] != got["neg_id"]).all()
+    assert all(lab[a] != lab[b]
+               for a, b in zip(got["vec_id"], got["neg_id"]))
+    assert (got.groupby("vec_id").size() == k).all()
+
+
+def test_hard_negative_topk_caps_and_short_supply(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.ann import hard_negative_topk
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        "label": [0, 0, 1]})
+    # only one cross-label candidate exists for anchor 2 -> k=5 yields 2
+    out = hard_negative_topk(rd.from_pandas(df), k=5)
+    assert (out[out["vec_id"] == 2]["neg_rank"].tolist() == [1, 2])
+    with pytest.raises(ValueError, match="max_corpus_rows"):
+        hard_negative_topk(rd.from_pandas(df), k=1, max_corpus_rows=2)
