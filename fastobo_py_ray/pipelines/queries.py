@@ -1280,6 +1280,36 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_dup_substrings(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring inventory (stages/dedup.py:
+    dup_substring_grams — the ExactSubstr building block of Lee et al.
+    2022): every 20-char window occurring in >= 2 distinct documents,
+    with exact doc/occurrence counts.  Hash-then-verify: rolling 64-bit
+    window hashes ride the first exchange (16 B/row), real text leaves
+    a worker only for candidate positions, and the gram-keyed second
+    exchange makes collisions impossible in the output."""
+    from ..stages.dedup import dup_substring_grams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dup_substring_grams(ds, gram_len=20).to_pandas()
+    out["gram"] = out["gram"].astype(str)
+    for c in ("n_docs", "n_occ"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+Q_DUP_SUBSTRINGS_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents WHERE length(text) >= 20),
+g AS (SELECT doc_id, substring(text, i, 20) AS gram FROM pos)
+SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY gram
+"""
+
+
 def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution meta-blocking with weighted-node pruning over
     the shingle blocking graph (stages/dedup.py:meta_blocking_pairs —
@@ -5247,6 +5277,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_hard_negatives": q_hard_negatives,
+        "q_dup_substrings": q_dup_substrings,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
@@ -5339,6 +5370,7 @@ def oracles() -> Dict[str, str]:
         "q_lang_counts": Q_LANG_COUNTS_SQL,
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
+        "q_dup_substrings": Q_DUP_SUBSTRINGS_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_khop": Q_KHOP_SQL,

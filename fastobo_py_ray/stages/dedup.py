@@ -1511,3 +1511,112 @@ def edit_distance_join(left_ds, right_ds, left_col: str = "token",
                        num_buckets=num_buckets)
     return grouped_agg(cand, ["left", "right"], num_buckets=num_buckets,
                        dist=("dist", "min"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring inventory (the ExactSubstr building block of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): every character n-gram that occurs in >= min_docs distinct
+# documents, with its exact doc and occurrence counts.
+# ---------------------------------------------------------------------------
+
+_GRAM_HASH_BASE = np.uint64(1099511628211)  # FNV-1a prime, odd => bijective *
+
+
+def _gram_hashes(text: str, gram_len: int) -> np.ndarray:
+    """Rolling 64-bit polynomial hash of every ``gram_len``-char window,
+    CHARACTER-based (utf-32 codepoints, matching Python slicing and SQL
+    ``substring`` semantics, not bytes): ~``gram_len`` vectorized numpy
+    ops per document, no per-character Python loop."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    w = len(codes) - gram_len + 1
+    if w <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(w, dtype=np.uint64)
+    for j in range(gram_len):  # Horner: h_i = ((c_i*B + c_{i+1})*B + ...)
+        h = h * _GRAM_HASH_BASE + codes[j:j + w].astype(np.uint64)
+    return h
+
+
+def dup_substring_grams(ds, gram_len: int = 20, min_docs: int = 2,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_buckets: int = 64):
+    """Exact duplicated-substring inventory: all ``gram_len``-char
+    substrings occurring in >= ``min_docs`` DISTINCT documents, with
+    distinct-doc and total-occurrence counts.  Two hash-then-verify
+    passes so corpus text never rides the exchange:
+
+    1. Per batch, per doc: rolling-hash every window (vectorized),
+       per-doc ``np.unique``, per-batch combine -> (hash, n_docs)
+       partials.  One coarse :func:`grouped_agg` exchange moves 16-byte
+       rows; hashes reaching ``min_docs`` docs are the candidates
+       (duplicated-output-scale, broadcast back sorted via ``ray.put``).
+    2. Second streaming pass extracts the ACTUAL gram strings only at
+       candidate-hash positions (``np.searchsorted`` membership), then a
+       gram-keyed exchange of the candidate-only rows re-counts exactly
+       — 64-bit collisions are resolved here, so the result is exact,
+       never probabilistic.
+
+    Scale: pass-1 traffic is bounded by distinct-window count x 16 B;
+    pass-2 traffic by the duplicated-gram volume (the output, which is
+    what any consumer must hold anyway).  Returns a DATASET of
+    (gram, n_docs, n_occ) — corpus-scale on a duplication-heavy corpus,
+    so the operator never collects it to the driver itself."""
+    import ray
+
+    from ..functions.relops import grouped_agg
+
+    def hash_partials(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [np.unique(_gram_hashes(t, gram_len))
+                   for t in df[text_col] if isinstance(t, str)]
+        if not per_doc:
+            return pd.DataFrame({"h": pd.Series(dtype="uint64"),
+                                 "n": pd.Series(dtype="int64")})
+        hs, counts = np.unique(np.concatenate(per_doc), return_counts=True)
+        return pd.DataFrame({"h": hs, "n": counts.astype("int64")})
+
+    partials = ds.map_batches(hash_partials, batch_format="pandas")
+    agg = grouped_agg(partials, "h", num_buckets=num_buckets,
+                      n=("n", "sum"))
+    cand = agg.map_batches(lambda df: df[df["n"] >= min_docs][["h"]],
+                           batch_format="pandas").to_pandas()
+    cand_sorted = np.sort(cand["h"].to_numpy(dtype=np.uint64))
+    cand_ref = ray.put(cand_sorted)  # numpy: zero-copy per-task get
+
+    empty = pd.DataFrame({"gram": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "n_occ": pd.Series(dtype="int64")})
+
+    def verify_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        if len(cs) == 0:
+            return empty
+        grams: List[str] = []
+        occs: List[int] = []
+        docs: List[int] = []
+        for t in df[text_col]:
+            if not isinstance(t, str):
+                continue
+            h = _gram_hashes(t, gram_len)
+            pos = np.searchsorted(cs, h)
+            pos[pos == len(cs)] = 0
+            hit = np.nonzero(cs[pos] == h)[0]
+            if len(hit) == 0:
+                continue
+            vc = pd.Series([t[p:p + gram_len] for p in hit]).value_counts()
+            grams.extend(vc.index.tolist())
+            occs.extend(vc.to_numpy().tolist())
+            docs.extend([1] * len(vc))
+        out = pd.DataFrame({"gram": pd.Series(grams, dtype="object"),
+                            "n_docs": pd.Series(docs, dtype="int64"),
+                            "n_occ": pd.Series(occs, dtype="int64")})
+        # combine across the batch's docs before the exchange
+        return out.groupby("gram", as_index=False, sort=False).sum()
+
+    verified = grouped_agg(
+        ds.map_batches(verify_partials, batch_format="pandas"),
+        "gram", num_buckets=num_buckets,
+        n_docs=("n_docs", "sum"), n_occ=("n_occ", "sum"))
+    return verified.map_batches(
+        lambda df: df[df["n_docs"] >= min_docs],
+        batch_format="pandas")

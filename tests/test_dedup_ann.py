@@ -865,3 +865,54 @@ def test_hard_negative_topk_caps_and_short_supply(ray_session):
     assert (out[out["vec_id"] == 2]["neg_rank"].tolist() == [1, 2])
     with pytest.raises(ValueError, match="max_corpus_rows"):
         hard_negative_topk(rd.from_pandas(df), k=1, max_corpus_rows=2)
+
+
+def test_dup_substring_grams_exact_counts(ray_session):
+    """Crafted corpus with a known shared 8-gram: exact doc/occurrence
+    counts, singleton grams absent, short/None docs ignored."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dup_substring_grams
+
+    shared = "abcdefgh"                      # appears in docs 0,1 (doc 1: 2x)
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [f"xx{shared}yy", f"{shared}..{shared}", "zzzzzzzzzz",
+                 "short", None]})
+    out = dup_substring_grams(rd.from_pandas(df).repartition(3),
+                              gram_len=8).to_pandas()
+    row = out[out["gram"] == shared]
+    assert len(row) == 1
+    assert row["n_docs"].iloc[0] == 2 and row["n_occ"].iloc[0] == 3
+    # every reported gram really is duplicated across docs
+    assert (out["n_docs"] >= 2).all()
+    # brute-force parity on the tiny corpus
+    from collections import Counter, defaultdict
+    docs, occ = defaultdict(set), Counter()
+    for _, r in df.iterrows():
+        t = r["text"]
+        if not isinstance(t, str):
+            continue
+        for i in range(len(t) - 7):
+            g = t[i:i + 8]
+            docs[g].add(r["doc_id"])
+            occ[g] += 1
+    want = sorted((g, len(d), occ[g]) for g, d in docs.items()
+                  if len(d) >= 2)
+    got = sorted(map(tuple, out[["gram", "n_docs", "n_occ"]].to_numpy()))
+    assert got == want
+
+
+def test_dup_substring_grams_unicode_char_semantics(ray_session):
+    """Multi-byte codepoints: windows are CHARACTER-based (like SQL
+    substring), so a shared 4-char gram containing non-ASCII is found."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dup_substring_grams
+
+    g = "ké中i"                      # 4 chars, 1-3 bytes each
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [f"__{g}__", f"{g}!!"]})
+    out = dup_substring_grams(rd.from_pandas(df), gram_len=4).to_pandas()
+    assert g in set(out["gram"])
+    assert out.set_index("gram").loc[g, "n_docs"] == 2
