@@ -1310,6 +1310,40 @@ ORDER BY gram
 """
 
 
+def q_dup_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-document duplicated-span coverage (stages/dedup.py:
+    dup_substring_coverage — the ExactSubstr DECISION signal: which
+    fraction of each doc's 20-char windows is duplicated elsewhere).
+    The duplicated-gram inventory is computed distributed then
+    broadcast once (hash prefilter + exact string verify => collision-
+    exact); round-to-6 on the fraction matches the oracle."""
+    from ..stages.dedup import dup_substring_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dup_substring_coverage(ds, gram_len=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("n_windows", "n_dup_windows"):
+        out[c] = out[c].astype("int64")
+    out["dup_frac"] = out["dup_frac"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DUP_COVERAGE_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents WHERE length(text) >= 20),
+g AS (SELECT doc_id, substring(text, i, 20) AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       count(*) FILTER (WHERE gram IN (SELECT gram FROM dup))::BIGINT
+         AS n_dup_windows,
+       round(count(*) FILTER (WHERE gram IN (SELECT gram FROM dup))
+             ::DOUBLE / count(*), 6) AS dup_frac
+FROM g GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution meta-blocking with weighted-node pruning over
     the shingle blocking graph (stages/dedup.py:meta_blocking_pairs —
@@ -5278,6 +5312,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_hard_negatives": q_hard_negatives,
         "q_dup_substrings": q_dup_substrings,
+        "q_dup_coverage": q_dup_coverage,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
@@ -5371,6 +5406,7 @@ def oracles() -> Dict[str, str]:
         "q_ann_topk": Q_ANN_TOPK_SQL,
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
         "q_dup_substrings": Q_DUP_SUBSTRINGS_SQL,
+        "q_dup_coverage": Q_DUP_COVERAGE_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_khop": Q_KHOP_SQL,

@@ -1620,3 +1620,80 @@ def dup_substring_grams(ds, gram_len: int = 20, min_docs: int = 2,
     return verified.map_batches(
         lambda df: df[df["n_docs"] >= min_docs],
         batch_format="pandas")
+
+
+def dup_substring_coverage(ds, gram_len: int = 20, min_docs: int = 2,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_buckets: int = 64,
+                           max_dup_grams: int = 5_000_000) -> pd.DataFrame:
+    """Per-document duplicated-span coverage — the decision signal of
+    ExactSubstr dedup (Lee et al. 2022) and a standard curation filter:
+    for every doc with at least one ``gram_len`` window, the fraction of
+    its windows whose gram occurs in >= ``min_docs`` distinct docs.
+
+    Built on :func:`dup_substring_grams`: the duplicated-gram inventory
+    is computed distributed, then broadcast ONCE as (sorted hash array,
+    exact gram set) — membership is a vectorized ``searchsorted``
+    prefilter plus an exact string check on hits only, so the result is
+    collision-exact.  The broadcast is duplicated-VOCABULARY-scale, not
+    corpus-scale; ``max_dup_grams`` aborts past the cap naming the scale
+    path (hash-join doc windows against the inventory — one more
+    exchange, same exactness) rather than silently OOMing a worker.
+    Returns a DATASET of (doc_id, n_windows, n_dup_windows, dup_frac)
+    — one row per doc is corpus-scale, so the operator never collects
+    it to the driver itself (docs shorter than ``gram_len`` have no
+    windows and are absent, matching SQL's empty GROUP BY group)."""
+    import ray
+
+    dup = dup_substring_grams(ds, gram_len=gram_len, min_docs=min_docs,
+                              id_col=id_col, text_col=text_col,
+                              num_buckets=num_buckets)
+    grams: List[str] = []
+    for b in dup.iter_batches(batch_size=65536, batch_format="pandas"):
+        grams.extend(b["gram"].tolist())
+        if len(grams) > max_dup_grams:
+            raise ValueError(
+                f"dup_substring_coverage broadcasts the duplicated-gram "
+                f"inventory and is capped at max_dup_grams="
+                f"{max_dup_grams}; for larger inventories hash-join the "
+                f"window stream against the inventory instead, or raise "
+                f"the cap explicitly.")
+    gram_set = frozenset(grams)
+    hs = np.sort(np.asarray([_gram_hashes(g, gram_len)[0] for g in grams],
+                            dtype=np.uint64)) if grams else \
+        np.empty(0, dtype=np.uint64)
+    ref = ray.put((hs, gram_set))
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        hsorted, gset = ray.get(ref)
+        ids: List = []
+        n_win: List[int] = []
+        n_dup: List[int] = []
+        for did, t in zip(df[id_col], df[text_col]):
+            if not isinstance(t, str):
+                continue
+            h = _gram_hashes(t, gram_len)
+            if len(h) == 0:
+                continue
+            ids.append(did)
+            n_win.append(len(h))
+            if len(hsorted) == 0:
+                n_dup.append(0)
+                continue
+            pos = np.searchsorted(hsorted, h)
+            pos[pos == len(hsorted)] = 0
+            cand = np.nonzero(hsorted[pos] == h)[0]
+            n_dup.append(sum(1 for p in cand
+                             if t[p:p + gram_len] in gset))
+        nw = pd.Series(n_win, dtype="int64")
+        nd = pd.Series(n_dup, dtype="int64")
+        # half-AWAY rounding to match SQL round(): ratios of small
+        # integers land exactly on .5 ulps (20/512 = .0390625), where
+        # numpy's banker's rounding would flip the 6th decimal
+        frac = np.floor((nd / nw) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({id_col: pd.Series(ids),
+                             "n_windows": nw, "n_dup_windows": nd,
+                             "dup_frac": frac})
+
+    # one row per doc -> corpus-scale output; stays a Dataset
+    return ds.map_batches(coverage, batch_format="pandas")

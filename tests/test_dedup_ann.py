@@ -916,3 +916,24 @@ def test_dup_substring_grams_unicode_char_semantics(ray_session):
     out = dup_substring_grams(rd.from_pandas(df), gram_len=4).to_pandas()
     assert g in set(out["gram"])
     assert out.set_index("gram").loc[g, "n_docs"] == 2
+
+
+def test_dup_substring_coverage_counts_and_rounding(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import dup_substring_coverage
+
+    shared = "abcdefgh"
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [f"xx{shared}yy", f"{shared}..", "tiny"]})
+    out = dup_substring_coverage(rd.from_pandas(df).repartition(2),
+                                 gram_len=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 2 is shorter than the gram (no windows) and absent, like SQL
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_windows"].tolist() == [5, 3]
+    assert out["n_dup_windows"].tolist() == [1, 1]
+    assert out["dup_frac"].tolist() == [0.2, 0.333333]
+    # half-AWAY rounding (SQL round()) where numpy's banker's rounding
+    # would give 0.039062 for 20/512
+    assert np.floor((20 / 512) * 1e6 + 0.5) / 1e6 == 0.039063
