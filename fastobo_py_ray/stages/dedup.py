@@ -1547,9 +1547,16 @@ def dup_substring_grams(ds, gram_len: int = 20, min_docs: int = 2,
     passes so corpus text never rides the exchange:
 
     1. Per batch, per doc: rolling-hash every window (vectorized),
-       per-doc ``np.unique``, per-batch combine -> (hash, n_docs)
-       partials.  One coarse :func:`grouped_agg` exchange moves 16-byte
-       rows; hashes reaching ``min_docs`` docs are the candidates
+       per-doc ``np.unique``, then ONE coarse hash-bucket exchange of a
+       single bare uint64 column (8 B per (doc, window) pair, Arrow
+       blocks — measured 1.8x over the previous (hash, count) pandas
+       partial exchange at 1M docs / 181M windows, quiet-epoch
+       interleaved A/B in BASELINE.md; a raw-Ray numpy shard exchange
+       was also measured and was a wash vs this shape while losing
+       streaming backpressure, so Dataset groupby stays): because each
+       doc contributes a hash at most once, the bucket task's
+       ``np.unique(return_counts)`` IS the global per-hash doc count;
+       hashes reaching ``min_docs`` are the candidates
        (duplicated-output-scale, broadcast back sorted via ``ray.put``).
     2. Second streaming pass extracts the ACTUAL gram strings only at
        candidate-hash positions (``np.searchsorted`` membership), then a
@@ -1557,29 +1564,31 @@ def dup_substring_grams(ds, gram_len: int = 20, min_docs: int = 2,
        — 64-bit collisions are resolved here, so the result is exact,
        never probabilistic.
 
-    Scale: pass-1 traffic is bounded by distinct-window count x 16 B;
-    pass-2 traffic by the duplicated-gram volume (the output, which is
-    what any consumer must hold anyway).  Returns a DATASET of
+    Scale: pass-1 traffic is bounded by per-doc-distinct window count
+    x 8 B, spread over ``num_buckets`` skew-free hash buckets; pass-2
+    traffic by the duplicated-gram volume (the output, which is what
+    any consumer must hold anyway).  Returns a DATASET of
     (gram, n_docs, n_occ) — corpus-scale on a duplication-heavy corpus,
     so the operator never collects it to the driver itself."""
     import ray
 
-    from ..functions.relops import grouped_agg
+    from ..functions.relops import grouped_agg, grouped_map
 
-    def hash_partials(df: pd.DataFrame) -> pd.DataFrame:
+    def hash_stream(df: pd.DataFrame) -> pd.DataFrame:
         per_doc = [np.unique(_gram_hashes(t, gram_len))
                    for t in df[text_col] if isinstance(t, str)]
+        per_doc = [h for h in per_doc if len(h)]
         if not per_doc:
-            return pd.DataFrame({"h": pd.Series(dtype="uint64"),
-                                 "n": pd.Series(dtype="int64")})
-        hs, counts = np.unique(np.concatenate(per_doc), return_counts=True)
-        return pd.DataFrame({"h": hs, "n": counts.astype("int64")})
+            return pd.DataFrame({"h": pd.Series(dtype="uint64")})
+        return pd.DataFrame({"h": np.concatenate(per_doc)})
 
-    partials = ds.map_batches(hash_partials, batch_format="pandas")
-    agg = grouped_agg(partials, "h", num_buckets=num_buckets,
-                      n=("n", "sum"))
-    cand = agg.map_batches(lambda df: df[df["n"] >= min_docs][["h"]],
-                           batch_format="pandas").to_pandas()
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        hs, counts = np.unique(df["h"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"h": hs[counts >= min_docs]})
+
+    cand = grouped_map(ds.map_batches(hash_stream, batch_format="pandas"),
+                       "h", bucket_candidates, num_buckets=num_buckets,
+                       exchange="pyarrow").to_pandas()
     cand_sorted = np.sort(cand["h"].to_numpy(dtype=np.uint64))
     cand_ref = ray.put(cand_sorted)  # numpy: zero-copy per-task get
 
