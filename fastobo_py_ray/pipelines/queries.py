@@ -1344,6 +1344,54 @@ FROM g GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dup_removal(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr dedup transform (stages/dedup.py:
+    exact_substr_removal — Lee et al. 2022's removal step): every
+    character covered by a 20-char window occurring in >= 2 distinct
+    docs is cut; returns each doc's cleaned text and removed-char
+    count.  The duplicated-gram inventory is computed distributed and
+    broadcast once; the cut is a stateless streaming pass with zero
+    corpus-text exchanges."""
+    from ..stages.dedup import exact_substr_removal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_substr_removal(ds, gram_len=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["clean_text"] = out["clean_text"].astype(str)
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DUP_REMOVAL_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents WHERE length(text) >= 20),
+g AS (SELECT doc_id, i, substring(text, i, 20) AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, i FROM g
+        WHERE gram IN (SELECT gram FROM dup)),
+cover AS (SELECT DISTINCT doc_id, i + unnest(generate_series(0, 19)) AS k
+          FROM hit),
+chars AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS k,
+                 text FROM documents),
+kept AS (SELECT c.doc_id, c.k, substring(c.text, c.k, 1) AS ch
+         FROM chars c LEFT JOIN cover v
+           ON v.doc_id = c.doc_id AND v.k = c.k
+         WHERE v.k IS NULL),
+agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY k) AS clean_text
+        FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+        FROM cover GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution meta-blocking with weighted-node pruning over
     the shingle blocking graph (stages/dedup.py:meta_blocking_pairs —
@@ -5313,6 +5361,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_dup_substrings": q_dup_substrings,
         "q_dup_coverage": q_dup_coverage,
+        "q_dup_removal": q_dup_removal,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
@@ -5407,6 +5456,7 @@ def oracles() -> Dict[str, str]:
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
         "q_dup_substrings": Q_DUP_SUBSTRINGS_SQL,
         "q_dup_coverage": Q_DUP_COVERAGE_SQL,
+        "q_dup_removal": Q_DUP_REMOVAL_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_khop": Q_KHOP_SQL,

@@ -1631,6 +1631,41 @@ def dup_substring_grams(ds, gram_len: int = 20, min_docs: int = 2,
         batch_format="pandas")
 
 
+def _dup_inventory_ref(ds, gram_len: int, min_docs: int, id_col: str,
+                       text_col: str, num_buckets: int,
+                       max_dup_grams: int, caller: str):
+    """Compute the duplicated-gram inventory distributed
+    (:func:`dup_substring_grams`) and broadcast it ONCE as
+    ``ray.put((sorted hash array, exact gram frozenset))`` — the shared
+    decision structure of the ExactSubstr consumers (coverage /
+    removal).  Membership tests downstream are a vectorized
+    ``searchsorted`` prefilter plus an exact string check on hits only,
+    so consumers stay collision-exact.  The broadcast is
+    duplicated-VOCABULARY-scale, not corpus-scale; ``max_dup_grams``
+    aborts past the cap naming the scale path (hash-join doc windows
+    against the inventory — one more exchange, same exactness) rather
+    than silently OOMing a worker."""
+    import ray
+
+    dup = dup_substring_grams(ds, gram_len=gram_len, min_docs=min_docs,
+                              id_col=id_col, text_col=text_col,
+                              num_buckets=num_buckets)
+    grams: List[str] = []
+    for b in dup.iter_batches(batch_size=65536, batch_format="pandas"):
+        grams.extend(b["gram"].tolist())
+        if len(grams) > max_dup_grams:
+            raise ValueError(
+                f"{caller} broadcasts the duplicated-gram inventory and "
+                f"is capped at max_dup_grams={max_dup_grams}; for larger "
+                f"inventories hash-join the window stream against the "
+                f"inventory instead, or raise the cap explicitly.")
+    gram_set = frozenset(grams)
+    hs = np.sort(np.asarray([_gram_hashes(g, gram_len)[0] for g in grams],
+                            dtype=np.uint64)) if grams else \
+        np.empty(0, dtype=np.uint64)
+    return ray.put((hs, gram_set))
+
+
 def dup_substring_coverage(ds, gram_len: int = 20, min_docs: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
                            num_buckets: int = 64,
@@ -1654,24 +1689,9 @@ def dup_substring_coverage(ds, gram_len: int = 20, min_docs: int = 2,
     windows and are absent, matching SQL's empty GROUP BY group)."""
     import ray
 
-    dup = dup_substring_grams(ds, gram_len=gram_len, min_docs=min_docs,
-                              id_col=id_col, text_col=text_col,
-                              num_buckets=num_buckets)
-    grams: List[str] = []
-    for b in dup.iter_batches(batch_size=65536, batch_format="pandas"):
-        grams.extend(b["gram"].tolist())
-        if len(grams) > max_dup_grams:
-            raise ValueError(
-                f"dup_substring_coverage broadcasts the duplicated-gram "
-                f"inventory and is capped at max_dup_grams="
-                f"{max_dup_grams}; for larger inventories hash-join the "
-                f"window stream against the inventory instead, or raise "
-                f"the cap explicitly.")
-    gram_set = frozenset(grams)
-    hs = np.sort(np.asarray([_gram_hashes(g, gram_len)[0] for g in grams],
-                            dtype=np.uint64)) if grams else \
-        np.empty(0, dtype=np.uint64)
-    ref = ray.put((hs, gram_set))
+    ref = _dup_inventory_ref(ds, gram_len, min_docs, id_col, text_col,
+                             num_buckets, max_dup_grams,
+                             "dup_substring_coverage")
 
     def coverage(df: pd.DataFrame) -> pd.DataFrame:
         hsorted, gset = ray.get(ref)
@@ -1706,3 +1726,80 @@ def dup_substring_coverage(ds, gram_len: int = 20, min_docs: int = 2,
 
     # one row per doc -> corpus-scale output; stays a Dataset
     return ds.map_batches(coverage, batch_format="pandas")
+
+
+def exact_substr_removal(ds, gram_len: int = 20, min_docs: int = 2,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_buckets: int = 64,
+                         max_dup_grams: int = 5_000_000):
+    """ExactSubstr deduplication TRANSFORM (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    exact-substring variant): delete from every document each character
+    covered by at least one ``gram_len``-char window that occurs in
+    >= ``min_docs`` DISTINCT documents.  This is the removal step the
+    inventory (:func:`dup_substring_grams`) and the decision signal
+    (:func:`dup_substring_coverage`) build toward.
+
+    Shape: the duplicated-gram inventory is computed distributed and
+    broadcast once (:func:`_dup_inventory_ref` — duplicated-vocabulary-
+    scale, collision-exact via hash prefilter + string verify); the cut
+    itself is a stateless streaming ``map_batches`` pass, zero
+    exchanges over corpus text.  Per doc the covered-character mask is
+    built vectorized (delta array over hit starts, ``cumsum`` > 0) and
+    the kept characters are sliced in utf-32 code space — CHARACTER
+    semantics matching Python slicing and SQL ``substring``, so
+    surrogate-free unicode is cut exactly like the oracle.
+
+    Returns a DATASET of (id_col, clean_text, n_removed): every input
+    doc appears exactly once — docs with no duplicated window (or
+    shorter than ``gram_len``) pass through with ``n_removed == 0``.
+    Note the standard ExactSubstr caveat applies: removal can splice
+    previously-distant characters together, creating windows that did
+    not exist in the input (Lee et al. accept this; a fixpoint loop is
+    the caller's choice)."""
+    import ray
+
+    ref = _dup_inventory_ref(ds, gram_len, min_docs, id_col, text_col,
+                             num_buckets, max_dup_grams,
+                             "exact_substr_removal")
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        hsorted, gset = ray.get(ref)
+        ids: List = []
+        cleans: List[str] = []
+        removed: List[int] = []
+        for did, t in zip(df[id_col], df[text_col]):
+            if not isinstance(t, str):
+                continue
+            ids.append(did)
+            h = _gram_hashes(t, gram_len)
+            if len(h) == 0 or len(hsorted) == 0:
+                cleans.append(t)
+                removed.append(0)
+                continue
+            pos = np.searchsorted(hsorted, h)
+            pos[pos == len(hsorted)] = 0
+            cand = np.nonzero(hsorted[pos] == h)[0]
+            hits = np.asarray([p for p in cand
+                               if t[p:p + gram_len] in gset],
+                              dtype=np.int64)
+            if len(hits) == 0:
+                cleans.append(t)
+                removed.append(0)
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+            delta = np.zeros(len(codes) + 1, dtype=np.int32)
+            np.add.at(delta, hits, 1)
+            np.add.at(delta, hits + gram_len, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            cleans.append(codes[~covered].tobytes()
+                          .decode("utf-32-le"))
+            removed.append(int(covered.sum()))
+        return pd.DataFrame({id_col: pd.Series(ids),
+                             "clean_text": pd.Series(cleans,
+                                                     dtype="object"),
+                             "n_removed": pd.Series(removed,
+                                                    dtype="int64")})
+
+    # one row per doc -> corpus-scale output; stays a Dataset
+    return ds.map_batches(cut, batch_format="pandas")

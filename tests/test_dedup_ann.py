@@ -937,3 +937,80 @@ def test_dup_substring_coverage_counts_and_rounding(ray_session):
     # half-AWAY rounding (SQL round()) where numpy's banker's rounding
     # would give 0.039062 for 20/512
     assert np.floor((20 / 512) * 1e6 + 0.5) / 1e6 == 0.039063
+
+
+def test_exact_substr_removal_crafted(ray_session):
+    """Crafted cut: the union of covered spans is deleted, overlapping
+    hits merge, dup-free / short / window-less docs pass through with
+    n_removed == 0, and every input doc appears exactly once."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import exact_substr_removal
+
+    shared = "abcdefgh"                       # 8-char duplicated passage
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [f"xx{shared}yy",             # one hit: cut chars 2..9
+                 f"{shared}{shared}",         # overlapping windows merge:
+                                              # the 'hg' seam is NOT a dup
+                                              # gram, but windows at 0 and
+                                              # 8 cover all 16 chars
+                 "zzzzzzzzzzzz",              # windows, none duplicated
+                 "tiny"]})                    # shorter than gram_len
+    out = exact_substr_removal(rd.from_pandas(df).repartition(2),
+                               gram_len=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["clean_text"].tolist() == ["xxyy", "", "zzzzzzzzzzzz",
+                                          "tiny"]
+    assert out["n_removed"].tolist() == [8, 16, 0, 0]
+
+
+def test_exact_substr_removal_unicode_and_parity(ray_session):
+    """Brute-force parity on a random duplication-heavy corpus incl. a
+    multi-byte-codepoint duplicated passage: the engine's utf-32 mask
+    cut equals a plain-Python character-level reimplementation."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import exact_substr_removal
+
+    G = 6
+    rng = np.random.RandomState(5)
+    passages = ["abcdefgi", "ké中i文字ab"]     # second is multi-byte
+    texts = []
+    for i in range(60):
+        t = "".join(chr(97 + c) for c in rng.randint(0, 26, size=30))
+        if i % 3 == 0:
+            p = passages[i % 2]
+            ins = int(rng.randint(0, len(t)))
+            t = t[:ins] + p + t[ins:]
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": texts})
+
+    # plain-Python reference: count distinct docs per window, cut union
+    from collections import defaultdict
+    docs = defaultdict(set)
+    for did, t in zip(df["doc_id"], df["text"]):
+        for i in range(len(t) - G + 1):
+            docs[t[i:i + G]].add(did)
+    dup = {g for g, d in docs.items() if len(d) >= 2}
+    want = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        cov = [False] * len(t)
+        for i in range(len(t) - G + 1):
+            if t[i:i + G] in dup:
+                for j in range(i, i + G):
+                    cov[j] = True
+        want[did] = ("".join(c for c, m in zip(t, cov) if not m),
+                     sum(cov))
+
+    out = exact_substr_removal(rd.from_pandas(df).repartition(4),
+                               gram_len=G).to_pandas()
+    assert len(out) == 60
+    for did, clean, nrem in zip(out["doc_id"], out["clean_text"],
+                                out["n_removed"]):
+        assert (clean, nrem) == want[did], did
+    # the multi-byte passage really was duplicated and cut
+    assert any(passages[1] in t for t in texts)
+    assert all(passages[1] not in c for c in out["clean_text"])

@@ -14,8 +14,11 @@ two sizes and assert
   * throughput scales: per-doc rate holds or improves at 5x docs
     (pass-1 traffic is windows x 16 B; pass-2 is output-bounded).
 
-Also times :func:`dup_substring_coverage` at the small size (its
-broadcast inventory is planted-window-scale by construction).
+Also times :func:`dup_substring_coverage` and
+:func:`exact_substr_removal` at the small size (their broadcast
+inventory is planted-window-scale by construction) and asserts the
+removal invariant: no reported duplicated gram survives in any cleaned
+text.
 
     python tools/rehearse_dup_substrings.py [n_small] [n_big] [n_passages]
 """
@@ -73,7 +76,8 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from fastobo_py_ray.stages.dedup import (dup_substring_coverage,
-                                             dup_substring_grams)
+                                             dup_substring_grams,
+                                             exact_substr_removal)
 
     rng = np.random.default_rng(11)
     passages = rand_strings(rng, n_passages, PASSAGE_CHARS)
@@ -142,6 +146,23 @@ def main() -> None:
             print(f"  coverage {dt:.2f}s = {n_docs / dt:,.0f} docs/s; "
                   f"docs with dup spans {int(n_flagged):,} "
                   f"(carriers of >=2-doc passages <= {n_carriers:,})")
+            t0 = time.perf_counter()
+            clean = exact_substr_removal(ds, gram_len=GRAM)
+            gset2 = set(got)
+
+            def survivors(df):
+                n = sum(1 for t in df["clean_text"]
+                        for i in range(len(t) - GRAM + 1)
+                        if t[i:i + GRAM] in gset2)
+                return pd.DataFrame({"n": [n]})
+
+            n_surv = clean.map_batches(
+                survivors, batch_format="pandas").to_pandas()["n"].sum()
+            dt = time.perf_counter() - t0
+            print(f"  removal {dt:.2f}s = {n_docs / dt:,.0f} docs/s "
+                  f"(incl. survivor scan); dup grams surviving in "
+                  f"cleaned text: {int(n_surv)}")
+            assert n_surv == 0
     ray.shutdown()
 
 
