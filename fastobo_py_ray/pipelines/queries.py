@@ -3368,6 +3368,51 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_hits FROM hits
 """
 
 
+def q_decontam_substr(sf_dir: str) -> pd.DataFrame:
+    """CHARACTER-level ExactSubstr decontamination (stages/traindata.py:
+    cross_substr_decontam — Lee et al. 2022 applied train-vs-eval):
+    flag corpus docs sharing any 20-char substring with the benchmark
+    slice, with exact contaminated-window counts.  The benchmark's
+    distinct grams broadcast once (hash prefilter + string verify =>
+    collision-exact); the corpus side is one streaming scan, zero
+    text exchanges."""
+    from ..stages.traindata import cross_substr_decontam
+
+    bench, corpus = _bench_corpus_split(sf_dir)
+    out = cross_substr_decontam(corpus, bench, gram_len=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("n_windows", "n_contam_windows", "contaminated"):
+        out[c] = out[c].astype("int64")
+    out["contam_frac"] = out["contam_frac"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DECONTAM_SUBSTR_SQL = f"""
+WITH bpos AS (
+  SELECT text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0 AND length(text) >= 20),
+bg AS (SELECT DISTINCT substring(text, i, 20) AS gram FROM bpos),
+cpos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0 AND length(text) >= 20),
+cg AS (SELECT doc_id, substring(text, i, 20) AS gram FROM cpos),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_windows,
+               count(*) FILTER (WHERE gram IN (SELECT gram FROM bg))
+                 ::BIGINT AS n_contam_windows
+        FROM cg GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(a.n_contam_windows, 0)::BIGINT AS n_contam_windows,
+       CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0.0
+            ELSE round(a.n_contam_windows::DOUBLE / a.n_windows, 6)
+       END AS contam_frac,
+       (coalesce(a.n_contam_windows, 0) > 0)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 0) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 20-per-language sample (md5 order)."""
     from ..stages.traindata import stratified_sample
@@ -5372,6 +5417,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_media_features": q_media_features,
         "q_qa_ontology": q_qa_ontology,
         "q_decontam": q_decontam,
+        "q_decontam_substr": q_decontam_substr,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition": q_repetition,
         "q_seq_packing": q_seq_packing,
@@ -5485,6 +5531,7 @@ def oracles() -> Dict[str, str]:
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
+        "q_decontam_substr": Q_DECONTAM_SUBSTR_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_asof_join": Q_ASOF_SQL,

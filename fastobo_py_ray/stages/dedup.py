@@ -1687,14 +1687,13 @@ def dup_substring_coverage(ds, gram_len: int = 20, min_docs: int = 2,
     — one row per doc is corpus-scale, so the operator never collects
     it to the driver itself (docs shorter than ``gram_len`` have no
     windows and are absent, matching SQL's empty GROUP BY group)."""
-    import ray
-
     ref = _dup_inventory_ref(ds, gram_len, min_docs, id_col, text_col,
                              num_buckets, max_dup_grams,
                              "dup_substring_coverage")
 
     def coverage(df: pd.DataFrame) -> pd.DataFrame:
-        hsorted, gset = ray.get(ref)
+        from ..functions.broadcast import worker_cached
+        hsorted, gset = worker_cached(ref)  # frozenset: once per worker
         ids: List = []
         n_win: List[int] = []
         n_dup: List[int] = []
@@ -1757,14 +1756,13 @@ def exact_substr_removal(ds, gram_len: int = 20, min_docs: int = 2,
     previously-distant characters together, creating windows that did
     not exist in the input (Lee et al. accept this; a fixpoint loop is
     the caller's choice)."""
-    import ray
-
     ref = _dup_inventory_ref(ds, gram_len, min_docs, id_col, text_col,
                              num_buckets, max_dup_grams,
                              "exact_substr_removal")
 
     def cut(df: pd.DataFrame) -> pd.DataFrame:
-        hsorted, gset = ray.get(ref)
+        from ..functions.broadcast import worker_cached
+        hsorted, gset = worker_cached(ref)  # frozenset: once per worker
         ids: List = []
         cleans: List[str] = []
         removed: List[int] = []

@@ -177,6 +177,98 @@ def decontaminate(ds, bench_ds, id_col: str = "doc_id",
     return ds.map_batches(scan, batch_format="pandas")
 
 
+def cross_substr_decontam(ds, bench_ds, gram_len: int = 20,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_bench_grams: int = 5_000_000):
+    """CHARACTER-level ExactSubstr decontamination (Lee et al. 2022's
+    cross-corpus application: dedup train against eval): flag every
+    corpus document sharing at least one ``gram_len``-character
+    substring with ANY benchmark document, with the count and fraction
+    of its windows that are contaminated.  Complements
+    :func:`decontaminate` (word k-grams): character windows survive
+    whitespace/punctuation reformatting that shifts word boundaries,
+    the classic way benchmark text sneaks past token-level scans.
+
+    Scale shape: the benchmark is the eval-scale broadcast side — its
+    DISTINCT window grams are collected once (guarded by
+    ``max_bench_grams``, which raises naming the hash-join scale path
+    rather than OOMing) and shipped as (sorted hash array, exact gram
+    frozenset), resolved once per worker process
+    (``functions/broadcast.worker_cached``).  The corpus side is ONE
+    stateless streaming ``map_batches`` scan — vectorized rolling
+    hashes, ``searchsorted`` prefilter, exact string verify on hits
+    only, so the flag is collision-exact.  Zero exchanges over corpus
+    text; the corpus never materializes.
+
+    Returns a DATASET of (id_col, n_windows, n_contam_windows,
+    contam_frac, contaminated) with EVERY corpus doc present — docs
+    shorter than ``gram_len`` (or with null text) carry
+    ``n_windows == 0`` and are clean, matching the all-train-docs
+    contract of :func:`decontaminate`."""
+    import ray
+
+    from .dedup import _gram_hashes
+
+    grams: set = set()
+    for b in bench_ds.map_batches(
+            lambda df: pd.DataFrame({"g": sorted({
+                t[i:i + gram_len]
+                for t in df[text_col] if isinstance(t, str)
+                for i in range(len(t) - gram_len + 1)})}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        grams.update(b["g"])
+        if len(grams) > max_bench_grams:
+            raise ValueError(
+                f"cross_substr_decontam broadcasts the benchmark's "
+                f"distinct {gram_len}-grams and is capped at "
+                f"max_bench_grams={max_bench_grams}; for larger "
+                f"benchmarks hash-join the corpus window stream against "
+                f"the benchmark grams instead, or raise the cap "
+                f"explicitly.")
+    gram_set = frozenset(grams)
+    hs = np.sort(np.asarray(
+        [_gram_hashes(g, gram_len)[0] for g in grams],
+        dtype=np.uint64)) if grams else np.empty(0, dtype=np.uint64)
+    ref = ray.put((hs, gram_set))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import worker_cached
+        hsorted, gset = worker_cached(ref)
+        ids: List = []
+        n_win: List[int] = []
+        n_hit: List[int] = []
+        for did, t in zip(df[id_col], df[text_col]):
+            ids.append(did)
+            if not isinstance(t, str):
+                n_win.append(0)
+                n_hit.append(0)
+                continue
+            h = _gram_hashes(t, gram_len)
+            n_win.append(len(h))
+            if len(h) == 0 or len(hsorted) == 0:
+                n_hit.append(0)
+                continue
+            pos = np.searchsorted(hsorted, h)
+            pos[pos == len(hsorted)] = 0
+            cand = np.nonzero(hsorted[pos] == h)[0]
+            n_hit.append(sum(1 for p in cand
+                             if t[p:p + gram_len] in gset))
+        nw = pd.Series(n_win, dtype="int64")
+        nh = pd.Series(n_hit, dtype="int64")
+        # half-AWAY rounding matching SQL round(); 0.0 for window-less
+        frac = np.where(nw > 0,
+                        np.floor((nh / nw.replace(0, 1)) * 1e6 + 0.5)
+                        / 1e6, 0.0)
+        return pd.DataFrame({id_col: pd.Series(ids),
+                             "n_windows": nw,
+                             "n_contam_windows": nh,
+                             "contam_frac": frac,
+                             "contaminated": (nh > 0).astype("int64")})
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # stratified sampling
 # ---------------------------------------------------------------------------

@@ -296,3 +296,66 @@ def test_md5_hex_duckdb_tier_matches_loop_and_order():
             "val" if h[:2] < "1a" else "train" for h in loop]
     finally:
         td._MD5_DUCKDB_MIN = old
+
+
+def test_cross_substr_decontam_parity_and_edges(ray_session):
+    """Character-level ExactSubstr decontamination: brute-force parity
+    on a crafted corpus (planted 20+-char benchmark passage, short doc,
+    None text, reformatting that word-gram decontam misses)."""
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import cross_substr_decontam
+
+    G = 12
+    passage = "the quick brown fox!"          # 20 chars
+    bench = pd.DataFrame({"doc_id": [0],
+                          "text": [f"eval: {passage} end"]})
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [f"xx {passage} yy",          # verbatim overlap
+                 # same chars, different WORD boundaries than bench
+                 # tokens ('quick brown' intact as characters)
+                 f"requick brown fox!suffix",
+                 "completely clean text here",
+                 "short",                     # < G: no windows
+                 None]})                      # null text
+    out = cross_substr_decontam(
+        rd.from_pandas(corpus), rd.from_pandas(bench),
+        gram_len=G).to_pandas().set_index("doc_id")
+
+    # brute-force reference
+    bgrams = {bench.text[0][i:i + G]
+              for i in range(len(bench.text[0]) - G + 1)}
+    for _, row in corpus.iterrows():
+        t = row.text
+        if not isinstance(t, str) or len(t) < G:
+            assert out.loc[row.doc_id, "n_windows"] == \
+                (0 if not isinstance(t, str) else max(0, len(t) - G + 1))
+            assert out.loc[row.doc_id, "contaminated"] == 0
+            continue
+        wins = [t[i:i + G] for i in range(len(t) - G + 1)]
+        want = sum(1 for w in wins if w in bgrams)
+        assert out.loc[row.doc_id, "n_windows"] == len(wins)
+        assert out.loc[row.doc_id, "n_contam_windows"] == want
+        assert out.loc[row.doc_id, "contaminated"] == int(want > 0)
+    # the verbatim doc is flagged, the clean doc isn't, and the
+    # reformatted doc IS caught at character level
+    assert out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "contaminated"] == 1
+    assert out.loc[3, "contaminated"] == 0
+    # every corpus doc appears exactly once
+    assert sorted(out.index) == [1, 2, 3, 4, 5]
+
+
+def test_cross_substr_decontam_empty_benchmark(ray_session):
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import cross_substr_decontam
+
+    df = _docs(30)
+    out = cross_substr_decontam(rd.from_pandas(df),
+                                rd.from_pandas(df.iloc[:0]),
+                                gram_len=20).to_pandas()
+    assert len(out) == 30
+    assert (out["n_contam_windows"] == 0).all()
+    assert (out["contaminated"] == 0).all()
