@@ -563,3 +563,65 @@ def lookup_map(ds_or_df, key: str, value: str) -> Dict:
     df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") and not \
         isinstance(ds_or_df, pd.DataFrame) else ds_or_df
     return dict(zip(df[key], df[value]))
+
+
+def global_row_number(ds, keys: Union[str, List[str]],
+                      pos_col: str = "pos",
+                      ascending: Union[bool, List[bool]] = True):
+    """Distributed GLOBAL row_number over a total order — the
+    un-partitioned window the per-key ``grouped_map`` rank family can't
+    express (``PARTITION BY`` buckets are key-bounded; a global order
+    crosses every bucket).
+
+    Shape: one distributed ``Dataset.sort`` on ``keys`` (the only
+    exchange), then positions are attached WITHOUT moving data again:
+    per-block row counts come from the sorted blocks' metadata (a
+    driver-side scan of block-count-scale metadata, no block fetch),
+    the exclusive prefix sum gives each block its global offset, and a
+    per-block remote task adds ``offset + arange(n)``.  The driver
+    holds O(num_blocks) integers — never rows.  Callers must pass a
+    TOTAL order (include a unique tiebreak column in ``keys``);
+    otherwise positions among equal keys follow the sort's block
+    layout, which is deterministic for a given input partitioning but
+    not a semantic contract."""
+    import ray
+    from ray.data.block import BlockAccessor
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    s = ds.sort(keys, descending=[not a for a in (
+        [ascending] * len(keys) if isinstance(ascending, bool)
+        else list(ascending))])
+
+    @ray.remote
+    def _count(block) -> int:
+        return BlockAccessor.for_block(block).num_rows()
+
+    @ray.remote
+    def _attach(block, offset: int):
+        df = BlockAccessor.for_block(block).to_pandas()
+        df[pos_col] = np.arange(offset, offset + len(df),
+                                dtype=np.int64)
+        return df
+
+    block_refs = []
+    counts = []
+    for bundle in s.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            block_refs.append(block_ref)
+            counts.append(meta.num_rows)
+    # metadata num_rows is populated by the sort; fall back to a
+    # metadata-only remote count for any block that lacks it
+    missing = [i for i, c in enumerate(counts) if c is None]
+    if missing:
+        fetched = ray.get([_count.remote(block_refs[i]) for i in missing])
+        for i, c in zip(missing, fetched):
+            counts[i] = c
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if counts else np.empty(0, dtype=np.int64)
+    if not block_refs:
+        import ray.data as rd
+        return s  # empty dataset: nothing to attach
+    refs = [_attach.remote(b, int(o))
+            for b, o in zip(block_refs, offsets)]
+    import ray.data as rd
+    return rd.from_pandas_refs(refs)

@@ -3368,6 +3368,33 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_hits FROM hits
 """
 
 
+def q_shuffle_shards(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded global training shuffle
+    (stages/traindata.py: seeded_shuffle_shards): every doc's global
+    position in md5('s1'||id) order plus its balanced contiguous
+    ntile(16) shard.  The position comes from ONE distributed sort —
+    offsets are attached from block metadata with no second exchange
+    (functions/relops.py: global_row_number)."""
+    from ..stages.traindata import seeded_shuffle_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = seeded_shuffle_shards(ds, id_col="doc_id", seed="s1",
+                                n_shards=16).to_pandas()
+    for c in ("doc_id", "pos", "shard"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SHUFFLE_SHARDS_SQL = """
+SELECT doc_id,
+       row_number() OVER w - 1 AS pos,
+       ntile(16) OVER w AS shard
+FROM documents
+WINDOW w AS (ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_decontam_substr(sf_dir: str) -> pd.DataFrame:
     """CHARACTER-level ExactSubstr decontamination (stages/traindata.py:
     cross_substr_decontam — Lee et al. 2022 applied train-vs-eval):
@@ -5418,6 +5445,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_qa_ontology": q_qa_ontology,
         "q_decontam": q_decontam,
         "q_decontam_substr": q_decontam_substr,
+        "q_shuffle_shards": q_shuffle_shards,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition": q_repetition,
         "q_seq_packing": q_seq_packing,
@@ -5532,6 +5560,7 @@ def oracles() -> Dict[str, str]:
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
         "q_decontam_substr": Q_DECONTAM_SUBSTR_SQL,
+        "q_shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_asof_join": Q_ASOF_SQL,

@@ -269,6 +269,54 @@ def cross_substr_decontam(ds, bench_ds, gram_len: int = 20,
     return ds.map_batches(scan, batch_format="pandas")
 
 
+def seeded_shuffle_shards(ds, id_col: str = "doc_id", seed: str = "s1",
+                          n_shards: int = 16):
+    """Deterministic seeded GLOBAL shuffle with balanced contiguous
+    shard assignment — the training-order primitive: every epoch/run
+    reproduces the identical order and shard layout from (seed, id)
+    alone, stable under re-runs, resumes and repartitioning (no RNG
+    state, no row-order dependence — the same property
+    :func:`train_val_assign` gives the split).
+
+    Order key is ``md5(seed || id)`` (SQL parity: DuckDB
+    ``md5(seed || id::VARCHAR)``); ``pos`` is the global 0-based
+    position in that order (:func:`~fastobo_py_ray.functions.relops.
+    global_row_number` — ONE distributed sort, positions attached from
+    block metadata without a second exchange); ``shard`` is SQL
+    ``ntile(n_shards)``'s contiguous balanced tiling (the first
+    ``N % n`` shards take ``N//n + 1`` rows), computed closed-form from
+    ``pos`` so the two engines agree exactly.  Writing each shard as
+    one output partition gives resumable, skew-free training input.
+
+    Returns a DATASET of (id_col, pos, shard)."""
+    from ..functions.relops import global_row_number
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col]
+        return pd.DataFrame({
+            id_col: ids,
+            "__k": _md5_hex([seed + str(v) for v in ids])})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+    pos = global_row_number(keyed, ["__k", id_col], pos_col="pos")
+    n_total = ds.count()
+    q, r = divmod(n_total, n_shards)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["pos"].to_numpy(dtype=np.int64)
+        boundary = r * (q + 1)
+        small = p < boundary
+        tile = np.where(
+            small,
+            p // (q + 1) if q + 1 > 0 else 0,
+            r + (np.maximum(p - boundary, 0) // q if q > 0 else 0))
+        return pd.DataFrame({id_col: df[id_col],
+                             "pos": df["pos"].astype("int64"),
+                             "shard": (tile + 1).astype("int64")})
+
+    return pos.map_batches(shard, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # stratified sampling
 # ---------------------------------------------------------------------------

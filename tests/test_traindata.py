@@ -359,3 +359,57 @@ def test_cross_substr_decontam_empty_benchmark(ray_session):
     assert len(out) == 30
     assert (out["n_contam_windows"] == 0).all()
     assert (out["contaminated"] == 0).all()
+
+
+def test_global_row_number_total_order(ray_session):
+    """Global positions are exactly 0..N-1 in key order across many
+    blocks, with no second exchange beyond the sort."""
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import global_row_number
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"k": rng.permutation(1000),
+                       "id": np.arange(1000)})
+    out = global_row_number(rd.from_pandas(df).repartition(13),
+                            ["k", "id"]).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["pos"].tolist() == list(range(1000))
+    # descending order flips the positions
+    out2 = global_row_number(rd.from_pandas(df).repartition(5),
+                             ["k", "id"], ascending=False).to_pandas()
+    assert out2.sort_values("k")["pos"].tolist() == \
+        list(range(999, -1, -1))
+
+
+def test_seeded_shuffle_shards_determinism_and_balance(ray_session):
+    """Same (seed, ids) -> identical order and shards regardless of
+    input partitioning; ntile balance: first N%n shards hold N//n+1."""
+    import hashlib
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import seeded_shuffle_shards
+
+    N, S = 203, 16
+    df = pd.DataFrame({"doc_id": np.arange(N, dtype=np.int64)})
+    a = seeded_shuffle_shards(rd.from_pandas(df).repartition(1),
+                              n_shards=S).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = seeded_shuffle_shards(rd.from_pandas(df).repartition(7),
+                              n_shards=S).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # brute-force reference order
+    order = sorted(range(N), key=lambda i: (
+        hashlib.md5(f"s1{i}".encode()).hexdigest(), i))
+    want_pos = {d: p for p, d in enumerate(order)}
+    assert all(a.loc[a.doc_id == d, "pos"].iloc[0] == p
+               for d, p in want_pos.items())
+    # ntile balance
+    sizes = a["shard"].value_counts().sort_index()
+    q, r = divmod(N, S)
+    assert sizes.tolist() == [q + 1] * r + [q] * (S - r)
+    # shards are contiguous in pos order
+    by_pos = a.sort_values("pos")["shard"].to_numpy()
+    assert (np.diff(by_pos) >= 0).all()
