@@ -625,3 +625,18 @@ def global_row_number(ds, keys: Union[str, List[str]],
             for b, o in zip(block_refs, offsets)]
     import ray.data as rd
     return rd.from_pandas_refs(refs)
+
+
+def ntile_from_pos(pos: "np.ndarray", n_rows: int,
+                   n_tiles: int) -> "np.ndarray":
+    """SQL ``ntile(n_tiles)`` (1-based) from 0-based positions in the
+    window order, closed-form: the first ``n_rows % n_tiles`` tiles
+    take ``n_rows // n_tiles + 1`` rows.  Shared by every engine-side
+    ntile so each matches DuckDB exactly."""
+    p = np.asarray(pos, dtype=np.int64)
+    q, r = divmod(int(n_rows), int(n_tiles))
+    boundary = r * (q + 1)
+    small = p < boundary
+    big_branch = (r + (np.maximum(p - boundary, 0) // q
+                       if q > 0 else 0))
+    return np.where(small, p // (q + 1), big_branch).astype(np.int64) + 1

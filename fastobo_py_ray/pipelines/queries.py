@@ -1768,6 +1768,86 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ppl_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every doc with the corpus-unigram mean log-probability
+    (exactly q_unigram_logprob's score), then split EACH LANGUAGE into
+    head/middle/tail terciles by score — the standard quality gate
+    before training-data selection.  Engine shape: the score reuses the
+    two keyed exchanges of the logprob query; lang attaches via one
+    doc-keyed join; the tercile is a per-language grouped_map (few
+    languages, corpus-bounded buckets) ranking on the ROUNDED score
+    with doc_id tiebreak — the round-before-rank contract that keeps
+    float arithmetic from flipping ntile between engines."""
+    from ..functions.relops import (grouped_agg, hash_join,
+                                    grouped_map, ntile_from_pos)
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    freq = grouped_agg(tf, "word", c=("tf", "sum")).materialize()
+    total = float(freq.sum("c"))
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["tf"].to_numpy() * np.log(df["c"].to_numpy() / total)
+        part = pd.DataFrame({"doc_id": df["doc_id"], "lp": lp,
+                             "n": df["tf"]})
+        return part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(lp=("lp", "sum"), n=("n", "sum"))
+
+    part = hash_join(tf, freq, on="word",
+                     lcols=["doc_id", "word", "tf"], rcols=["word", "c"],
+                     bucket_finalize=score_bucket)
+    score = grouped_agg(part, "doc_id", lp=("lp", "sum"),
+                        n=("n", "sum")).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "logprob": (df["lp"] / df["n"]).round(6)}),
+        batch_format="pandas")
+
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    scored = hash_join(score, langs, on="doc_id",
+                       lcols=["doc_id", "logprob"],
+                       rcols=["doc_id", "lang"])
+
+    def tercile(df: pd.DataFrame) -> pd.DataFrame:
+        # higher mean logprob = lower perplexity = head (bucket 1)
+        df = df.sort_values(["lang", "logprob", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        pos = df.groupby("lang", sort=False).cumcount().to_numpy()
+        sizes = df.groupby("lang", sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        tiles = np.empty(len(df), dtype=np.int64)
+        for n in np.unique(sizes):
+            m = sizes == n
+            tiles[m] = ntile_from_pos(pos[m], int(n), 3)
+        df["ppl_bucket"] = tiles
+        return df[["doc_id", "lang", "logprob", "ppl_bucket"]]
+
+    out = grouped_map(scored, "lang", tercile, num_buckets=8) \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ppl_bucket"] = out["ppl_bucket"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_PPL_BUCKETS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+score AS (SELECT doc_id,
+                 round(avg(ln(f.c / (SELECT t FROM tot))), 6) AS logprob
+          FROM toks JOIN freq f USING (w) GROUP BY doc_id)
+SELECT s.doc_id, d.lang, s.logprob,
+       ntile(3) OVER (PARTITION BY d.lang
+                      ORDER BY s.logprob DESC, s.doc_id) AS ppl_bucket
+FROM score s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 _BIGRAM_LAMBDA = 0.7
 
 
@@ -5446,6 +5526,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_decontam": q_decontam,
         "q_decontam_substr": q_decontam_substr,
         "q_shuffle_shards": q_shuffle_shards,
+        "q_ppl_buckets": q_ppl_buckets,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition": q_repetition,
         "q_seq_packing": q_seq_packing,
@@ -5561,6 +5642,7 @@ def oracles() -> Dict[str, str]:
         "q_decontam": Q_DECONTAM_SQL,
         "q_decontam_substr": Q_DECONTAM_SUBSTR_SQL,
         "q_shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
+        "q_ppl_buckets": Q_PPL_BUCKETS_SQL,
         "q_stratified_sample": Q_STRATIFIED_SQL,
         "q_repetition": Q_REPETITION_SQL,
         "q_asof_join": Q_ASOF_SQL,

@@ -300,19 +300,14 @@ def seeded_shuffle_shards(ds, id_col: str = "doc_id", seed: str = "s1",
     keyed = ds.map_batches(key, batch_format="pandas")
     pos = global_row_number(keyed, ["__k", id_col], pos_col="pos")
     n_total = ds.count()
-    q, r = divmod(n_total, n_shards)
 
     def shard(df: pd.DataFrame) -> pd.DataFrame:
-        p = df["pos"].to_numpy(dtype=np.int64)
-        boundary = r * (q + 1)
-        small = p < boundary
-        tile = np.where(
-            small,
-            p // (q + 1) if q + 1 > 0 else 0,
-            r + (np.maximum(p - boundary, 0) // q if q > 0 else 0))
+        from ..functions.relops import ntile_from_pos
         return pd.DataFrame({id_col: df[id_col],
                              "pos": df["pos"].astype("int64"),
-                             "shard": (tile + 1).astype("int64")})
+                             "shard": ntile_from_pos(
+                                 df["pos"].to_numpy(), n_total,
+                                 n_shards)})
 
     return pos.map_batches(shard, batch_format="pandas")
 

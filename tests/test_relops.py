@@ -495,3 +495,20 @@ def test_morton2_matches_bit_loop_reference():
     assert (np.diff(morton2(r, np.zeros_like(r))) > 0).all()
     assert (np.diff(morton2(np.zeros_like(r), r)) > 0).all()
     assert (np.diff(morton2(np.full_like(r, 7), r)) > 0).all()
+
+
+def test_ntile_from_pos_duckdb_parity():
+    """The closed-form ntile matches DuckDB's ntile() for every (rows,
+    tiles) shape class: divisible, remainder, fewer rows than tiles."""
+    import duckdb
+    import numpy as np
+
+    from fastobo_py_ray.functions.relops import ntile_from_pos
+
+    for n, t in [(203, 16), (10, 3), (3, 5), (1, 4), (16, 16),
+                 (100, 7), (5000, 3)]:
+        got = ntile_from_pos(np.arange(n), n, t).tolist()
+        col = duckdb.query(
+            f"SELECT ntile({t}) OVER (ORDER BY i) AS nt "
+            f"FROM range({n}) t(i)").fetchnumpy()["nt"]
+        assert got == list(col), (n, t)
