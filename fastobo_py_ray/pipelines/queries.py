@@ -216,6 +216,183 @@ GROUP BY e.subj, e.pred, e.obj
 
 
 # ---------------------------------------------------------------------------
+# KG analytics over the mention layer: co-mention PMI (relation-discovery
+# signal) and ontology information content (Resnik 1995)
+# ---------------------------------------------------------------------------
+
+def q_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
+    """Document-level co-mention pointwise mutual information between
+    canonical ontology terms — the classic distributional signal for
+    DISCOVERING candidate relations the ontology doesn't assert yet
+    (the complement of kg_triples, which only scores edges the
+    ontology already has).
+
+    pmi(a, b) = ln( n_docs(a,b) * N / (n_docs(a) * n_docs(b)) ) over
+    doc-level term PRESENCE (each term counted once per doc), N =
+    docs with >= 1 mention.
+
+    Scale shape: the annotator pass emits per-batch-distinct
+    (doc_id, term_id) presence partials; ONE doc-keyed coarse-bucket
+    exchange (:func:`grouped_map`) co-locates each document's rows, so
+    the in-bucket pair explosion (bounded per doc by the ontology's
+    term count, NOT the corpus) and the per-bucket pair/term/doc-count
+    partials are globally exact; only ontology^2-bounded partial rows
+    reach the driver.  The corpus text is touched exactly once and
+    never re-shuffled."""
+    from ..functions.relops import grouped_map
+
+    ments = _docs_annotated(sf_dir, "mentions")
+
+    def presence(df: pd.DataFrame) -> pd.DataFrame:
+        df["doc_id"] = df["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+        out = df[["doc_id", "canonical_id"]].drop_duplicates()
+        return out.rename(columns={"canonical_id": "term_id"})
+
+    part = ments.map_batches(presence, batch_format="pandas")
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds EVERY row of its doc_ids -> in-bucket distinct,
+        # pair explosion and counts are globally exact partials
+        d = df.drop_duplicates()
+        m = d.merge(d, on="doc_id")
+        m = m[m["term_id_x"] < m["term_id_y"]]
+        pairs = m.groupby(["term_id_x", "term_id_y"],
+                          as_index=False).size()
+        pairs.columns = ["ta", "tb", "n"]
+        pairs.insert(0, "kind", "pair")
+        tc = d.groupby("term_id", as_index=False).size()
+        tc.columns = ["ta", "n"]
+        tc["tb"] = ""
+        tc["kind"] = "term"
+        nd = pd.DataFrame([{"kind": "docs", "ta": "", "tb": "",
+                            "n": d["doc_id"].nunique()}])
+        return pd.concat([pairs, tc[["kind", "ta", "tb", "n"]], nd],
+                         ignore_index=True)
+
+    stats = grouped_map(part, "doc_id", bucket_stats,
+                        num_buckets=32).to_pandas()
+    # ontology^2-bounded finalize (<= |terms|^2 + |terms| + buckets rows)
+    s = stats.groupby(["kind", "ta", "tb"], as_index=False)["n"].sum()
+    n_total = int(s.loc[s["kind"] == "docs", "n"].sum())
+    tc = s[s["kind"] == "term"].set_index("ta")["n"]
+    p = s[s["kind"] == "pair"].copy()
+    ca = p["ta"].map(tc).to_numpy(dtype="float64")
+    cb = p["tb"].map(tc).to_numpy(dtype="float64")
+    n12 = p["n"].to_numpy(dtype="float64")
+    # exact-integer products (< 2^53) -> one double division -> ln:
+    # the same arithmetic form the oracle uses, so round-6 is stable
+    p["pmi"] = np.round(np.log((n12 * n_total) / (ca * cb)), 6)
+    out = p.rename(columns={"ta": "term_a", "tb": "term_b",
+                            "n": "n_docs"})[
+        ["term_a", "term_b", "n_docs", "pmi"]]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+def q_cooccur_pmi_sql() -> str:
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    return f"""
+WITH dict(word, term_id) AS (VALUES {dict_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+dt AS (SELECT DISTINCT t.doc_id, d.term_id
+       FROM toks t JOIN dict d USING (word)),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+tc AS (SELECT term_id, count(*) AS c FROM dt GROUP BY term_id),
+pc AS (SELECT a.term_id AS term_a, b.term_id AS term_b,
+              count(*) AS n_docs
+       FROM dt a JOIN dt b
+         ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+       GROUP BY 1, 2)
+SELECT p.term_a, p.term_b, p.n_docs,
+       round(ln((p.n_docs * nd.n)::DOUBLE / (ca.c * cb.c)), 6) AS pmi
+FROM pc p
+CROSS JOIN nd
+JOIN tc ca ON ca.term_id = p.term_a
+JOIN tc cb ON cb.term_id = p.term_b
+ORDER BY p.term_a, p.term_b
+"""
+
+
+def q_term_ic(sf_dir: str) -> pd.DataFrame:
+    """Ontology information content (Resnik 1995): for each canonical
+    term, the corpus mention count folded up the is_a hierarchy
+    (descendants-or-self) and ic = -ln(cum / total_mentions) — the
+    standard specificity weight for ontology-aware scoring (more
+    specific terms carry more information).
+
+    Scale shape: the corpus reduces to ontology-bounded per-term
+    mention-count partials in ONE annotator pass (native sort-groupby
+    is fine at ontology cardinality, same policy note as
+    kg_subtree_mentions); the is_a closure fold is driver-side over
+    the ontology tier (|terms| + |edges| rows, corpus-independent)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph import descendants
+
+    ments = _docs_annotated(sf_dir, "mentions")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("canonical_id", as_index=False).size().rename(
+            columns={"canonical_id": "term_id", "size": "n"})
+
+    cnt = ments.map_batches(count, batch_format="pandas") \
+        .groupby("term_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    # ontology tier: canonical is_a edges from the REAL pipeline index
+    # (parse + compact + union-find canonicalization, pipelines/kg.py) —
+    # the oracle derives the same edges from the hand-written golden map
+    idx = prepare_index(docs_obo())
+    edges = sorted({(s, o) for s, po in idx.edges_by_subj.items()
+                    for p, o in po if p == "is_a"})
+    terms = sorted({idx.canonical(t)
+                    for cands in idx.surfaces.values()
+                    for t, _scope in cands})
+    counts = dict(zip(cnt["term_id"], cnt["n"].astype("int64")))
+    total = sum(counts.values())
+    rows = []
+    for t in terms:
+        cum = counts.get(t, 0) + sum(
+            counts.get(d, 0) for d in descendants(edges, t))
+        if cum > 0:
+            rows.append({"term_id": t, "cum_mentions": int(cum),
+                         "ic": round(float(-np.log(cum / total)), 6)})
+    out = pd.DataFrame(rows)
+    out["cum_mentions"] = out["cum_mentions"].astype("int64")
+    return out.sort_values("term_id").reset_index(drop=True)
+
+
+def q_term_ic_sql() -> str:
+    edges = sorted({(s, o) for s, p, o in docs_canonical_edges()
+                    if p == "is_a"})
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    edge_rows = ", ".join(f"('{c}', '{p}')" for c, p in edges)
+    return f"""
+WITH RECURSIVE dict(word, term_id) AS (VALUES {dict_rows}),
+e(child, parent) AS (VALUES {edge_rows}),
+clos(anc, des) AS (
+  SELECT term_id, term_id FROM (SELECT DISTINCT term_id FROM dict)
+  UNION
+  SELECT e.parent, c.des FROM e JOIN clos c ON c.anc = e.child
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+cnt AS (SELECT d.term_id, count(*) AS c
+        FROM toks t JOIN dict d USING (word) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cnt),
+cum AS (SELECT cl.anc AS term_id, sum(cnt.c) AS cum
+        FROM clos cl JOIN cnt ON cnt.term_id = cl.des GROUP BY 1)
+SELECT cum.term_id, cum.cum::BIGINT AS cum_mentions,
+       round(-ln(cum.cum::DOUBLE / tot.n), 6) AS ic
+FROM cum CROSS JOIN tot
+WHERE cum.cum > 0
+ORDER BY cum.term_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational pipelines (aggregation / join / sort-topk)
 # ---------------------------------------------------------------------------
 
@@ -5453,6 +5630,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "kg_triples": kg_triples,
         "kg_triples_ckpt": kg_triples_ckpt,
         "kg_subtree_mentions": kg_subtree_mentions,
+        "q_cooccur_pmi": q_cooccur_pmi,
+        "q_term_ic": q_term_ic,
         "q_obo_diff": q_obo_diff,
         "q_kg_refresh": q_kg_refresh,
         "q1_pricing_summary": q1_pricing_summary,
@@ -5579,6 +5758,8 @@ def oracles() -> Dict[str, str]:
         "kg_triples": kg_triples_sql(),
         "kg_triples_ckpt": kg_triples_sql(),
         "kg_subtree_mentions": kg_subtree_mentions_sql(),
+        "q_cooccur_pmi": q_cooccur_pmi_sql(),
+        "q_term_ic": q_term_ic_sql(),
         "q_obo_diff": q_obo_diff_sql(),
         "q_kg_refresh": q_kg_refresh_sql(),
         "q1_pricing_summary": Q1_SQL,

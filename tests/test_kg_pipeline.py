@@ -797,3 +797,46 @@ def test_dedup_triples_empty_url_tier_parity(ray_session):
                                   out["grouped_agg"])
     assert out["sort_groupby"]["urls"].iloc[0] == ["http://a", "http://b"]
     assert int(out["sort_groupby"]["n_evidence"].iloc[0]) == 3
+
+
+def test_cooccur_pmi_and_term_ic_crafted(tmp_path, ray_session):
+    """Hand-computable corpus grounds both KG mention-layer analytics:
+    doc-level PMI over co-mentions and Resnik information content with
+    descendant folding (hash is_a join, sort is_a order in DOCS_OBO)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_cooccur_pmi, q_term_ic
+    from fastobo_py_ray.testing.corpus import _docs_id
+
+    docs = ["hash join", "hash", "sort order", "the a"]  # doc 4: no terms
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    h, j = _docs_id("hash"), _docs_id("join")
+    s, o = _docs_id("sort"), _docs_id("order")
+
+    pmi = q_cooccur_pmi(str(tmp_path))
+    got = {(a, b): (int(n), float(p)) for a, b, n, p in
+           zip(pmi["term_a"], pmi["term_b"], pmi["n_docs"], pmi["pmi"])}
+    # N = 3 docs with >=1 mention; pair counts 1 each
+    assert got == {
+        (min(h, j), max(h, j)): (1, round(math.log(3 / 2), 6)),
+        (min(s, o), max(s, o)): (1, round(math.log(3 / 1), 6))}
+
+    ic = q_term_ic(str(tmp_path))
+    gic = {t: (int(c), float(v)) for t, c, v in
+           zip(ic["term_id"], ic["cum_mentions"], ic["ic"])}
+    # mention counts: hash 2, join 1, sort 1, order 1 -> total 5;
+    # cum folds strict descendants: join <- hash, order <- sort
+    assert gic == {
+        h: (2, round(-math.log(2 / 5), 6)),
+        j: (3, round(-math.log(3 / 5), 6)),
+        s: (1, round(-math.log(1 / 5), 6)),
+        o: (2, round(-math.log(2 / 5), 6))}
