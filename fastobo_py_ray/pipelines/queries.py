@@ -3594,6 +3594,77 @@ def _bench_corpus_split(sf_dir: str):
     return bench, corpus
 
 
+_DSIR_K = 64  # hashed-unigram feature buckets (Xie et al. 2023 use 10^4;
+# the oracle-parity testdata vocabulary is small, so 64 keeps every
+# bucket populated enough to exercise the smoothing)
+
+
+def q_dsir(sf_dir: str) -> pd.DataFrame:
+    """DSIR data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every training
+    document by the add-1-smoothed log-likelihood ratio of a hashed-
+    unigram target (benchmark-slice) model vs the raw-corpus model —
+    the standard importance weight for resampling web data toward a
+    target domain.
+
+    Scale shape (stages/traindata.py dsir_*): both distributions
+    reduce to constant K-row partials in one streaming pass per side
+    (never a vocabulary exchange); the weight vector is K int64
+    micro-nats broadcast once; scoring is one more corpus pass whose
+    per-doc partials ride ONE skinny keyed exchange.  Integer bucket
+    weights make the per-doc sum exact across engines."""
+    from ..stages.traindata import (dsir_bucket_counts, dsir_scores,
+                                    dsir_weights)
+
+    bench, corpus = _bench_corpus_split(sf_dir)
+    w = dsir_weights(dsir_bucket_counts(bench, num_buckets=_DSIR_K),
+                     dsir_bucket_counts(corpus, num_buckets=_DSIR_K))
+    out = dsir_scores(corpus, w, _DSIR_K).to_pandas()
+    for c in ("doc_id", "dsir_score", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "n_tokens", "dsir_score"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DSIR_SQL = f"""
+WITH raw AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % {_BENCH_MOD} <> 0),
+tgt AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % {_BENCH_MOD} = 0),
+rtok AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM raw)
+         WHERE w <> ''),
+ttok AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM tgt)
+         WHERE w <> ''),
+rb AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                % {_DSIR_K} AS b
+       FROM rtok),
+tb AS (SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                % {_DSIR_K} AS b
+       FROM ttok),
+rc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+nr AS (SELECT count(*) AS n FROM rb),
+nt AS (SELECT count(*) AS n FROM tb),
+wv AS (SELECT bk.b,
+              CAST(round(1000000 * ln(
+                  ((coalesce(tc.c, 0) + 1) * (nr.n + {_DSIR_K}))::DOUBLE
+                / ((coalesce(rc.c, 0) + 1) * (nt.n + {_DSIR_K}))))
+                AS BIGINT) AS wi
+       FROM (SELECT unnest(generate_series(0, {_DSIR_K - 1})) AS b) bk
+       LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+       CROSS JOIN nr CROSS JOIN nt),
+sc AS (SELECT rb.doc_id, sum(wv.wi) AS s, count(*) AS n
+       FROM rb JOIN wv USING (b) GROUP BY rb.doc_id)
+SELECT r.doc_id, coalesce(sc.n, 0)::BIGINT AS n_tokens,
+       coalesce(sc.s, 0)::BIGINT AS dsir_score
+FROM raw r LEFT JOIN sc USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
 def q_decontam(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination scan: flag training documents sharing
     any 5-gram with the (small, broadcast) benchmark slice."""
@@ -5703,6 +5774,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_media_features": q_media_features,
         "q_qa_ontology": q_qa_ontology,
         "q_decontam": q_decontam,
+        "q_dsir": q_dsir,
         "q_decontam_substr": q_decontam_substr,
         "q_shuffle_shards": q_shuffle_shards,
         "q_ppl_buckets": q_ppl_buckets,
@@ -5821,6 +5893,7 @@ def oracles() -> Dict[str, str]:
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,
+        "q_dsir": Q_DSIR_SQL,
         "q_decontam_substr": Q_DECONTAM_SUBSTR_SQL,
         "q_shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "q_ppl_buckets": Q_PPL_BUCKETS_SQL,

@@ -546,3 +546,107 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
             "chunk_text": pd.Series(chunk_text, dtype="string")})
 
     return ds.map_batches(chunk_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023) —
+# hashed-unigram log-likelihood-ratio scoring of a raw corpus against a
+# small target (benchmark) distribution
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_buckets(words: np.ndarray, num_buckets: int) -> np.ndarray:
+    """md5-prefix hash bucket per word — the DSIR hashed feature map.
+
+    md5 (not Python's salted ``hash`` or murmur) so the DuckDB oracle can
+    reproduce the bucket EXACTLY: ``CAST(('0x' || substr(md5(w), 1, 8))
+    AS UBIGINT) % K``.  Called on the batch's UNIQUE tokens only (Zipf:
+    a vocab-tier loop, never the token stream)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:8], 16)
+         % num_buckets for w in words),
+        dtype="int64", count=len(words))
+
+
+def dsir_bucket_counts(ds, text_col: str = "text",
+                       num_buckets: int = 64) -> np.ndarray:
+    """Token-occurrence counts per hashed bucket over a Dataset — ONE
+    streaming pass; every batch reduces to a constant ``num_buckets``-row
+    partial (the exchange is blocks x K rows, corpus-independent), so
+    the driver-side sum is bounded regardless of corpus size."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        c = toks.value_counts()
+        counts = np.zeros(num_buckets, dtype="int64")
+        if len(c):
+            b = hashed_ngram_buckets(c.index.to_numpy(dtype=object),
+                                     num_buckets)
+            counts = np.bincount(
+                b, weights=c.to_numpy(dtype="float64"),
+                minlength=num_buckets).astype("int64")
+        return pd.DataFrame({
+            "b": np.arange(num_buckets, dtype="int64"), "n": counts})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return parts.groupby("b")["n"].sum() \
+        .reindex(range(num_buckets), fill_value=0).to_numpy()
+
+
+def dsir_weights(target_counts: np.ndarray,
+                 raw_counts: np.ndarray) -> np.ndarray:
+    """Per-bucket importance weight in INTEGER micro-nats:
+    round(1e6 * ln( (ct+1)(Nr+K) / ((cr+1)(Nt+K)) )) — add-1-smoothed
+    log-likelihood ratio of the target vs raw hashed-unigram models.
+
+    Integerizing at the BUCKET level (K values) makes the per-document
+    score an exact int64 sum, immune to float summation order across
+    engines; the oracle computes the identical arithmetic form (exact
+    integer products -> one double division -> ln -> round), same
+    oracle-form discipline as q_kmeans_assign's distance."""
+    t = np.asarray(target_counts, dtype="float64")
+    r = np.asarray(raw_counts, dtype="float64")
+    k = len(t)
+    ratio = ((t + 1.0) * (r.sum() + k)) / ((r + 1.0) * (t.sum() + k))
+    return np.round(1e6 * np.log(ratio)).astype("int64")
+
+
+def dsir_scores(raw_ds, weights: np.ndarray, num_buckets: int,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document DSIR score: integer sum of bucket weights over the
+    doc's token occurrences (+ token count).  Streaming: the weight
+    vector is a broadcast numpy array (zero-copy plasma read per task);
+    batches reduce to per-doc partials and ONE skinny keyed exchange
+    (:func:`~..functions.relops.grouped_agg`) makes docs split across
+    batches exact.  Docs with zero tokens score 0 (kept, not dropped)."""
+    import ray
+
+    from ..functions.relops import grouped_agg
+
+    wref = ray.put(np.ascontiguousarray(weights, dtype="int64"))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wref)  # numpy: zero-copy from plasma
+        s = df[text_col].astype(str).str.split(" ")
+        ex = s.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if len(ex):
+            uniq, inv = np.unique(ex.to_numpy(dtype=object),
+                                  return_inverse=True)
+            wt = w[hashed_ngram_buckets(uniq, num_buckets)][inv]
+            ids = df[id_col].loc[ex.index].to_numpy()
+            g = pd.DataFrame({id_col: ids, "wt": wt}) \
+                .groupby(id_col, as_index=True)["wt"] \
+                .agg(["sum", "size"])
+        else:
+            g = pd.DataFrame(columns=["sum", "size"])
+        # every batch doc emits a partial (zero-token docs -> 0/0)
+        out = pd.DataFrame({id_col: df[id_col].drop_duplicates()})
+        out["s"] = out[id_col].map(g["sum"]).fillna(0).astype("int64")
+        out["n"] = out[id_col].map(g["size"]).fillna(0).astype("int64")
+        return out
+
+    parts = raw_ds.map_batches(score, batch_format="pandas")
+    return grouped_agg(parts, id_col,
+                       dsir_score=("s", "sum"), n_tokens=("n", "sum"))

@@ -413,3 +413,55 @@ def test_seeded_shuffle_shards_determinism_and_balance(ray_session):
     # shards are contiguous in pos order
     by_pos = a.sort_values("pos")["shard"].to_numpy()
     assert (np.diff(by_pos) >= 0).all()
+
+
+def test_dsir_scores_match_pure_python_mirror(ray_session):
+    """DSIR importance weights on a crafted bench/raw split equal an
+    independent pure-Python recomputation (hash -> smoothed LLR ->
+    integer micro-nat sum), including a zero-token raw doc."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.traindata import (dsir_bucket_counts,
+                                                 dsir_scores, dsir_weights)
+
+    K = 16
+    bench_docs = ["tree tree river", "tree stone"]
+    raw_docs = {10: "tree river river", 11: "lava lava", 12: ""}
+
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "text": bench_docs}))
+    raw = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(raw_docs), "text": list(raw_docs.values())}))
+
+    w = dsir_weights(dsir_bucket_counts(bench, num_buckets=K),
+                     dsir_bucket_counts(raw, num_buckets=K))
+    out = dsir_scores(raw, w, K).to_pandas().set_index("doc_id")
+
+    # independent mirror
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % K
+
+    def counts(docs):
+        c = [0] * K
+        for t in docs:
+            for tok in t.split(" "):
+                if tok:
+                    c[bucket(tok)] += 1
+        return c
+
+    ct, cr = counts(bench_docs), counts(raw_docs.values())
+    nt, nr = sum(ct), sum(cr)
+    wi = [round(1e6 * math.log((ct[b] + 1) * (nr + K)
+                               / ((cr[b] + 1) * (nt + K))))
+          for b in range(K)]
+    assert list(w) == wi
+    for did, text in raw_docs.items():
+        toks = [t for t in text.split(" ") if t]
+        assert int(out.loc[did, "dsir_score"]) == sum(
+            wi[bucket(t)] for t in toks)
+        assert int(out.loc[did, "n_tokens"]) == len(toks)
+    # benchmark-aligned vocabulary outscores raw-only vocabulary
+    assert out.loc[10, "dsir_score"] > out.loc[11, "dsir_score"]
