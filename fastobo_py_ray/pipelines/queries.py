@@ -220,25 +220,12 @@ GROUP BY e.subj, e.pred, e.obj
 # signal) and ontology information content (Resnik 1995)
 # ---------------------------------------------------------------------------
 
-def q_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
-    """Document-level co-mention pointwise mutual information between
-    canonical ontology terms — the classic distributional signal for
-    DISCOVERING candidate relations the ontology doesn't assert yet
-    (the complement of kg_triples, which only scores edges the
-    ontology already has).
-
-    pmi(a, b) = ln( n_docs(a,b) * N / (n_docs(a) * n_docs(b)) ) over
-    doc-level term PRESENCE (each term counted once per doc), N =
-    docs with >= 1 mention.
-
-    Scale shape: the annotator pass emits per-batch-distinct
-    (doc_id, term_id) presence partials; ONE doc-keyed coarse-bucket
-    exchange (:func:`grouped_map`) co-locates each document's rows, so
-    the in-bucket pair explosion (bounded per doc by the ontology's
-    term count, NOT the corpus) and the per-bucket pair/term/doc-count
-    partials are globally exact; only ontology^2-bounded partial rows
-    reach the driver.  The corpus text is touched exactly once and
-    never re-shuffled."""
+def _comention_stats(sf_dir: str) -> pd.DataFrame:
+    """Shared corpus pass for the mention-layer analytics: doc-level
+    term-presence pair counts, per-term doc counts and the mentioned-doc
+    count, all in ONE annotator pass + ONE doc-keyed coarse exchange;
+    returns the driver-level summed (kind, ta, tb, n) frame
+    (ontology^2-bounded: <= |terms|^2 + |terms| + 1 rows)."""
     from ..functions.relops import grouped_map
 
     ments = _docs_annotated(sf_dir, "mentions")
@@ -271,8 +258,29 @@ def q_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
 
     stats = grouped_map(part, "doc_id", bucket_stats,
                         num_buckets=32).to_pandas()
-    # ontology^2-bounded finalize (<= |terms|^2 + |terms| + buckets rows)
-    s = stats.groupby(["kind", "ta", "tb"], as_index=False)["n"].sum()
+    return stats.groupby(["kind", "ta", "tb"], as_index=False)["n"].sum()
+
+
+def q_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
+    """Document-level co-mention pointwise mutual information between
+    canonical ontology terms — the classic distributional signal for
+    DISCOVERING candidate relations the ontology doesn't assert yet
+    (the complement of kg_triples, which only scores edges the
+    ontology already has).
+
+    pmi(a, b) = ln( n_docs(a,b) * N / (n_docs(a) * n_docs(b)) ) over
+    doc-level term PRESENCE (each term counted once per doc), N =
+    docs with >= 1 mention.
+
+    Scale shape: the annotator pass emits per-batch-distinct
+    (doc_id, term_id) presence partials; ONE doc-keyed coarse-bucket
+    exchange (:func:`grouped_map`) co-locates each document's rows, so
+    the in-bucket pair explosion (bounded per doc by the ontology's
+    term count, NOT the corpus) and the per-bucket pair/term/doc-count
+    partials are globally exact; only ontology^2-bounded partial rows
+    reach the driver.  The corpus text is touched exactly once and
+    never re-shuffled."""
+    s = _comention_stats(sf_dir)
     n_total = int(s.loc[s["kind"] == "docs", "n"].sum())
     tc = s[s["kind"] == "term"].set_index("ta")["n"]
     p = s[s["kind"] == "pair"].copy()
@@ -327,30 +335,9 @@ def q_term_ic(sf_dir: str) -> pd.DataFrame:
     is fine at ontology cardinality, same policy note as
     kg_subtree_mentions); the is_a closure fold is driver-side over
     the ontology tier (|terms| + |edges| rows, corpus-independent)."""
-    from ray.data.aggregate import Sum
-
     from ..stages.graph import descendants
 
-    ments = _docs_annotated(sf_dir, "mentions")
-
-    def count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("canonical_id", as_index=False).size().rename(
-            columns={"canonical_id": "term_id", "size": "n"})
-
-    cnt = ments.map_batches(count, batch_format="pandas") \
-        .groupby("term_id").aggregate(Sum("n", alias_name="n")).to_pandas()
-
-    # ontology tier: canonical is_a edges from the REAL pipeline index
-    # (parse + compact + union-find canonicalization, pipelines/kg.py) —
-    # the oracle derives the same edges from the hand-written golden map
-    idx = prepare_index(docs_obo())
-    edges = sorted({(s, o) for s, po in idx.edges_by_subj.items()
-                    for p, o in po if p == "is_a"})
-    terms = sorted({idx.canonical(t)
-                    for cands in idx.surfaces.values()
-                    for t, _scope in cands})
-    counts = dict(zip(cnt["term_id"], cnt["n"].astype("int64")))
-    total = sum(counts.values())
+    counts, total, edges, terms = _term_mention_counts(sf_dir)
     rows = []
     for t in terms:
         cum = counts.get(t, 0) + sum(
@@ -361,6 +348,33 @@ def q_term_ic(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["cum_mentions"] = out["cum_mentions"].astype("int64")
     return out.sort_values("term_id").reset_index(drop=True)
+
+
+def _term_mention_counts(sf_dir: str):
+    """ONE annotator pass -> per-canonical-term mention-occurrence
+    counts (ontology-bounded), plus the ontology tier from the REAL
+    pipeline index (parse + compact + union-find canonicalization,
+    pipelines/kg.py): canonical is_a edges and the canonical term
+    universe.  Returns (counts dict, total, edges, terms)."""
+    from ray.data.aggregate import Sum
+
+    ments = _docs_annotated(sf_dir, "mentions")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("canonical_id", as_index=False).size().rename(
+            columns={"canonical_id": "term_id", "size": "n"})
+
+    cnt = ments.map_batches(count, batch_format="pandas") \
+        .groupby("term_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    idx = prepare_index(docs_obo())
+    edges = sorted({(s, o) for s, po in idx.edges_by_subj.items()
+                    for p, o in po if p == "is_a"})
+    terms = sorted({idx.canonical(t)
+                    for cands in idx.surfaces.values()
+                    for t, _scope in cands})
+    counts = dict(zip(cnt["term_id"], cnt["n"].astype("int64")))
+    return counts, sum(counts.values()), edges, terms
 
 
 def q_term_ic_sql() -> str:
@@ -389,6 +403,87 @@ SELECT cum.term_id, cum.cum::BIGINT AS cum_mentions,
 FROM cum CROSS JOIN tot
 WHERE cum.cum > 0
 ORDER BY cum.term_id
+"""
+
+
+def q_resnik_sim(sf_dir: str) -> pd.DataFrame:
+    """Resnik semantic similarity of CO-MENTIONED term pairs: the
+    information content of the pair's most informative common subsumer
+    (max IC = min descendant-folded mention count over the shared
+    ancestor-or-self set) — the classic ontology-aware coherence score
+    for candidate relations surfaced by co-occurrence.
+
+    Scale shape: two corpus passes that each reduce to ontology-bounded
+    partials (the co-mention pair pass of :func:`_comention_stats` and
+    the mention-count pass of :func:`_term_mention_counts`); the
+    subsumer lattice walk is driver-side over the ontology tier.  Pairs
+    with no common subsumer (different is_a roots) are dropped, same
+    as the oracle's inner join."""
+    from ..stages.graph import ancestors, descendants
+
+    counts, total, edges, terms = _term_mention_counts(sf_dir)
+    cum = {}
+    for t in terms:
+        c = counts.get(t, 0) + sum(
+            counts.get(d, 0) for d in descendants(edges, t))
+        if c > 0:
+            cum[t] = c
+    anc_or_self = {t: (ancestors(edges, t) | {t}) for t in terms}
+
+    s = _comention_stats(sf_dir)
+    p = s[s["kind"] == "pair"]
+    rows = []
+    for ta, tb, n in zip(p["ta"], p["tb"], p["n"]):
+        common = [cum[x] for x in
+                  anc_or_self.get(ta, set()) & anc_or_self.get(tb, set())
+                  if x in cum]
+        if common:
+            rows.append({
+                "term_a": ta, "term_b": tb, "n_docs": int(n),
+                "resnik": round(float(-np.log(min(common) / total)), 6)})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+def q_resnik_sim_sql() -> str:
+    edges = sorted({(s, o) for s, p, o in docs_canonical_edges()
+                    if p == "is_a"})
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    edge_rows = ", ".join(f"('{c}', '{p}')" for c, p in edges)
+    return f"""
+WITH RECURSIVE dict(word, term_id) AS (VALUES {dict_rows}),
+e(child, parent) AS (VALUES {edge_rows}),
+clos(anc, des) AS (
+  SELECT term_id, term_id FROM (SELECT DISTINCT term_id FROM dict)
+  UNION
+  SELECT e.parent, c.des FROM e JOIN clos c ON c.anc = e.child
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+cnt AS (SELECT d.term_id, count(*) AS c
+        FROM toks t JOIN dict d USING (word) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cnt),
+cum AS (SELECT cl.anc AS term_id, sum(cnt.c) AS cum
+        FROM clos cl JOIN cnt ON cnt.term_id = cl.des GROUP BY 1),
+dt AS (SELECT DISTINCT t.doc_id, d.term_id
+       FROM toks t JOIN dict d USING (word)),
+pc AS (SELECT a.term_id AS term_a, b.term_id AS term_b,
+              count(*) AS n_docs
+       FROM dt a JOIN dt b
+         ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+       GROUP BY 1, 2),
+mica AS (SELECT p.term_a, p.term_b, p.n_docs, min(cu.cum) AS mcum
+         FROM pc p
+         JOIN clos ca ON ca.des = p.term_a
+         JOIN clos cb ON cb.des = p.term_b AND cb.anc = ca.anc
+         JOIN cum cu ON cu.term_id = ca.anc
+         GROUP BY 1, 2, 3)
+SELECT m.term_a, m.term_b, m.n_docs,
+       round(-ln(m.mcum::DOUBLE / tot.n), 6) AS resnik
+FROM mica m CROSS JOIN tot
+ORDER BY m.term_a, m.term_b
 """
 
 
@@ -5703,6 +5798,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "kg_subtree_mentions": kg_subtree_mentions,
         "q_cooccur_pmi": q_cooccur_pmi,
         "q_term_ic": q_term_ic,
+        "q_resnik_sim": q_resnik_sim,
         "q_obo_diff": q_obo_diff,
         "q_kg_refresh": q_kg_refresh,
         "q1_pricing_summary": q1_pricing_summary,
@@ -5832,6 +5928,7 @@ def oracles() -> Dict[str, str]:
         "kg_subtree_mentions": kg_subtree_mentions_sql(),
         "q_cooccur_pmi": q_cooccur_pmi_sql(),
         "q_term_ic": q_term_ic_sql(),
+        "q_resnik_sim": q_resnik_sim_sql(),
         "q_obo_diff": q_obo_diff_sql(),
         "q_kg_refresh": q_kg_refresh_sql(),
         "q1_pricing_summary": Q1_SQL,

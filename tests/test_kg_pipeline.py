@@ -840,3 +840,14 @@ def test_cooccur_pmi_and_term_ic_crafted(tmp_path, ray_session):
         j: (3, round(-math.log(3 / 5), 6)),
         s: (1, round(-math.log(1 / 5), 6)),
         o: (2, round(-math.log(2 / 5), 6))}
+
+    from fastobo_py_ray.pipelines.queries import q_resnik_sim
+
+    rs = q_resnik_sim(str(tmp_path))
+    grs = {(a, b): (int(n), float(v)) for a, b, n, v in
+           zip(rs["term_a"], rs["term_b"], rs["n_docs"], rs["resnik"])}
+    # (hash, join): common subsumer-or-self = {join}, cum(join)=3;
+    # (order, sort): common = {order}, cum(order)=2
+    assert grs == {
+        (min(h, j), max(h, j)): (1, round(-math.log(3 / 5), 6)),
+        (min(s, o), max(s, o)): (1, round(-math.log(2 / 5), 6))}
