@@ -4724,6 +4724,110 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link scores over the exact 3-gram-Jaccard near-dup
+    graph: for every pair with >= 1 common neighbor, aa = sum over
+    common neighbors w of 1/ln(deg(w)) — the classic link-prediction
+    score — plus an ``is_edge`` flag separating already-adjacent pairs
+    from PREDICTED links (near-dup edges the Jaccard threshold
+    clipped).  On a clique-heavy dedup graph most wedge pairs are
+    adjacent; the flag keeps both populations visible instead of
+    filtering to a possibly-empty complement.
+
+    Exactness across engines: the per-center weight is integerized
+    ONCE (round(1e6 / ln(deg)), int64 micro-units) so the per-pair
+    score is an exact integer SUM — immune to float summation order —
+    the same oracle-form discipline as q_dsir's bucket weights.
+
+    Scale shape: wedges are enumerated per CENTER inside one node-keyed
+    coarse exchange (a bucket holds every edge of its centers, so
+    in-bucket degree and the neighbor-pair explosion are globally
+    exact); per-pair partials ride one skinny keyed exchange
+    (:func:`grouped_agg`) and the is_edge flag is a distributed left
+    semi lookup (hash_join bucket_finalize) — no driver
+    materialization.  The wedge explosion is O(sum deg(w)^2), inherent
+    to Adamic-Adar; hubs should be capped upstream by the pair
+    generator's threshold (documented, same caveat class as triangle
+    counting's arboricity bound)."""
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # materialize the SKINNY pair list (2 int64 cols, near-dup-cluster
+    # scale): it is consumed twice (adjacency + is_edge lookup) and
+    # re-running the jaccard pass would double the corpus work
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df[["doc_a", "doc_b"]],
+        batch_format="pandas").materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
+            "n": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True)})
+
+    adj = pairs.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds every edge of its centers -> degree is global;
+        # deg-1 centers form no wedge (and 1/ln(1) is inf), so weight
+        # only the deg>=2 centers
+        deg = df.groupby("c")["n"].size()
+        deg = deg[deg >= 2]
+        w = pd.Series(
+            np.round(1e6 / np.log(deg.to_numpy(dtype="float64")))
+            .astype("int64"), index=deg.index)
+        m = df.merge(df, on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        m["w"] = m["c"].map(w)
+        return m.groupby(["n_x", "n_y"], as_index=False).agg(
+            n_common=("w", "size"), aa=("w", "sum"))
+
+    part = grouped_map(adj, "c", wedges, num_buckets=32)
+    sc = grouped_agg(part, ["n_x", "n_y"],
+                     n_common=("n_common", "sum"), aa=("aa", "sum"))
+    sc = sc.map_batches(
+        lambda df: df.rename(columns={"n_x": "doc_a", "n_y": "doc_b"}),
+        batch_format="pandas")
+
+    def flag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        # left join surfaces unmatched wedge pairs with NaN right key
+        df = df.rename(columns={"doc_a_r": "__hit"})
+        df["is_edge"] = df["__hit"].notna().astype("int64")
+        return df[["doc_a", "doc_b", "n_common", "aa", "is_edge"]]
+
+    out = hash_join(
+        sc, pairs.map_batches(
+            lambda df: df.assign(doc_a_r=df["doc_a"]),
+            batch_format="pandas"),
+        on=["doc_a", "doc_b"], how="left",
+        lcols=["doc_a", "doc_b", "n_common", "aa"],
+        rcols=["doc_a", "doc_b", "doc_a_r"],
+        bucket_finalize=flag_edge).to_pandas()
+    out = out.rename(columns={"aa": "aa_score"})
+    for c in ("doc_a", "doc_b", "n_common", "aa_score", "is_edge"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_ADAMIC_ADAR_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+e2 AS (SELECT doc_a AS c, doc_b AS n FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT c, count(*) AS d FROM e2 GROUP BY c),
+wi AS (SELECT c, CAST(round(1000000 / ln(d)) AS BIGINT) AS w
+       FROM deg WHERE d >= 2),
+wedge AS (SELECT l.n AS u, r.n AS v, l.c AS c
+          FROM e2 l JOIN e2 r ON l.c = r.c AND l.n < r.n),
+sc AS (SELECT u, v, count(*) AS n_common, sum(wi.w) AS aa
+       FROM wedge JOIN wi USING (c) GROUP BY u, v)
+SELECT sc.u AS doc_a, sc.v AS doc_b, sc.n_common::BIGINT AS n_common,
+       sc.aa::BIGINT AS aa_score,
+       (p.doc_a IS NOT NULL)::BIGINT AS is_edge
+FROM sc LEFT JOIN pairs p ON p.doc_a = sc.u AND p.doc_b = sc.v
+ORDER BY sc.u, sc.v
+"""
+
+
 def q_bag_ops(sf_dir: str) -> pd.DataFrame:
     """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
     multiset siblings of q_set_ops' distinct operators: row
@@ -5799,6 +5903,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_cooccur_pmi": q_cooccur_pmi,
         "q_term_ic": q_term_ic,
         "q_resnik_sim": q_resnik_sim,
+        "q_adamic_adar": q_adamic_adar,
         "q_obo_diff": q_obo_diff,
         "q_kg_refresh": q_kg_refresh,
         "q1_pricing_summary": q1_pricing_summary,
@@ -5929,6 +6034,7 @@ def oracles() -> Dict[str, str]:
         "q_cooccur_pmi": q_cooccur_pmi_sql(),
         "q_term_ic": q_term_ic_sql(),
         "q_resnik_sim": q_resnik_sim_sql(),
+        "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_obo_diff": q_obo_diff_sql(),
         "q_kg_refresh": q_kg_refresh_sql(),
         "q1_pricing_summary": Q1_SQL,

@@ -176,3 +176,31 @@ def test_pagerank_join_tier_single_bucket(ray_session):
                   num_buckets=1).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, j1)
+
+
+def test_adamic_adar_crafted_path_graph(ray_session, tmp_path):
+    """3-doc path graph via controlled 3-gram Jaccard (X~Y and Y~Z at
+    exactly 0.8, X~Z at 0.6 < threshold): the single wedge (X, Z)
+    through center Y (deg 2) is a PREDICTED link — is_edge=0,
+    aa = round(1e6/ln 2) — and no other pair has a common neighbor."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_adamic_adar
+
+    docs = {1: "a b c d e f",        # grams {abc bcd cde def}
+            2: "a b c d e f g",      # + efg -> J(X,Y) = 4/5
+            3: "b c d e f g"}        # J(Y,Z) = 4/5, J(X,Z) = 3/5
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_adamic_adar(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["doc_a"]), int(r["doc_b"])) == (1, 3)
+    assert int(r["n_common"]) == 1
+    assert int(r["is_edge"]) == 0
+    assert int(r["aa_score"]) == round(1e6 / math.log(2))
