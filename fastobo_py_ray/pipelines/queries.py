@@ -2615,6 +2615,72 @@ ORDER BY source, doc_id
 """
 
 
+def q_temp_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled source mixture (alpha = 0.5, the standard
+    multilingual/multi-source rebalancing: sampling probability
+    proportional to n_source^alpha, flattening head sources and
+    boosting tail ones) over a 20%-of-corpus budget; q_source_mix's
+    sibling with DATA-DEPENDENT quotas instead of fixed ones.
+
+    Integer-exact across engines: per-source weight =
+    floor(sqrt(n_s * 1e6)) (IEEE sqrt is correctly rounded, so both
+    engines floor the identical double), quota = (B * w_s) // W in
+    pure int64 arithmetic — no float accumulation anywhere.
+
+    Scale shape: ONE combiner pass reduces the corpus to per-source
+    counts (sources-bounded), quotas are a driver-tier dict, and the
+    selection is q_source_mix's keyed exchange with the same
+    content-blind md5 order."""
+    from ..functions.relops import grouped_map
+    from ..stages.traindata import _md5_hex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    part = ds.map_batches(
+        lambda df: df.groupby("source", as_index=False).size(),
+        batch_format="pandas")
+    cnt = part.to_pandas().groupby("source")["size"].sum()
+    budget = int(cnt.sum()) // 5
+    w = np.floor(np.sqrt(cnt.to_numpy(dtype="float64") * 1e6)) \
+        .astype("int64")
+    tot_w = int(w.sum())
+    quota = {s: min(int(n), (budget * int(wi)) // tot_w)
+             for s, n, wi in zip(cnt.index, cnt.to_numpy(), w)}
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _md5_hex(df["doc_id"])
+        df = df.sort_values(["source", "__h", "doc_id"], kind="stable")
+        keep = df.groupby("source", sort=False).cumcount() \
+            < df["source"].map(quota)
+        return df.loc[keep, ["doc_id", "source"]]
+
+    out = grouped_map(ds, "source", bucket).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["source"] = out["source"].astype(str)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+Q_TEMP_MIX_SQL = """
+WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+w AS (SELECT source, ns,
+             CAST(floor(sqrt(ns::DOUBLE * 1000000)) AS BIGINT) AS ws
+      FROM n),
+tot AS (SELECT sum(ns) AS nt, sum(ws) AS wt FROM w),
+q AS (SELECT w.source,
+             least(w.ns, ((tot.nt // 5) * w.ws) // tot.wt) AS quota
+      FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN q USING (source)
+WHERE r.rn <= q.quota
+ORDER BY source, doc_id
+"""
+
+
 _WATERMARK_LATE_US = 600 * 3_600_000_000  # allowed lateness: 600 hours
 
 
@@ -5937,6 +6003,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
+        "q_temp_mix": q_temp_mix,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
         "q_first_last": q_first_last,
@@ -6079,6 +6146,7 @@ def oracles() -> Dict[str, str]:
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,
         "q_source_mix": Q_SOURCE_MIX_SQL,
+        "q_temp_mix": Q_TEMP_MIX_SQL,
         "q_event_gaps": Q_EVENT_GAPS_SQL,
         "q_first_last": Q_FIRST_LAST_SQL,
         "q_moving_avg": Q_MOVING_AVG_SQL,

@@ -465,3 +465,26 @@ def test_dsir_scores_match_pure_python_mirror(ray_session):
         assert int(out.loc[did, "n_tokens"]) == len(toks)
     # benchmark-aligned vocabulary outscores raw-only vocabulary
     assert out.loc[10, "dsir_score"] > out.loc[11, "dsir_score"]
+
+
+def test_temp_mix_flattens_head_sources(ray_session, tmp_path):
+    """alpha=0.5 temperature mixing: quotas follow the integer-exact
+    (B * floor(sqrt(n_s*1e6))) // W formula, so the tail source keeps a
+    far larger FRACTION of its docs than the head source (the
+    flattening that motivates temperature sampling)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_temp_mix
+
+    n_head, n_tail = 100, 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_head + n_tail), pa.int64()),
+        "source": pa.array(["src9"] * n_head + ["src1"] * n_tail,
+                           pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_temp_mix(str(tmp_path))
+    sizes = out.groupby("source").size()
+    # B = 104//5 = 20; w = (10000, 2000); quotas 16 head, min(4,3)=3 tail
+    assert sizes["src9"] == 16 and sizes["src1"] == 3
+    assert sizes["src1"] / n_tail > sizes["src9"] / n_head
