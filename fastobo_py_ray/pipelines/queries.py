@@ -1664,6 +1664,48 @@ ORDER BY d.doc_id
 """
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def q_winnow(sf_dir: str) -> pd.DataFrame:
+    """Robust winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    selection; stages/dedup.py:winnow_fingerprints): per doc, the
+    rightmost window-minimum md5 k-gram hash of every w-window of
+    consecutive k-gram hashes.  Batch-local, zero exchanges; any
+    shared substring >= w+k-1 chars yields a shared fingerprint."""
+    from ..stages.dedup import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_fingerprints(ds, k=_WINNOW_K, w=_WINNOW_W).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    out["fingerprint"] = out["fingerprint"].astype(str)
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+Q_WINNOW_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+g AS (SELECT doc_id, i, md5(substring(text, i, {_WINNOW_K})) AS hh
+      FROM d, LATERAL (SELECT unnest(generate_series(
+          1, length(text) - {_WINNOW_K - 1})) AS i) t),
+wins AS (SELECT doc_id, unnest(generate_series(
+           1, length(text) - {_WINNOW_K + _WINNOW_W - 2})) AS j
+         FROM d),
+cand AS (SELECT w.doc_id, w.j, g.i, g.hh
+         FROM wins w JOIN g ON g.doc_id = w.doc_id
+           AND g.i BETWEEN w.j AND w.j + {_WINNOW_W - 1}),
+m AS (SELECT doc_id, j, min(hh) AS mh FROM cand GROUP BY 1, 2),
+pick AS (SELECT c.doc_id, c.j, max(c.i) AS pos
+         FROM cand c JOIN m ON m.doc_id = c.doc_id AND m.j = c.j
+           AND c.hh = m.mh
+         GROUP BY 1, 2)
+SELECT DISTINCT p.doc_id, p.pos::BIGINT AS pos, g.hh AS fingerprint
+FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.i = p.pos
+ORDER BY p.doc_id, pos
+"""
+
+
 def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution meta-blocking with weighted-node pruning over
     the shingle blocking graph (stages/dedup.py:meta_blocking_pairs —
@@ -6031,6 +6073,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_dup_substrings": q_dup_substrings,
         "q_dup_coverage": q_dup_coverage,
+        "q_winnow": q_winnow,
         "q_dup_removal": q_dup_removal,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
@@ -6134,6 +6177,7 @@ def oracles() -> Dict[str, str]:
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
         "q_dup_substrings": Q_DUP_SUBSTRINGS_SQL,
         "q_dup_coverage": Q_DUP_COVERAGE_SQL,
+        "q_winnow": Q_WINNOW_SQL,
         "q_dup_removal": Q_DUP_REMOVAL_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,

@@ -1801,3 +1801,71 @@ def exact_substr_removal(ds, gram_len: int = 20, min_docs: int = 2,
 
     # one row per doc -> corpus-scale output; stays a Dataset
     return ds.map_batches(cut, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Robust winnowing (Schleimer, Wilkerson & Aiken 2003) — the MOSS
+# document-fingerprint selection
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(ds, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Robust winnowing fingerprint selection: hash every ``k``-char
+    window, then in each window of ``w`` consecutive hashes keep the
+    RIGHTMOST position holding the window minimum; the distinct
+    selected positions are the document's fingerprints.  Guarantee
+    (the paper's correctness property): any substring shared between
+    two documents of length >= ``w + k - 1`` contributes at least one
+    SHARED fingerprint hash — the basis of MOSS-style overlap
+    detection at a fraction of the all-windows cost.
+
+    Engine shape: entirely BATCH-LOCAL (zero exchanges — selection is a
+    per-document function); the hash is md5 (not a seeded rolling hash)
+    so a SQL oracle reproduces the selection exactly, with a per-batch
+    memo over unique grams (Zipf: vocab-tier md5 calls, not
+    positions-scale) and the per-doc window scan vectorized via
+    ``sliding_window_view`` on value-ranked codes (rightmost-argmin =
+    first-argmin of the reversed window).  Positions are 1-based
+    code-point offsets (DuckDB ``substring`` semantics)."""
+    import hashlib
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        docs, poss, fps = [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            if not isinstance(t, str):
+                continue
+            n = len(t) - k + 1
+            if n < w:  # shorter than one full window: no selection
+                continue
+            hexes = []
+            for i in range(n):
+                g = t[i:i + k]
+                h = memo.get(g)
+                if h is None:
+                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                    memo[g] = h
+                hexes.append(h)
+            arr = np.asarray(hexes, dtype=object)
+            # value-ranked int codes (np.unique sorts lexicographically,
+            # which IS md5-hex value order), then rightmost window
+            # argmin = first argmin of the reversed window
+            _, codes = np.unique(arr, return_inverse=True)
+            wv = np.lib.stride_tricks.sliding_window_view(codes, w)
+            a = wv[:, ::-1].argmin(axis=1)
+            pos = np.arange(n - w + 1, dtype="int64") + (w - 1 - a)
+            sel = np.unique(pos)
+            docs.append(np.full(len(sel), did, dtype="int64"))
+            poss.append(sel + 1)  # 1-based
+            fps.extend(arr[sel])
+        if not docs:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+                "fingerprint": pd.Series(dtype="object")})
+        return pd.DataFrame({
+            id_col: np.concatenate(docs),
+            "pos": np.concatenate(poss),
+            "fingerprint": fps})
+
+    return ds.map_batches(per_batch, batch_format="pandas")

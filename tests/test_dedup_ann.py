@@ -1014,3 +1014,59 @@ def test_exact_substr_removal_unicode_and_parity(ray_session):
     # the multi-byte passage really was duplicated and cut
     assert any(passages[1] in t for t in texts)
     assert all(passages[1] not in c for c in out["clean_text"])
+
+
+def test_winnow_guarantee_and_brute_force_parity(ray_session):
+    """Robust winnowing: (1) brute-force mirror equality on random
+    unicode-bearing strings; (2) the paper's guarantee — two docs
+    sharing a substring of length >= w + k - 1 share at least one
+    fingerprint HASH."""
+    import hashlib
+    import random
+    import string
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    rng = random.Random(11)
+    alpha = string.ascii_lowercase + " é日"
+    shared = "XSHAREDSUBSTRX"  # len 14 >= w + k - 1 = 11
+    docs = {i: "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+            for i in range(1, 9)}
+    docs[20] = docs[1][:10] + shared + "abcdefgh"
+    docs[21] = "zyxw" + shared + docs[2][:12]
+
+    out = winnow_fingerprints(
+        rd.from_pandas(pd.DataFrame(
+            {"doc_id": list(docs), "text": list(docs.values())})
+            ).repartition(3),
+        k=k, w=w).to_pandas()
+
+    # brute force mirror
+    exp = []
+    for did, t in docs.items():
+        n = len(t) - k + 1
+        if n < w:
+            continue
+        hexes = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+                 for i in range(n)]
+        sel = set()
+        for j in range(n - w + 1):
+            win = hexes[j:j + w]
+            mn = min(win)
+            sel.add(j + max(i for i, h in enumerate(win) if h == mn))
+        for p in sorted(sel):
+            exp.append((did, p + 1, hexes[p]))
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "pos", "fingerprint"])
+    got = out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    exp_df = exp_df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "pos": "int64"}), exp_df.astype(
+            {"doc_id": "int64", "pos": "int64"}))
+
+    # guarantee: the two shared-substring docs share a fingerprint hash
+    f20 = set(got.loc[got["doc_id"] == 20, "fingerprint"])
+    f21 = set(got.loc[got["doc_id"] == 21, "fingerprint"])
+    assert f20 & f21
