@@ -1422,6 +1422,114 @@ GROUP BY w ORDER BY est_count DESC, token LIMIT 10
 _TFIDF_K = 3
 
 
+_BM25_QUERY = ("hash", "join", "table")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 retrieval scoring of a fixed query against every
+    document (Robertson/Lucene form: idf = ln((N-df+0.5)/(df+0.5)+1),
+    k1=1.2, b=0.75) — the classic relevance ranker, TF-IDF's cousin.
+
+    Cross-engine exactness: each (term, doc) partial score is
+    integerized to micro-units with an expression tree written
+    IDENTICALLY (parenthesization and operand types) in numpy and in
+    the oracle SQL, so the per-doc score is an exact int64 SUM —
+    float summation order never matters (q_dsir discipline).
+
+    Scale shape: pass 1 reduces the corpus to CONSTANT-size partials
+    (doc count, token count, per-query-term df — documents is one row
+    per doc, so per-doc stats never split across batches); the
+    aggregated stats broadcast by closure (|query| floats); pass 2
+    scores each batch independently — zero keyed exchanges end to
+    end."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(_BM25_QUERY)
+
+    def stats_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        hit = ex[ex.isin(terms)]
+        per_doc = hit.groupby([hit.index, hit]).size()
+        dfc = per_doc.groupby(level=1).size()
+        row = {"n": len(df), "ntok": int(len(ex))}
+        for t in terms:
+            row[f"df_{t}"] = int(dfc.get(t, 0))
+        return pd.DataFrame([row])
+
+    st = ds.map_batches(stats_part, batch_format="pandas") \
+        .to_pandas().sum()  # blocks x (2+|q|) partials -> driver sum
+    n_docs, avgdl = int(st["n"]), st["ntok"] / int(st["n"])
+    idf = {t: float(np.log((int(st["n"]) - int(st[f"df_{t}"]) + 0.5)
+                           / (int(st[f"df_{t}"]) + 0.5) + 1))
+           for t in terms}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        dl = ex.groupby(ex.index).size() \
+            .reindex(df.index, fill_value=0).to_numpy(dtype="float64")
+        hit = ex[ex.isin(terms)]
+        g = hit.groupby([hit.index, hit]).size()
+        out = pd.DataFrame({"doc_id": df["doc_id"],
+                            "bm25_score": np.int64(0),
+                            "n_query_terms": np.int64(0)})
+        if len(g):
+            rix = g.index.get_level_values(0)
+            tf = g.to_numpy(dtype="float64")
+            tdl = dl[df.index.get_indexer(rix)]
+            w = np.array([idf[t] for t in g.index.get_level_values(1)])
+            # expression tree mirrors the oracle SQL token for token
+            s = np.round(1_000_000 * (
+                w * (tf * (_BM25_K1 + 1))
+                / (tf + _BM25_K1
+                   * (1 - _BM25_B + _BM25_B * tdl / avgdl))
+            )).astype("int64")
+            per_doc = pd.DataFrame({"r": rix, "s": s}) \
+                .groupby("r")["s"].agg(["sum", "size"])
+            out["bm25_score"] = out.index.map(per_doc["sum"]) \
+                .fillna(0).astype("int64")
+            out["n_query_terms"] = out.index.map(per_doc["size"]) \
+                .fillna(0).astype("int64")
+        return out[["doc_id", "n_query_terms", "bm25_score"]]
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_BM25_SQL = f"""
+WITH qt(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}),
+tok AS (SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) WHERE w <> ''),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT d.doc_id, count(tok.w) AS len
+       FROM documents d LEFT JOIN tok USING (doc_id) GROUP BY d.doc_id),
+tf AS (SELECT doc_id, w AS term, count(*) AS tf
+       FROM tok JOIN qt ON qt.term = tok.w GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, CAST(round(1000000 * (
+          ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+          * (tf.tf * ({_BM25_K1} + 1))
+          / (tf.tf + {_BM25_K1}
+             * (1 - {_BM25_B} + {_BM25_B} * dl.len / stats.avgdl))
+        )) AS BIGINT) AS s_term
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats),
+sc AS (SELECT doc_id, sum(s_term) AS bm25, count(*) AS nt
+       FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.nt, 0)::BIGINT AS n_query_terms,
+       coalesce(sc.bm25, 0)::BIGINT AS bm25_score
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-document top-k TF-IDF keywords (see
     stages/textstats.py:tfidf_topk for the vocab-tiered scale shape:
@@ -6035,6 +6143,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_top_tokens": q_top_tokens,
         "q_heavy_tokens": q_heavy_tokens,
         "q_tfidf": q_tfidf,
+        "q_bm25": q_bm25,
         "q_lang_counts": q_lang_counts,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
@@ -6170,6 +6279,7 @@ def oracles() -> Dict[str, str]:
         # regime keeps its pytest guarantee gates.
         "q_heavy_tokens": Q_HEAVY_TOKENS_SQL,
         "q_tfidf": Q_TFIDF_SQL,
+        "q_bm25": Q_BM25_SQL,
         # q_distinct_users_approx (HLL) stays rows-only: approximate
         # by design, with pytest error gates against the exact count.
         "q_lang_counts": Q_LANG_COUNTS_SQL,

@@ -347,3 +347,35 @@ def test_compression_ratio_ordering_and_edges():
     assert out[3] == 0.0
     out2 = compression_ratio_batch(df)["compress_ratio"].tolist()
     assert out == out2
+
+
+def test_bm25_crafted_hand_mirror(ray_session, tmp_path):
+    """BM25 on a 3-doc corpus equals the hand-written formula
+    (identical expression tree, integer micro-unit sums); docs with no
+    query hit score 0 and are kept."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_bm25
+
+    docs = {1: "hash join hash", 2: "table", 3: "x y"}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_bm25(str(tmp_path)).set_index("doc_id")
+
+    n, avgdl, k1, b = 3, 6 / 3, 1.2, 0.75
+
+    def term(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        return round(1_000_000 * (idf * (tf * (k1 + 1))
+                                  / (tf + k1 * (1 - b + b * dl / avgdl))))
+
+    assert int(out.loc[1, "bm25_score"]) == term(2, 1, 3) + term(1, 1, 3)
+    assert int(out.loc[1, "n_query_terms"]) == 2
+    assert int(out.loc[2, "bm25_score"]) == term(1, 1, 1)
+    assert int(out.loc[3, "bm25_score"]) == 0
+    assert int(out.loc[3, "n_query_terms"]) == 0
