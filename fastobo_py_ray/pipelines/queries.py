@@ -980,6 +980,96 @@ FROM s
 """
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, App. A — the
+    RefinedWeb/FineWeb ancestor filters), per-rule boolean columns so a
+    curation pipeline can report WHICH gate failed: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio ('#' + '...'),
+    alphabetic-word fraction, and minimum distinct stopwords.  The
+    line-level rules (bullet/ellipsis line ratios) are omitted: the
+    driver corpus is single-line text.
+
+    Integer-exact across engines: every ratio threshold is
+    cross-multiplied into pure int64 comparisons (mean word length in
+    [3,10] becomes 3*n_words <= n_chars <= 10*n_words; symbol ratio
+    <= 0.1 becomes 10*n_sym <= n_words; 80% alphabetic becomes
+    5*n_alpha >= 4*n_words) — no float appears anywhere.  Batch-local,
+    zero exchanges."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stops = list(_GOPHER_STOPS)
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype(str)
+        toks = t.str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        grp = ex.groupby(ex.index)
+        n_words = grp.size().reindex(df.index, fill_value=0) \
+            .to_numpy(dtype="int64")
+        n_chars = ex.str.len().groupby(ex.index).sum() \
+            .reindex(df.index, fill_value=0).to_numpy(dtype="int64")
+        alpha = ex.str.contains("[a-zA-Z]", regex=True)
+        n_alpha = alpha.groupby(ex.index).sum() \
+            .reindex(df.index, fill_value=0).to_numpy(dtype="int64")
+        n_sym = (t.str.count("#")
+                 + t.str.count(r"\.\.\.")).to_numpy(dtype="int64")
+        hits = ex[ex.isin(stops)]
+        n_stop = hits.groupby(hits.index).nunique() \
+            .reindex(df.index, fill_value=0).to_numpy(dtype="int64")
+        r1 = ((n_words >= 50) & (n_words <= 100_000)).astype("int64")
+        r2 = ((3 * n_words <= n_chars)
+              & (n_chars <= 10 * n_words)).astype("int64")
+        r3 = (10 * n_sym <= n_words).astype("int64")
+        r4 = (5 * n_alpha >= 4 * n_words).astype("int64")
+        r5 = (n_stop >= 2).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": n_words,
+            "r_wordcount": r1, "r_wordlen": r2, "r_symbols": r3,
+            "r_alpha": r4, "r_stopwords": r5,
+            "pass_gopher": (r1 & r2 & r3 & r4 & r5).astype("int64")})
+
+    out = ds.map_batches(rules, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_GOPHER_RULES_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           AS n_sym
+  FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+           AS n_chars,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha,
+         n_sym,
+         {" + ".join(f"(list_contains(w, '{t}'))::INT"
+                     for t in _GOPHER_STOPS)} AS n_stop
+  FROM s)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       (n_words >= 50 AND n_words <= 100000)::BIGINT AS r_wordcount,
+       (3 * n_words <= n_chars AND n_chars <= 10 * n_words)::BIGINT
+         AS r_wordlen,
+       (10 * n_sym <= n_words)::BIGINT AS r_symbols,
+       (5 * n_alpha >= 4 * n_words)::BIGINT AS r_alpha,
+       (n_stop >= 2)::BIGINT AS r_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+        AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+        AND n_stop >= 2)::BIGINT AS pass_gopher
+FROM m ORDER BY doc_id
+"""
+
+
 def q_train_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based train/validation split (the standard
     training-data-pipeline assignment: stable under re-runs, resumes and
@@ -6131,6 +6221,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_doc_stats": q_doc_stats,
         "q_quality": q_quality,
+        "q_gopher_rules": q_gopher_rules,
         "q_train_split": q_train_split,
         "q_exact_dedup": q_exact_dedup,
         "q_passage_dedup": q_passage_dedup,
@@ -6265,6 +6356,7 @@ def oracles() -> Dict[str, str]:
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_doc_stats": Q_DOC_STATS_SQL,
         "q_quality": Q_QUALITY_SQL,
+        "q_gopher_rules": Q_GOPHER_RULES_SQL,
         "q_train_split": Q_TRAIN_SPLIT_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,

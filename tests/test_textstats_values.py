@@ -379,3 +379,36 @@ def test_bm25_crafted_hand_mirror(ray_session, tmp_path):
     assert int(out.loc[2, "bm25_score"]) == term(1, 1, 1)
     assert int(out.loc[3, "bm25_score"]) == 0
     assert int(out.loc[3, "n_query_terms"]) == 0
+
+
+def test_gopher_rules_crafted_each_gate(ray_session, tmp_path):
+    """Each Gopher gate trips on a purpose-built doc (integer-exact
+    cross-multiplied thresholds): too-short, long-words, symbol-heavy,
+    non-alphabetic, stopword-free — and one passing doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_gopher_rules
+
+    passing = " ".join(["the", "cat", "and", "dog", "sat"] * 10)  # 50 words
+    docs = {
+        1: passing,                                  # all gates pass
+        2: "the and cat",                            # r_wordcount fails
+        3: " ".join(["supercalifragilistic"] * 60),  # r_wordlen fails (20>10)
+        4: " ".join(["the", "and"] * 25) + " " + "# " * 20,  # symbols
+        5: " ".join(["123", "456"] * 25) + " the and",       # alpha < 80%
+        6: " ".join(["cat", "dog", "sat"] * 20),     # no 2 stopwords
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_gopher_rules(str(tmp_path)).set_index("doc_id")
+    assert int(out.loc[1, "pass_gopher"]) == 1
+    assert int(out.loc[2, "r_wordcount"]) == 0
+    assert int(out.loc[3, "r_wordlen"]) == 0
+    assert int(out.loc[4, "r_symbols"]) == 0
+    assert int(out.loc[5, "r_alpha"]) == 0
+    assert int(out.loc[6, "r_stopwords"]) == 0
+    for d in (2, 3, 4, 5, 6):
+        assert int(out.loc[d, "pass_gopher"]) == 0
