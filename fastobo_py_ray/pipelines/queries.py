@@ -5030,6 +5030,66 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_clustering_coef(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient per node of the near-dup graph
+    (2*tri / (d*(d-1)) for d >= 2) — the standard cohesion signal
+    separating tight duplicate cliques from loose chains.  Rides the
+    SAME machinery as q_triangles (degree-oriented wedge semi-join)
+    plus one degree exchange; the coefficient is one vectorized
+    division over the node-scale result."""
+    from ..functions.relops import grouped_agg
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import triangle_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.rename(
+            columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+        batch_format="pandas").materialize()
+    tri = triangle_counts(edges)
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.concat(
+            [df["a"], df["b"]], ignore_index=True), "one": np.int64(1)})
+
+    deg = grouped_agg(edges.map_batches(both, batch_format="pandas"),
+                      "node", d=("one", "sum")).to_pandas()
+    deg = deg[deg["d"] >= 2].copy()
+    tmap = dict(zip(tri["node"], tri["n_tri"])) if len(tri) else {}
+    deg["n_tri"] = deg["node"].map(tmap).fillna(0).astype("int64")
+    d = deg["d"].to_numpy(dtype="float64")
+    deg["clustering"] = np.round(
+        2.0 * deg["n_tri"].to_numpy(dtype="float64") / (d * (d - 1)), 6)
+    deg = deg.rename(columns={"d": "degree"})
+    deg["node"] = deg["node"].astype("int64")
+    deg["degree"] = deg["degree"].astype("int64")
+    return deg[["node", "degree", "n_tri", "clustering"]] \
+        .sort_values("node").reset_index(drop=True)
+
+
+Q_CLUSTERING_COEF_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node),
+e2 AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT node, count(*) AS d FROM e2 GROUP BY node)
+SELECT deg.node, deg.d::BIGINT AS degree,
+       coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+       round(2.0 * coalesce(tc.n_tri, 0) / (deg.d * (deg.d - 1)), 6)
+         AS clustering
+FROM deg LEFT JOIN tc USING (node)
+WHERE deg.d >= 2
+ORDER BY deg.node
+"""
+
+
 def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
     """Adamic-Adar link scores over the exact 3-gram-Jaccard near-dup
     graph: for every pair with >= 1 common neighbor, aa = sum over
@@ -6210,6 +6270,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_term_ic": q_term_ic,
         "q_resnik_sim": q_resnik_sim,
         "q_adamic_adar": q_adamic_adar,
+        "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
         "q_kg_refresh": q_kg_refresh,
         "q1_pricing_summary": q1_pricing_summary,
@@ -6345,6 +6406,7 @@ def oracles() -> Dict[str, str]:
         "q_term_ic": q_term_ic_sql(),
         "q_resnik_sim": q_resnik_sim_sql(),
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
+        "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),
         "q_kg_refresh": q_kg_refresh_sql(),
         "q1_pricing_summary": Q1_SQL,

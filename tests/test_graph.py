@@ -204,3 +204,31 @@ def test_adamic_adar_crafted_path_graph(ray_session, tmp_path):
     assert int(r["n_common"]) == 1
     assert int(r["is_edge"]) == 0
     assert int(r["aa_score"]) == round(1e6 / math.log(2))
+
+
+def test_clustering_coef_crafted(ray_session, tmp_path):
+    """Path graph X-Y-Z (from the adamic-adar fixture): all clustering
+    coefficients 0 with correct degrees; adding a triangle doc makes a
+    3-clique with coefficient 1.0 everywhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_clustering_coef
+
+    # three identical docs = 3-clique; plus the path fixture docs
+    tri_text = "p q r s t u v w"
+    docs = {1: "a b c d e f", 2: "a b c d e f g", 3: "b c d e f g",
+            10: tri_text, 11: tri_text, 12: tri_text}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_clustering_coef(str(tmp_path)).set_index("node")
+    # path: only Y (doc 2) has degree 2, no triangle -> clustering 0
+    assert int(out.loc[2, "degree"]) == 2
+    assert float(out.loc[2, "clustering"]) == 0.0
+    # clique: all three nodes degree 2, one triangle, clustering 1
+    for n in (10, 11, 12):
+        assert int(out.loc[n, "degree"]) == 2
+        assert int(out.loc[n, "n_tri"]) == 1
+        assert float(out.loc[n, "clustering"]) == 1.0
