@@ -2363,6 +2363,30 @@ ORDER BY s.doc_id
 _BIGRAM_LAMBDA = 0.7
 
 
+def _bigram_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (doc_id, w1, w2, m) adjacent-pair partial counts —
+    vectorized consecutive-token join masked at doc boundaries; shared
+    by q_bigram_logprob and q_kneser_ney."""
+    s = df["text"].astype(str).str.split(" ")
+    lens = s.str.len().fillna(0).astype("int64").to_numpy()
+    ids = np.repeat(df["doc_id"].to_numpy(), lens)
+    toks = s.explode().to_numpy().astype("U")
+    if len(toks) < 2:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "w1": pd.Series(dtype="string"),
+            "w2": pd.Series(dtype="string"),
+            "m": pd.Series(dtype="int64")})
+    same = ids[:-1] == ids[1:]
+    out = pd.DataFrame({
+        "doc_id": ids[:-1][same],
+        "w1": pd.Series(toks[:-1][same], dtype="string"),
+        "w2": pd.Series(toks[1:][same], dtype="string")})
+    return out.groupby(["doc_id", "w1", "w2"], as_index=False,
+                       sort=False, observed=True).size() \
+        .rename(columns={"size": "m"})
+
+
 def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean INTERPOLATED bigram log-probability — the
     next LM-quality rung above q_unigram_logprob:
@@ -2383,29 +2407,9 @@ def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def bigram_batch(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].astype(str).str.split(" ")
-        lens = s.str.len().fillna(0).astype("int64").to_numpy()
-        ids = np.repeat(df["doc_id"].to_numpy(), lens)
-        toks = s.explode().to_numpy().astype("U")
-        if len(toks) < 2:
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype="int64"),
-                "w1": pd.Series(dtype="string"),
-                "w2": pd.Series(dtype="string"),
-                "m": pd.Series(dtype="int64")})
-        same = ids[:-1] == ids[1:]
-        out = pd.DataFrame({
-            "doc_id": ids[:-1][same],
-            "w1": pd.Series(toks[:-1][same], dtype="string"),
-            "w2": pd.Series(toks[1:][same], dtype="string")})
-        return out.groupby(["doc_id", "w1", "w2"], as_index=False,
-                           sort=False, observed=True).size() \
-            .rename(columns={"size": "m"})
-
     from ..stages.textstats import token_counts_batch
 
-    pos = ds.map_batches(bigram_batch, batch_format="pandas")
+    pos = ds.map_batches(_bigram_batch, batch_format="pandas")
     bi = grouped_agg(
         pos.map_batches(lambda df: df[["w1", "w2", "m"]],
                         batch_format="pandas"),
@@ -2464,6 +2468,110 @@ FROM pairs p
 JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
 JOIN uni u1 ON p.w1 = u1.word
 JOIN uni u2 ON p.w2 = u2.word
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+_KN_D = 0.75
+
+
+def q_kneser_ney(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram
+    log-probability (Kneser & Ney 1995; the smoothing inside KenLM,
+    hence the CCNet quality score) — the rung above q_bigram_logprob's
+    fixed-lambda interpolation:
+
+        p(w2|w1) = max(c12 - D, 0)/c(w1)
+                 + D * N1+(w1 .)/c(w1) * (N1+(. w2) / B)
+
+    with D = 0.75, N1+(w1 .) = distinct continuations of w1,
+    N1+(. w2) = distinct left contexts of w2, B = distinct bigram
+    types — the continuation probability that makes KN the standard
+    ('Francisco' is frequent but only ever follows 'San').
+
+    Engine shape: the SAME two combiner exchanges as q_bigram_logprob
+    build the bigram/unigram tables; the two continuation tables are
+    vocabulary-tier aggregates OF the bigram table (bi rows are
+    distinct (w1,w2), so SIZE is the distinct-continuation count —
+    no extra corpus pass); FOUR keyed joins attach c12/c1/n1f/n1b,
+    the last pre-reducing per-doc partials in its join bucket.  All
+    counts are exact integers on both engines; the per-position float
+    expression is written identically in the SQL."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    pos = ds.map_batches(_bigram_batch, batch_format="pandas")
+    bi = grouped_agg(
+        pos.map_batches(lambda df: df[["w1", "w2", "m"]],
+                        batch_format="pandas"),
+        ["w1", "w2"], c12=("m", "sum")).materialize()
+    from ..stages.textstats import token_counts_batch
+
+    uni = grouped_agg(
+        ds.map_batches(token_counts_batch, batch_format="pandas"),
+        "word", c=("tf", "sum")).materialize()
+    n1f = grouped_agg(bi, "w1", n1f=("c12", "size"))
+    n1b = grouped_agg(bi, "w2", n1b=("c12", "size"))
+    n_types = float(bi.count())
+
+    j1 = hash_join(pos, bi, on=["w1", "w2"],
+                   lcols=["doc_id", "w1", "w2", "m"],
+                   rcols=["w1", "w2", "c12"])
+    j2 = hash_join(j1, uni.map_batches(
+        lambda df: df.rename(columns={"word": "w1", "c": "c1"}),
+        batch_format="pandas"), on="w1",
+        lcols=["doc_id", "w1", "w2", "m", "c12"], rcols=["w1", "c1"])
+    j3 = hash_join(j2, n1f, on="w1",
+                   lcols=["doc_id", "w1", "w2", "m", "c12", "c1"],
+                   rcols=["w1", "n1f"])
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c12 = df["c12"].to_numpy(dtype="float64")
+        c1 = df["c1"].to_numpy(dtype="float64")
+        f = df["n1f"].to_numpy(dtype="float64")
+        b = df["n1b"].to_numpy(dtype="float64")
+        # expression tree mirrors the oracle SQL token for token
+        lp = np.log(np.maximum(c12 - _KN_D, 0.0) / c1
+                    + _KN_D * f / c1 * (b / n_types))
+        part = pd.DataFrame({"doc_id": df["doc_id"],
+                             "lp": lp * df["m"].to_numpy(),
+                             "n": df["m"]})
+        return part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(lp=("lp", "sum"), n=("n", "sum"))
+
+    j4 = hash_join(j3, n1b, on="w2",
+                   lcols=["doc_id", "w1", "w2", "m", "c12", "c1", "n1f"],
+                   rcols=["w2", "n1b"], bucket_finalize=doc_partial)
+    out = grouped_agg(j4, "doc_id", lp=("lp", "sum"), n=("n", "sum")) \
+        .to_pandas()
+    out["logprob_kn"] = (out["lp"] / out["n"]).round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "logprob_kn"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+Q_KNESER_NEY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM t)),
+toks AS (SELECT doc_id, unnest(w) AS word FROM t),
+bi AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT word, count(*)::DOUBLE AS c FROM toks GROUP BY word),
+n1f AS (SELECT w1, count(*)::DOUBLE AS f FROM bi GROUP BY w1),
+n1b AS (SELECT w2, count(*)::DOUBLE AS b FROM bi GROUP BY w2),
+tb AS (SELECT count(*)::DOUBLE AS n FROM bi)
+SELECT p.doc_id,
+       round(avg(ln(greatest(bi.c12 - {_KN_D}, 0.0) / u1.c
+                    + {_KN_D} * f.f / u1.c * (b.b / (SELECT n FROM tb))
+                    )), 6) AS logprob_kn
+FROM pairs p
+JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+JOIN uni u1 ON p.w1 = u1.word
+JOIN n1f f ON p.w1 = f.w1
+JOIN n1b b ON p.w2 = b.w2
 GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
@@ -6328,6 +6436,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_chunk": q_chunk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_bigram_logprob": q_bigram_logprob,
+        "q_kneser_ney": q_kneser_ney,
         "q_inverted_index": q_inverted_index,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -6469,6 +6578,7 @@ def oracles() -> Dict[str, str]:
         "q6_forecast": Q6_SQL,
         "q_unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
+        "q_kneser_ney": Q_KNESER_NEY_SQL,
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "q_decontam": Q_DECONTAM_SQL,

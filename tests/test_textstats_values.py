@@ -412,3 +412,40 @@ def test_gopher_rules_crafted_each_gate(ray_session, tmp_path):
     assert int(out.loc[6, "r_stopwords"]) == 0
     for d in (2, 3, 4, 5, 6):
         assert int(out.loc[d, "pass_gopher"]) == 0
+
+
+def test_kneser_ney_crafted_mirror(ray_session, tmp_path):
+    """Interpolated KN on a 2-doc corpus equals a from-scratch mirror
+    (discount 0.75, continuation counts over distinct bigram types)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_kneser_ney
+
+    docs = {1: "san francisco san francisco san francisco",
+            2: "new york new things old things"}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_kneser_ney(str(tmp_path)).set_index("doc_id")
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter((t[i], t[i + 1]) for t in toks.values()
+                 for i in range(len(t) - 1))
+    n1f = Counter(w1 for w1, _ in bi)
+    n1b = Counter(w2 for _, w2 in bi)
+    B, D = len(bi), 0.75
+
+    def p(w1, w2):
+        return (max(bi[(w1, w2)] - D, 0) / uni[w1]
+                + D * n1f[w1] / uni[w1] * (n1b[w2] / B))
+
+    for d, t in toks.items():
+        lps = [math.log(p(t[i], t[i + 1])) for i in range(len(t) - 1)]
+        exp = round(sum(lps) / len(lps), 6)
+        assert abs(float(out.loc[d, "logprob_kn"]) - exp) <= 1e-6
