@@ -1903,6 +1903,66 @@ FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.i = p.pos
 ORDER BY p.doc_id, pos
 """
 
+_WINNOW_MAX_DF, _WINNOW_MIN_SHARED = 50, 2
+
+
+def q_winnow_overlap(sf_dir: str) -> pd.DataFrame:
+    """MOSS-style overlap pairs over the winnowed fingerprint sets
+    (stages/dedup.py:winnow_overlap_pairs — winnowing's dedup payoff):
+    doc pairs sharing >= {ms} distinct selected fingerprint hashes,
+    with integer micro-unit containment = (n_shared * 1e6) //
+    min(|fp_a|, |fp_b|) (exact int64 in both engines).  One coarse
+    fingerprint-keyed exchange + one pair reduce; fingerprints in
+    > {mdf} docs are stop-filtered before pairing (exact global cap —
+    the whole hash group lands in one bucket).""".format(
+        ms=_WINNOW_MIN_SHARED, mdf=_WINNOW_MAX_DF)
+    from ..stages.dedup import winnow_overlap_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_overlap_pairs(
+        ds, k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
+        max_doc_freq=_WINNOW_MAX_DF).to_pandas()
+    for c in ("doc_a", "doc_b", "n_shared", "containment_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_WINNOW_OVERLAP_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+g AS (SELECT doc_id, i, md5(substring(text, i, {_WINNOW_K})) AS hh
+      FROM d, LATERAL (SELECT unnest(generate_series(
+          1, length(text) - {_WINNOW_K - 1})) AS i) t),
+wins AS (SELECT doc_id, unnest(generate_series(
+           1, length(text) - {_WINNOW_K + _WINNOW_W - 2})) AS j
+         FROM d),
+cand AS (SELECT w.doc_id, w.j, g.i, g.hh
+         FROM wins w JOIN g ON g.doc_id = w.doc_id
+           AND g.i BETWEEN w.j AND w.j + {_WINNOW_W - 1}),
+m AS (SELECT doc_id, j, min(hh) AS mh FROM cand GROUP BY 1, 2),
+pick AS (SELECT c.doc_id, c.j, max(c.i) AS pos
+         FROM cand c JOIN m ON m.doc_id = c.doc_id AND m.j = c.j
+           AND c.hh = m.mh
+         GROUP BY 1, 2),
+fp AS (SELECT DISTINCT p.doc_id, g.hh
+       FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.i = p.pos),
+nn AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+keep AS (SELECT hh FROM fp GROUP BY hh
+         HAVING count(*) <= {_WINNOW_MAX_DF}),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*) AS n_shared
+       FROM fp a JOIN fp b ON a.hh = b.hh AND a.doc_id < b.doc_id
+       WHERE a.hh IN (SELECT hh FROM keep)
+       GROUP BY 1, 2
+       HAVING count(*) >= {_WINNOW_MIN_SHARED})
+SELECT pr.doc_a, pr.doc_b, pr.n_shared::BIGINT AS n_shared,
+       ((pr.n_shared * 1000000) // least(na.n, nb.n))::BIGINT
+           AS containment_micro
+FROM pr JOIN nn na ON na.doc_id = pr.doc_a
+        JOIN nn nb ON nb.doc_id = pr.doc_b
+ORDER BY pr.doc_a, pr.doc_b
+"""
+
 
 def q_meta_blocking(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution meta-blocking with weighted-node pruning over
@@ -6444,6 +6504,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_dup_substrings": q_dup_substrings,
         "q_dup_coverage": q_dup_coverage,
         "q_winnow": q_winnow,
+        "q_winnow_overlap": q_winnow_overlap,
         "q_dup_removal": q_dup_removal,
         "q_minhash_clusters": q_minhash_clusters,
         "q_simhash": q_simhash,
@@ -6551,6 +6612,7 @@ def oracles() -> Dict[str, str]:
         "q_dup_substrings": Q_DUP_SUBSTRINGS_SQL,
         "q_dup_coverage": Q_DUP_COVERAGE_SQL,
         "q_winnow": Q_WINNOW_SQL,
+        "q_winnow_overlap": Q_WINNOW_OVERLAP_SQL,
         "q_dup_removal": Q_DUP_REMOVAL_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,

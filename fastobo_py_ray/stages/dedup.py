@@ -1808,6 +1808,39 @@ def exact_substr_removal(ds, gram_len: int = 20, min_docs: int = 2,
 # document-fingerprint selection
 # ---------------------------------------------------------------------------
 
+def _winnow_select(t, k: int, w: int, memo: dict):
+    """Shared winnowing kernel: return ``(sel, arr)`` where ``arr`` is
+    the md5-hex hash of every k-gram of ``t`` (object ndarray) and
+    ``sel`` the 0-based selected positions (rightmost window-min of
+    each w-window of consecutive hashes), or ``None`` when the text is
+    shorter than one full window.  ``memo`` caches gram->md5 across
+    calls (Zipf: vocab-tier md5 cost, not positions-scale)."""
+    import hashlib
+
+    if not isinstance(t, str):
+        return None
+    n = len(t) - k + 1
+    if n < w:  # shorter than one full window: no selection
+        return None
+    hexes = []
+    for i in range(n):
+        g = t[i:i + k]
+        h = memo.get(g)
+        if h is None:
+            h = hashlib.md5(g.encode("utf-8")).hexdigest()
+            memo[g] = h
+        hexes.append(h)
+    arr = np.asarray(hexes, dtype=object)
+    # value-ranked int codes (np.unique sorts lexicographically, which
+    # IS md5-hex value order), then rightmost window argmin = first
+    # argmin of the reversed window
+    _, codes = np.unique(arr, return_inverse=True)
+    wv = np.lib.stride_tricks.sliding_window_view(codes, w)
+    a = wv[:, ::-1].argmin(axis=1)
+    pos = np.arange(n - w + 1, dtype="int64") + (w - 1 - a)
+    return np.unique(pos), arr
+
+
 def winnow_fingerprints(ds, k: int = 8, w: int = 4,
                         id_col: str = "doc_id", text_col: str = "text"):
     """Robust winnowing fingerprint selection: hash every ``k``-char
@@ -1827,34 +1860,15 @@ def winnow_fingerprints(ds, k: int = 8, w: int = 4,
     ``sliding_window_view`` on value-ranked codes (rightmost-argmin =
     first-argmin of the reversed window).  Positions are 1-based
     code-point offsets (DuckDB ``substring`` semantics)."""
-    import hashlib
 
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
         memo: dict = {}
         docs, poss, fps = [], [], []
         for did, t in zip(df[id_col], df[text_col]):
-            if not isinstance(t, str):
+            r = _winnow_select(t, k, w, memo)
+            if r is None:
                 continue
-            n = len(t) - k + 1
-            if n < w:  # shorter than one full window: no selection
-                continue
-            hexes = []
-            for i in range(n):
-                g = t[i:i + k]
-                h = memo.get(g)
-                if h is None:
-                    h = hashlib.md5(g.encode("utf-8")).hexdigest()
-                    memo[g] = h
-                hexes.append(h)
-            arr = np.asarray(hexes, dtype=object)
-            # value-ranked int codes (np.unique sorts lexicographically,
-            # which IS md5-hex value order), then rightmost window
-            # argmin = first argmin of the reversed window
-            _, codes = np.unique(arr, return_inverse=True)
-            wv = np.lib.stride_tricks.sliding_window_view(codes, w)
-            a = wv[:, ::-1].argmin(axis=1)
-            pos = np.arange(n - w + 1, dtype="int64") + (w - 1 - a)
-            sel = np.unique(pos)
+            sel, arr = r
             docs.append(np.full(len(sel), did, dtype="int64"))
             poss.append(sel + 1)  # 1-based
             fps.extend(arr[sel])
@@ -1869,3 +1883,96 @@ def winnow_fingerprints(ds, k: int = 8, w: int = 4,
             "fingerprint": fps})
 
     return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def winnow_overlap_pairs(ds, k: int = 8, w: int = 4,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         min_shared: int = 2,
+                         max_doc_freq: Optional[int] = None):
+    """MOSS-style document-overlap detection: the dedup payoff of
+    :func:`winnow_fingerprints`.  For every ordered doc pair sharing
+    fingerprints, report ``n_shared`` (distinct shared fingerprint
+    hashes) and ``containment_micro = (n_shared * 1_000_000) //
+    min(|fp_a|, |fp_b|)`` — MOSS's shared/min containment as a pure
+    int64 (exact in both engines, no float anywhere).  By the winnowing
+    guarantee any substring shared between two docs of length
+    >= ``w + k - 1`` yields at least one shared fingerprint, so true
+    near-dups always surface.
+
+    Engine shape (the :func:`ngram_jaccard_pairs` inverted-index
+    pattern over the WINNOWED set — ~1/w the postings of the
+    all-grams index): per-doc distinct fingerprints + per-doc count
+    ``n`` exploded batch-locally, ONE coarse fingerprint-keyed
+    exchange whose in-bucket self-merge emits pre-summed pair
+    partials, ONE pair-keyed reduce.  A fingerprint's full group
+    lands in one bucket, so ``max_doc_freq=M`` (stop-fingerprint cap:
+    drop hashes in > M docs before pairing) is an EXACT global
+    filter the SQL oracle reproduces with HAVING; like stop-gram
+    filtering, the capped result is a subset with lower-bound counts
+    — the corpus-scale path for Zipf-hot boilerplate grams.
+    Returns a Dataset of (doc_a < doc_b, n_shared, containment_micro)
+    with ``n_shared >= min_shared``."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        ids, hhs, ns = [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            r = _winnow_select(t, k, w, memo)
+            if r is None:
+                continue
+            sel, arr = r
+            uniq = np.unique(arr[sel])  # distinct fingerprint hashes
+            ids.append(np.full(len(uniq), did, dtype="int64"))
+            hhs.extend(uniq)
+            ns.append(np.full(len(uniq), len(uniq), dtype="int64"))
+        if not ids:
+            return pd.DataFrame({"fingerprint": pd.Series(dtype="object"),
+                                 "doc": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"fingerprint": hhs,
+                             "doc": np.concatenate(ids),
+                             "n": np.concatenate(ns)})
+
+    fp = ds.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (fingerprint, doc) by construction; the
+        # self-merge explodes each fingerprint group's doc pairs in C,
+        # then an in-task pre-sum collapses them to one partial per pair
+        sub = df
+        if max_doc_freq is not None:
+            cnt = sub.groupby("fingerprint",
+                              sort=False)["doc"].transform("size")
+            sub = sub[cnt <= max_doc_freq]  # stop-fingerprint: too common
+        m = sub.merge(sub, on="fingerprint", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        if m.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "n_a": pd.Series(dtype="int64"),
+                                 "n_b": pd.Series(dtype="int64"),
+                                 "n_shared": pd.Series(dtype="int64")})
+        g = m.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False,
+                      sort=False).size().rename(columns={"size": "n_shared"})
+        return g.astype({"n_shared": "int64"})
+
+    inter = grouped_agg(
+        grouped_map(fp, "fingerprint", bucket_pairs),
+        ["doc_a", "doc_b", "n_a", "n_b"], n_shared=("n_shared", "sum"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_shared": pd.Series(dtype="int64"),
+                "containment_micro": pd.Series(dtype="int64")})
+        df = df[df["n_shared"] >= min_shared]
+        den = np.minimum(df["n_a"].to_numpy(), df["n_b"].to_numpy())
+        cm = (df["n_shared"].to_numpy() * 1_000_000) // den
+        out = df[["doc_a", "doc_b", "n_shared"]].copy()
+        out["containment_micro"] = cm.astype("int64")
+        return out
+
+    return inter.map_batches(finish, batch_format="pandas")

@@ -1070,3 +1070,78 @@ def test_winnow_guarantee_and_brute_force_parity(ray_session):
     f20 = set(got.loc[got["doc_id"] == 20, "fingerprint"])
     f21 = set(got.loc[got["doc_id"] == 21, "fingerprint"])
     assert f20 & f21
+
+
+def test_winnow_overlap_pairs_brute_force(ray_session):
+    """winnow_overlap_pairs vs a pure-Python mirror: fingerprint SETS
+    per doc -> pair intersection counts -> integer micro containment,
+    incl. the stop-fingerprint cap (a hash planted in every doc is
+    excluded from pairing but still counts toward per-doc |fp|), and
+    the MOSS guarantee that a >= w+k-1 shared substring yields a pair
+    at min_shared=1."""
+    import hashlib
+    import itertools
+    import random
+    import string
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import winnow_overlap_pairs
+
+    k, w = 8, 4
+    rng = random.Random(7)
+    alpha = string.ascii_lowercase + " é"
+    hot = "ZHOTBOILERPLATEZ"     # planted in every doc -> capped out
+    shared = "QSHAREDPASSAGEQ"   # len 15 >= w + k - 1
+    docs = {}
+    for i in range(1, 11):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(20, 80)))
+        docs[i] = body + hot
+    docs[3] += shared + "abc"
+    docs[7] = shared + docs[7]
+
+    def fpset(t):
+        n = len(t) - k + 1
+        if n < w:
+            return set()
+        hexes = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+                 for i in range(n)]
+        sel = set()
+        for j in range(n - w + 1):
+            win = hexes[j:j + w]
+            mn = min(win)
+            sel.add(j + max(i for i, h in enumerate(win) if h == mn))
+        return {hexes[p] for p in sel}
+
+    sets = {d: fpset(t) for d, t in docs.items()}
+    cap = 4  # < 10 docs -> every all-docs hash is stop-filtered
+    freq = {}
+    for s in sets.values():
+        for h in s:
+            freq[h] = freq.get(h, 0) + 1
+    exp = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = sum(1 for h in sets[a] & sets[b] if freq[h] <= cap)
+        if inter >= 1:
+            exp.append((a, b, inter,
+                        inter * 1_000_000 // min(len(sets[a]),
+                                                 len(sets[b]))))
+    exp_df = pd.DataFrame(
+        exp, columns=["doc_a", "doc_b", "n_shared", "containment_micro"])
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())})).repartition(3)
+    got = winnow_overlap_pairs(
+        ds, k=k, w=w, min_shared=1, max_doc_freq=cap).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    exp_df = exp_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp_df.astype("int64"))
+
+    # MOSS guarantee: the shared-passage pair (3, 7) surfaces
+    assert ((got["doc_a"] == 3) & (got["doc_b"] == 7)).any()
+    # and the hot boilerplate hash alone never created a pair: docs
+    # without any genuine overlap are absent (spot-check one)
+    others = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)]
+    pair_inter = sum(1 for h in sets[1] & sets[2] if freq[h] <= cap)
+    assert len(others) == (1 if pair_inter >= 1 else 0)
