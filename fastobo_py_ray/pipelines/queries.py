@@ -487,6 +487,99 @@ ORDER BY m.term_a, m.term_b
 """
 
 
+def q_lin_sim(sf_dir: str) -> pd.DataFrame:
+    """Lin semantic similarity of co-mentioned term pairs:
+    ``2*IC(MICA) / (IC(a) + IC(b))`` — Resnik's MICA information
+    content normalized by the pair's own ICs (Lin 1998), the [0,1]
+    coherence score downstream rankers prefer over raw Resnik.
+
+    Rides EXACTLY the passes of :func:`q_resnik_sim` (co-mention pair
+    partials + descendant-folded mention counts, both
+    ontology-bounded); the only addition is the per-term cumulative
+    count lookup for the two endpoints.  Since IC = -ln(cum/total),
+    lin = 2*ln(pm) / (ln(pa) + ln(pb)) — written token-identically in
+    numpy and SQL and rounded to 6 decimals before output (the
+    round-before-rank discipline).  Pairs where both endpoint ICs are
+    zero (a term covering the whole corpus) are dropped identically
+    via a nonzero-denominator guard."""
+    from ..stages.graph import ancestors, descendants
+
+    counts, total, edges, terms = _term_mention_counts(sf_dir)
+    cum = {}
+    for t in terms:
+        c = counts.get(t, 0) + sum(
+            counts.get(d, 0) for d in descendants(edges, t))
+        if c > 0:
+            cum[t] = c
+    anc_or_self = {t: (ancestors(edges, t) | {t}) for t in terms}
+
+    s = _comention_stats(sf_dir)
+    p = s[s["kind"] == "pair"]
+    rows = []
+    for ta, tb, n in zip(p["ta"], p["tb"], p["n"]):
+        common = [cum[x] for x in
+                  anc_or_self.get(ta, set()) & anc_or_self.get(tb, set())
+                  if x in cum]
+        if not common:
+            continue
+        den = (np.log(cum[ta] / total) + np.log(cum[tb] / total))
+        if den == 0.0:
+            continue
+        rows.append({
+            "term_a": ta, "term_b": tb, "n_docs": int(n),
+            "lin": round(float(2.0 * np.log(min(common) / total) / den),
+                         6)})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+def q_lin_sim_sql() -> str:
+    edges = sorted({(s, o) for s, p, o in docs_canonical_edges()
+                    if p == "is_a"})
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    edge_rows = ", ".join(f"('{c}', '{p}')" for c, p in edges)
+    return f"""
+WITH RECURSIVE dict(word, term_id) AS (VALUES {dict_rows}),
+e(child, parent) AS (VALUES {edge_rows}),
+clos(anc, des) AS (
+  SELECT term_id, term_id FROM (SELECT DISTINCT term_id FROM dict)
+  UNION
+  SELECT e.parent, c.des FROM e JOIN clos c ON c.anc = e.child
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+cnt AS (SELECT d.term_id, count(*) AS c
+        FROM toks t JOIN dict d USING (word) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cnt),
+cum AS (SELECT cl.anc AS term_id, sum(cnt.c) AS cum
+        FROM clos cl JOIN cnt ON cnt.term_id = cl.des GROUP BY 1),
+dt AS (SELECT DISTINCT t.doc_id, d.term_id
+       FROM toks t JOIN dict d USING (word)),
+pc AS (SELECT a.term_id AS term_a, b.term_id AS term_b,
+              count(*) AS n_docs
+       FROM dt a JOIN dt b
+         ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+       GROUP BY 1, 2),
+mica AS (SELECT p.term_a, p.term_b, p.n_docs, min(cu.cum) AS mcum
+         FROM pc p
+         JOIN clos ca ON ca.des = p.term_a
+         JOIN clos cb ON cb.des = p.term_b AND cb.anc = ca.anc
+         JOIN cum cu ON cu.term_id = ca.anc
+         GROUP BY 1, 2, 3)
+SELECT m.term_a, m.term_b, m.n_docs,
+       round(2 * ln(m.mcum::DOUBLE / tot.n) /
+             (ln(ka.cum::DOUBLE / tot.n) + ln(kb.cum::DOUBLE / tot.n)),
+             6) AS lin
+FROM mica m CROSS JOIN tot
+JOIN cum ka ON ka.term_id = m.term_a
+JOIN cum kb ON kb.term_id = m.term_b
+WHERE ln(ka.cum::DOUBLE / tot.n) + ln(kb.cum::DOUBLE / tot.n) <> 0
+ORDER BY m.term_a, m.term_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational pipelines (aggregation / join / sort-topk)
 # ---------------------------------------------------------------------------
@@ -6437,6 +6530,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_cooccur_pmi": q_cooccur_pmi,
         "q_term_ic": q_term_ic,
         "q_resnik_sim": q_resnik_sim,
+        "q_lin_sim": q_lin_sim,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6575,6 +6669,7 @@ def oracles() -> Dict[str, str]:
         "q_cooccur_pmi": q_cooccur_pmi_sql(),
         "q_term_ic": q_term_ic_sql(),
         "q_resnik_sim": q_resnik_sim_sql(),
+        "q_lin_sim": q_lin_sim_sql(),
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

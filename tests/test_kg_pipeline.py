@@ -851,3 +851,17 @@ def test_cooccur_pmi_and_term_ic_crafted(tmp_path, ray_session):
     assert grs == {
         (min(h, j), max(h, j)): (1, round(-math.log(3 / 5), 6)),
         (min(s, o), max(s, o)): (1, round(-math.log(2 / 5), 6))}
+
+    from fastobo_py_ray.pipelines.queries import q_lin_sim
+
+    ls = q_lin_sim(str(tmp_path))
+    gls = {(a, b): (int(n), float(v)) for a, b, n, v in
+           zip(ls["term_a"], ls["term_b"], ls["n_docs"], ls["lin"])}
+    # lin = 2*ln(p_mica) / (ln(p_a) + ln(p_b)) with the cums above
+    assert gls == {
+        (min(h, j), max(h, j)): (1, round(
+            2 * math.log(3 / 5) / (math.log(2 / 5) + math.log(3 / 5)), 6)),
+        (min(s, o), max(s, o)): (1, round(
+            2 * math.log(2 / 5) / (math.log(1 / 5) + math.log(2 / 5)), 6))}
+    # Lin is bounded: every pair lands in [0, 1]
+    assert ((ls["lin"] >= 0) & (ls["lin"] <= 1)).all()
