@@ -5351,6 +5351,49 @@ ORDER BY deg.node
 """
 
 
+def q_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Distance-truncated harmonic centrality (k=3) per node of the
+    near-dup graph (stages/graph.py:harmonic_centrality_k — Boldi &
+    Vigna 2014): n1/n2/n3 = nodes at distance exactly 1/2/3 and
+    harmonic_micro = n1*1000000 + n2*500000 + n3*333333 (per-distance
+    weights integerized once -> exact int64 sums).  BFS layering as
+    relational algebra: each level is one mid-keyed join exchange +
+    in-bucket distinct + anti-joins against shorter levels."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import harmonic_centrality_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.rename(
+            columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+        batch_format="pandas")
+    return harmonic_centrality_k(edges, max_k=3)
+
+
+Q_HARMONIC_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+d2 AS (SELECT DISTINCT e1.b AS a, e2.b AS b
+       FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b <> e2.b
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = e1.b AND e.b = e2.b)),
+d3 AS (SELECT DISTINCT d2.a, e2.b
+       FROM d2 JOIN e e2 ON d2.b = e2.a
+       WHERE d2.a <> e2.b
+         AND NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = d2.a AND e.b = e2.b)
+         AND NOT EXISTS (SELECT 1 FROM d2 x
+                         WHERE x.a = d2.a AND x.b = e2.b)),
+lv AS (SELECT a AS node, 1000000 AS w, 1 AS l1, 0 AS l2, 0 AS l3 FROM e
+       UNION ALL SELECT a, 500000, 0, 1, 0 FROM d2
+       UNION ALL SELECT a, 333333, 0, 0, 1 FROM d3)
+SELECT node, sum(l1)::BIGINT AS n1, sum(l2)::BIGINT AS n2,
+       sum(l3)::BIGINT AS n3, sum(w)::BIGINT AS harmonic_micro
+FROM lv GROUP BY node ORDER BY node
+"""
+
+
 def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
     """Adamic-Adar link scores over the exact 3-gram-Jaccard near-dup
     graph: for every pair with >= 1 common neighbor, aa = sum over
@@ -6531,6 +6574,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_term_ic": q_term_ic,
         "q_resnik_sim": q_resnik_sim,
         "q_lin_sim": q_lin_sim,
+        "q_harmonic": q_harmonic,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6670,6 +6714,7 @@ def oracles() -> Dict[str, str]:
         "q_term_ic": q_term_ic_sql(),
         "q_resnik_sim": q_resnik_sim_sql(),
         "q_lin_sim": q_lin_sim_sql(),
+        "q_harmonic": Q_HARMONIC_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -528,3 +528,93 @@ def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
     out["node"] = out["node"].astype("int64")
     out["n_tri"] = out["n_tri"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def harmonic_centrality_k(edges_ds, max_k: int = 3, a_col: str = "a",
+                          b_col: str = "b", num_buckets: int = 16):
+    """Distance-truncated harmonic centrality: for every node, the
+    number of nodes at distance exactly 1..``max_k`` plus the harmonic
+    sum ``H_k(v) = sum_{0 < d(u,v) <= k} 1/d(u,v)`` — the standard
+    reachability-robust centrality (Boldi & Vigna 2014), truncated at
+    ``max_k`` hops so the computation is a fixed number of bounded
+    exchanges instead of an all-pairs problem.
+
+    Exactness across engines: per-distance weights are integerized ONCE
+    (``1_000_000 // d`` micro-units) so every score is an exact int64
+    sum — the q_adamic_adar discipline.
+
+    Scale shape: level ``d`` pairs = (level ``d-1`` pairs) ⋈ adjacency
+    inside one mid-keyed exchange, in-bucket distinct, then anti-joins
+    against all shorter levels (BFS layering as relational algebra —
+    every exchange is keyed and coarse, nothing touches the driver).
+    Pair volume is O(sum of k-hop neighborhood sizes): bounded on
+    cluster-shaped graphs (near-dup components), quadratic on an
+    expander — same caveat class as triangle counting's arboricity
+    bound.  Input edges must be canonical (a < b, distinct).  Returns
+    a pandas DataFrame (node, n1..n{max_k}, harmonic_micro), node
+    universe = nodes with degree >= 1."""
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+
+    edges_ds = edges_ds.materialize()
+    adj = edges_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "a": np.concatenate([df[a_col].to_numpy(),
+                                 df[b_col].to_numpy()]).astype("int64"),
+            "b": np.concatenate([df[b_col].to_numpy(),
+                                 df[a_col].to_numpy()]).astype("int64")}),
+        batch_format="pandas").materialize()
+
+    levels = [adj]  # levels[d-1] = DIRECTED distinct pairs at distance d
+    for _ in range(2, max_k + 1):
+        prev = levels[-1]
+        hop = adj.map_batches(
+            lambda df: df.rename(columns={"a": "b", "b": "c"}),
+            batch_format="pandas")
+
+        def extend(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["a"] != df["c"]][["a", "c"]].rename(
+                columns={"c": "b"})
+            return out.drop_duplicates()
+
+        cand = hash_join(prev, hop, on="b", lcols=["a", "b"],
+                         rcols=["b", "c"], num_buckets=num_buckets,
+                         bucket_finalize=extend)
+        # global distinct: the (a, b) bucket holds every copy of a pair
+        cand = grouped_map(cand, ["a", "b"],
+                           lambda df: df.drop_duplicates(),
+                           num_buckets=num_buckets)
+        for shorter in levels:  # keep only pairs NOT already closer
+            cand = hash_join(cand, shorter, on=["a", "b"], how="anti",
+                             lcols=["a", "b"], rcols=["a", "b"],
+                             num_buckets=num_buckets)
+        levels.append(cand.materialize())
+
+    parts = []
+    for d, lvl in enumerate(levels, start=1):
+        w = 1_000_000 // d  # integerize ONCE; exact int64 sums follow
+
+        def tag(df: pd.DataFrame, d=d, w=w) -> pd.DataFrame:
+            cols = {"node": df["a"].to_numpy().astype("int64"),
+                    "w": np.full(len(df), w, dtype="int64")}
+            for i in range(1, max_k + 1):
+                cols[f"n{i}"] = np.full(len(df), np.int64(1 if i == d
+                                                          else 0))
+            return pd.DataFrame(cols)
+
+        parts.append(lvl.map_batches(tag, batch_format="pandas"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    aggs = {f"n{i}": (f"n{i}", "sum") for i in range(1, max_k + 1)}
+    out = grouped_agg(u, "node", num_buckets=num_buckets,
+                      harmonic_micro=("w", "sum"), **aggs).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["node"] + [f"n{i}" for i in
+                                         range(1, max_k + 1)]
+                             + ["harmonic_micro"]})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    cols = ["node"] + [f"n{i}" for i in range(1, max_k + 1)] \
+        + ["harmonic_micro"]
+    return out[cols].sort_values("node").reset_index(drop=True)

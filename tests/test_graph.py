@@ -1,6 +1,7 @@
 """Graph-extraction operator tests (reference docs/examples/graph.ipynb
 semantics: DiGraph of is_a edges, DAG check, descendants subgraph)."""
 
+import pandas as pd
 import pyarrow as pa
 
 from fastobo_py_ray.obo import load, loads
@@ -232,3 +233,68 @@ def test_clustering_coef_crafted(ray_session, tmp_path):
         assert int(out.loc[n, "degree"]) == 2
         assert int(out.loc[n, "n_tri"]) == 1
         assert float(out.loc[n, "clustering"]) == 1.0
+
+
+def test_harmonic_centrality_crafted_and_bfs_parity(ray_session):
+    """harmonic_centrality_k on a path-plus-triangle fixture checked
+    against hand values, then a random graph against a pure-Python BFS
+    mirror (exact int64 micro weights at every node)."""
+    import random
+    from collections import deque
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import harmonic_centrality_k
+
+    # path 1-2-3-4-5 and a disjoint triangle 10-11-12
+    edges = pd.DataFrame({
+        "a": [1, 2, 3, 4, 10, 10, 11],
+        "b": [2, 3, 4, 5, 11, 12, 12]})
+    out = harmonic_centrality_k(
+        rd.from_pandas(edges).repartition(3), max_k=3).set_index("node")
+    # path ends: one node at each distance 1..3
+    for n in (1, 5):
+        assert tuple(out.loc[n, ["n1", "n2", "n3"]]) == (1, 1, 1)
+        assert int(out.loc[n, "harmonic_micro"]) == 1_833_333
+    # path center: 2 at d1, 2 at d2, nothing at d3
+    assert tuple(out.loc[3, ["n1", "n2", "n3"]]) == (2, 2, 0)
+    assert int(out.loc[3, "harmonic_micro"]) == 3_000_000
+    # triangle: everyone 1 hop away
+    for n in (10, 11, 12):
+        assert tuple(out.loc[n, ["n1", "n2", "n3"]]) == (2, 0, 0)
+        assert int(out.loc[n, "harmonic_micro"]) == 2_000_000
+
+    # random-graph BFS parity
+    rng = random.Random(5)
+    nodes = list(range(30))
+    es = sorted({(min(a, b), max(a, b))
+                 for a, b in (rng.sample(nodes, 2) for _ in range(45))})
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs_counts(src, k=3):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            if dist[u] == k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        ns = [sum(1 for d in dist.values() if d == i)
+              for i in range(1, k + 1)]
+        return ns, sum(n * (1_000_000 // (i + 1))
+                       for i, n in enumerate(ns))
+
+    got = harmonic_centrality_k(
+        rd.from_pandas(pd.DataFrame(es, columns=["a", "b"]))
+        .repartition(4), max_k=3).set_index("node")
+    assert set(got.index) == set(adj)
+    for n in adj:
+        ns, h = bfs_counts(n)
+        assert list(got.loc[n, ["n1", "n2", "n3"]]) == ns, n
+        assert int(got.loc[n, "harmonic_micro"]) == h, n
