@@ -5394,6 +5394,46 @@ FROM lv GROUP BY node ORDER BY node
 """
 
 
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the near-dup graph (Newman 2002;
+    stages/graph.py:degree_assortativity): Pearson correlation of
+    endpoint degrees over directed edges, carried as EXACT int64
+    moments (n, S_xy, S_x, S_x2) plus num/den and round(num/den, 6).
+    Dedup graphs are strongly assortative (cliques pair equal
+    degrees); a drop toward 0 flags chain-shaped false-positive
+    clusters."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import degree_assortativity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.rename(
+            columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+        batch_format="pandas")
+    return degree_assortativity(edges)
+
+
+Q_ASSORTATIVITY_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY 1),
+ed AS (SELECT da.d AS x, db.d AS y
+       FROM e JOIN deg da ON da.node = e.a
+              JOIN deg db ON db.node = e.b),
+s AS (SELECT count(*)::BIGINT AS n, sum(x * y)::BIGINT AS sxy,
+             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sx2
+      FROM ed)
+SELECT n AS n_dir_edges, sxy AS s_xy, sx AS s_x, sx2 AS s_x2,
+       (n * sxy - sx * sx)::BIGINT AS num,
+       (n * sx2 - sx * sx)::BIGINT AS den,
+       CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+            ELSE round((n * sxy - sx * sx)::DOUBLE /
+                       (n * sx2 - sx * sx), 6) END AS assort
+FROM s
+"""
+
+
 def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
     """Adamic-Adar link scores over the exact 3-gram-Jaccard near-dup
     graph: for every pair with >= 1 common neighbor, aa = sum over
@@ -6575,6 +6615,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_resnik_sim": q_resnik_sim,
         "q_lin_sim": q_lin_sim,
         "q_harmonic": q_harmonic,
+        "q_assortativity": q_assortativity,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6715,6 +6756,7 @@ def oracles() -> Dict[str, str]:
         "q_resnik_sim": q_resnik_sim_sql(),
         "q_lin_sim": q_lin_sim_sql(),
         "q_harmonic": Q_HARMONIC_SQL,
+        "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from collections import deque
 from typing import Dict, Iterable, List, Sequence, Set, Tuple
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -618,3 +620,79 @@ def harmonic_centrality_k(edges_ds, max_k: int = 3, a_col: str = "a",
     cols = ["node"] + [f"n{i}" for i in range(1, max_k + 1)] \
         + ["harmonic_micro"]
     return out[cols].sort_values("node").reset_index(drop=True)
+
+
+def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
+                         num_buckets: int = 16) -> pd.DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over DIRECTED edges (each
+    undirected edge counted both ways, so the x/y marginals coincide).
+    With n = 2|E|, x = deg(src), y = deg(dst):
+
+        r = (n*S_xy - S_x^2) / (n*S_x2 - S_x^2)
+
+    Every moment (S_xy, S_x, S_x2, n) is an exact int64 — the output
+    carries them plus ``num``/``den`` so consumers can divide at any
+    precision, and ``assort`` = round(num/den, 6) (0.0 when den = 0,
+    i.e. a degree-regular graph) — numerator and denominator spelled
+    identically in numpy and SQL.
+
+    Scale shape: ONE degree exchange, two bucket joins to attach
+    endpoint degrees (the triangle_counts pattern), then constant-size
+    per-batch integer partials summed on the driver (a handful of
+    rows — the BM25 pass-1 shape).  Input edges canonical (a < b,
+    distinct).  Returns a one-row pandas DataFrame."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    edges_ds = edges_ds.materialize()
+    ends = edges_ds.map_batches(
+        lambda df: pd.DataFrame({"node": np.concatenate(
+            [df[a_col].to_numpy(), df[b_col].to_numpy()])}),
+        batch_format="pandas")
+    deg = grouped_agg(ends.map_batches(
+        lambda df: df.groupby("node", as_index=False)
+        .agg(d=("node", "size")), batch_format="pandas"),
+        "node", num_buckets=num_buckets, d=("d", "sum")).materialize()
+
+    e_a = hash_join(edges_ds, deg.map_batches(
+        lambda df: df.rename(columns={"node": a_col, "d": "da"}),
+        batch_format="pandas"), on=a_col,
+        lcols=[a_col, b_col], rcols=[a_col, "da"],
+        num_buckets=num_buckets)
+    e_ab = hash_join(e_a, deg.map_batches(
+        lambda df: df.rename(columns={"node": b_col, "d": "db"}),
+        batch_format="pandas"), on=b_col,
+        lcols=[a_col, b_col, "da"], rcols=[b_col, "db"],
+        num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["da"].to_numpy(dtype="int64")
+        db = df["db"].to_numpy(dtype="int64")
+        # both directions: x-marginal = y-marginal by construction
+        return pd.DataFrame({
+            "n": [np.int64(2 * len(df))],
+            "sxy": [np.int64(2 * (da * db).sum())],
+            "sx": [np.int64(da.sum() + db.sum())],
+            "sx2": [np.int64((da * da).sum() + (db * db).sum())]})
+
+    p = e_ab.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sxy, sx, sx2 = (int(p[c].sum()) for c in ("sxy", "sx", "sx2"))
+    num = n * sxy - sx * sx
+    den = n * sx2 - sx * sx
+    # half-AWAY-from-zero rounding matching SQL round(): integer
+    # ratios can land exactly on .5 ulps where Python's banker's
+    # rounding would flip the 6th decimal (r may be negative)
+    if den != 0:
+        x = num / den
+        assort = math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    else:
+        assort = 0.0
+    return pd.DataFrame({
+        "n_dir_edges": pd.Series([n], dtype="int64"),
+        "s_xy": pd.Series([sxy], dtype="int64"),
+        "s_x": pd.Series([sx], dtype="int64"),
+        "s_x2": pd.Series([sx2], dtype="int64"),
+        "num": pd.Series([num], dtype="int64"),
+        "den": pd.Series([den], dtype="int64"),
+        "assort": pd.Series([assort], dtype="float64")})

@@ -298,3 +298,53 @@ def test_harmonic_centrality_crafted_and_bfs_parity(ray_session):
         ns, h = bfs_counts(n)
         assert list(got.loc[n, ["n1", "n2", "n3"]]) == ns, n
         assert int(got.loc[n, "harmonic_micro"]) == h, n
+
+
+def test_degree_assortativity_crafted(ray_session):
+    """degree_assortativity: a star is perfectly disassortative
+    (r = -1), a clique is degree-regular (den = 0 -> assort 0.0), and
+    a mixed graph matches a pure-Python moment mirror."""
+    import math
+
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import degree_assortativity
+
+    def mirror(es):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs = [(deg[a], deg[b]) for a, b in es] \
+            + [(deg[b], deg[a]) for a, b in es]
+        n = len(xs)
+        sxy = sum(x * y for x, y in xs)
+        sx = sum(x for x, _ in xs)
+        sx2 = sum(x * x for x, _ in xs)
+        num, den = n * sxy - sx * sx, n * sx2 - sx * sx
+        if den == 0:
+            return num, den, 0.0
+        x = num / den
+        return num, den, math.copysign(
+            math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    star = [(1, i) for i in range(2, 8)]
+    out = degree_assortativity(
+        rd.from_pandas(pd.DataFrame(star, columns=["a", "b"]))
+        .repartition(3)).iloc[0]
+    assert float(out["assort"]) == -1.0
+    assert int(out["n_dir_edges"]) == 12
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = degree_assortativity(
+        rd.from_pandas(pd.DataFrame(clique, columns=["a", "b"]))
+        .repartition(2)).iloc[0]
+    assert int(out["den"]) == 0 and float(out["assort"]) == 0.0
+
+    mixed = sorted(set(star + clique + [(7, 9), (9, 10), (2, 3)]))
+    num, den, r = mirror(mixed)
+    out = degree_assortativity(
+        rd.from_pandas(pd.DataFrame(mixed, columns=["a", "b"]))
+        .repartition(4)).iloc[0]
+    assert (int(out["num"]), int(out["den"]),
+            float(out["assort"])) == (num, den, r)
