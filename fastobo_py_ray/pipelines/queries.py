@@ -1609,23 +1609,11 @@ _BM25_QUERY = ("hash", "join", "table")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def q_bm25(sf_dir: str) -> pd.DataFrame:
-    """Okapi BM25 retrieval scoring of a fixed query against every
-    document (Robertson/Lucene form: idf = ln((N-df+0.5)/(df+0.5)+1),
-    k1=1.2, b=0.75) — the classic relevance ranker, TF-IDF's cousin.
-
-    Cross-engine exactness: each (term, doc) partial score is
-    integerized to micro-units with an expression tree written
-    IDENTICALLY (parenthesization and operand types) in numpy and in
-    the oracle SQL, so the per-doc score is an exact int64 SUM —
-    float summation order never matters (q_dsir discipline).
-
-    Scale shape: pass 1 reduces the corpus to CONSTANT-size partials
-    (doc count, token count, per-query-term df — documents is one row
-    per doc, so per-doc stats never split across batches); the
-    aggregated stats broadcast by closure (|query| floats); pass 2
-    scores each batch independently — zero keyed exchanges end to
-    end."""
+def _bm25_scores_ds(sf_dir: str):
+    """Shared BM25 scoring core (see :func:`q_bm25` for semantics and
+    the exactness/scale discipline): returns the DISTRIBUTED per-doc
+    score Dataset (doc_id, n_query_terms, bm25_score) so rankers
+    (:func:`q_rrf`) can sort it without a driver materialization."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     terms = list(_BM25_QUERY)
 
@@ -1678,7 +1666,27 @@ def q_bm25(sf_dir: str) -> pd.DataFrame:
                 .fillna(0).astype("int64")
         return out[["doc_id", "n_query_terms", "bm25_score"]]
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 retrieval scoring of a fixed query against every
+    document (Robertson/Lucene form: idf = ln((N-df+0.5)/(df+0.5)+1),
+    k1=1.2, b=0.75) — the classic relevance ranker, TF-IDF's cousin.
+
+    Cross-engine exactness: each (term, doc) partial score is
+    integerized to micro-units with an expression tree written
+    IDENTICALLY (parenthesization and operand types) in numpy and in
+    the oracle SQL, so the per-doc score is an exact int64 SUM —
+    float summation order never matters (q_dsir discipline).
+
+    Scale shape: pass 1 reduces the corpus to CONSTANT-size partials
+    (doc count, token count, per-query-term df — documents is one row
+    per doc, so per-doc stats never split across batches); the
+    aggregated stats broadcast by closure (|query| floats); pass 2
+    scores each batch independently — zero keyed exchanges end to
+    end."""
+    out = _bm25_scores_ds(sf_dir).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1710,6 +1718,81 @@ SELECT d.doc_id, coalesce(sc.nt, 0)::BIGINT AS n_query_terms,
        coalesce(sc.bm25, 0)::BIGINT AS bm25_score
 FROM documents d LEFT JOIN sc USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+_RRF_K = 60
+
+
+def q_rrf(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, the standard
+    zero-tuning ranker combiner) of two deterministic document
+    rankings: BM25 relevance to the fixed query and unigram-LM
+    fluency.  ``rrf_micro = 1e6 // (60 + bm25_rank) + 1e6 //
+    (60 + lm_rank)`` — pure int64 floor divisions on 1-based ranks,
+    exact in both engines.
+
+    Engine shape: each ranking is ONE distributed sort via
+    :func:`global_row_number` (ranks attached from sorted-block
+    metadata offsets — the driver holds O(blocks) ints, never rows)
+    over scores whose pipelines are themselves exchange-light
+    (:func:`_bm25_scores_ds`: zero keyed exchanges;
+    :func:`_unigram_logprob_parts`: two).  Ranks ride one skinny
+    doc-keyed join.  The LM rank orders on the 6-decimal ROUNDED
+    score (round-before-rank contract) with doc_id tiebreak; docs
+    with no tokens have no LM score and drop via the inner join,
+    identically in SQL."""
+    from ..functions.relops import global_row_number, hash_join
+
+    ra = global_row_number(
+        _bm25_scores_ds(sf_dir), ["bm25_score", "doc_id"],
+        ascending=[False, True]).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "bm25_rank": (df["pos"] + 1).astype("int64")}),
+        batch_format="pandas")
+    lm = _unigram_logprob_parts(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "logprob": (df["lp"] / df["n"]).round(6)}),
+        batch_format="pandas")
+    rb = global_row_number(
+        lm, ["logprob", "doc_id"], ascending=[False, True]).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lm_rank": (df["pos"] + 1).astype("int64")}),
+        batch_format="pandas")
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df["rrf_micro"] = (
+            1_000_000 // (_RRF_K + df["bm25_rank"])
+            + 1_000_000 // (_RRF_K + df["lm_rank"])).astype("int64")
+        return df
+
+    out = hash_join(ra, rb, on="doc_id",
+                    lcols=["doc_id", "bm25_rank"],
+                    rcols=["doc_id", "lm_rank"],
+                    bucket_finalize=fuse).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "bm25_rank", "lm_rank", "rrf_micro"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rrf_sql() -> str:
+    # lazy: Q_UNIGRAM_LOGPROB_SQL is defined later in the module
+    return f"""
+WITH bm AS ({Q_BM25_SQL}),
+lm AS ({Q_UNIGRAM_LOGPROB_SQL}),
+ra AS (SELECT doc_id, row_number() OVER
+         (ORDER BY bm25_score DESC, doc_id) AS bm25_rank FROM bm),
+rb AS (SELECT doc_id, row_number() OVER
+         (ORDER BY logprob DESC, doc_id) AS lm_rank FROM lm)
+SELECT ra.doc_id, ra.bm25_rank::BIGINT AS bm25_rank,
+       rb.lm_rank::BIGINT AS lm_rank,
+       (1000000 // ({_RRF_K} + ra.bm25_rank)
+        + 1000000 // ({_RRF_K} + rb.lm_rank))::BIGINT AS rrf_micro
+FROM ra JOIN rb USING (doc_id)
+ORDER BY ra.doc_id
 """
 
 
@@ -2381,16 +2464,17 @@ FROM events ORDER BY event_id
 """
 
 
-def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
-    """Per-document mean token log-probability under the corpus unigram
-    model — the classic cheap LM-quality score (low = rare-token-heavy
-    / noisy text).  Two keyed exchanges: (1) per-batch exact (doc,
-    word, tf) partials -> word-bucketed df/count reduce gives the
-    vocabulary table; (2) the SAME word-keyed join attaches ln(c/T) and
-    pre-reduces tf-weighted partial sums per doc inside the join bucket
-    before one doc-keyed aggregate.  The corpus token total T is a
-    driver scalar off the (vocab-sized) frequency table."""
-    from ..functions.relops import grouped_agg, grouped_map, hash_join
+def _unigram_logprob_parts(sf_dir: str):
+    """Shared unigram-LM scoring core (q_unigram_logprob /
+    q_ppl_buckets / q_rrf): two keyed exchanges — (1) per-batch exact
+    (doc, word, tf) partials -> word-bucketed count reduce gives the
+    vocabulary table; (2) the SAME word-keyed join attaches ln(c/T)
+    and pre-reduces tf-weighted partial sums per doc inside the join
+    bucket before one doc-keyed aggregate.  The corpus token total T
+    is a driver scalar off the (vocab-sized) frequency table.
+    Returns the per-doc (doc_id, lp, n) Dataset; callers derive the
+    6-decimal-rounded mean ``lp / n``."""
+    from ..functions.relops import grouped_agg, hash_join
     from ..stages.textstats import token_counts_batch as tf_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2414,8 +2498,15 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     part = hash_join(tf, freq, on="word",
                      lcols=["doc_id", "word", "tf"], rcols=["word", "c"],
                      bucket_finalize=score_bucket)
-    out = grouped_agg(part, "doc_id", lp=("lp", "sum"), n=("n", "sum")) \
-        .to_pandas()
+    return grouped_agg(part, "doc_id", lp=("lp", "sum"), n=("n", "sum"))
+
+
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model — the classic cheap LM-quality score (low = rare-token-heavy
+    / noisy text).  Engine shape: see :func:`_unigram_logprob_parts`
+    (two keyed exchanges, vocab-sized state only)."""
+    out = _unigram_logprob_parts(sf_dir).to_pandas()
     out["logprob"] = (out["lp"] / out["n"]).round(6)
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id", "logprob"]].sort_values("doc_id") \
@@ -2444,28 +2535,10 @@ def q_ppl_buckets(sf_dir: str) -> pd.DataFrame:
     languages, corpus-bounded buckets) ranking on the ROUNDED score
     with doc_id tiebreak — the round-before-rank contract that keeps
     float arithmetic from flipping ntile between engines."""
-    from ..functions.relops import (grouped_agg, hash_join,
-                                    grouped_map, ntile_from_pos)
-    from ..stages.textstats import token_counts_batch as tf_batch
+    from ..functions.relops import (hash_join, grouped_map,
+                                    ntile_from_pos)
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    tf = ds.map_batches(tf_batch, batch_format="pandas")
-    freq = grouped_agg(tf, "word", c=("tf", "sum")).materialize()
-    total = float(freq.sum("c"))
-
-    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lp = df["tf"].to_numpy() * np.log(df["c"].to_numpy() / total)
-        part = pd.DataFrame({"doc_id": df["doc_id"], "lp": lp,
-                             "n": df["tf"]})
-        return part.groupby("doc_id", as_index=False, sort=False) \
-            .agg(lp=("lp", "sum"), n=("n", "sum"))
-
-    part = hash_join(tf, freq, on="word",
-                     lcols=["doc_id", "word", "tf"], rcols=["word", "c"],
-                     bucket_finalize=score_bucket)
-    score = grouped_agg(part, "doc_id", lp=("lp", "sum"),
-                        n=("n", "sum")).map_batches(
+    score = _unigram_logprob_parts(sf_dir).map_batches(
         lambda df: pd.DataFrame({
             "doc_id": df["doc_id"],
             "logprob": (df["lp"] / df["n"]).round(6)}),
@@ -6616,6 +6689,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_lin_sim": q_lin_sim,
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
+        "q_rrf": q_rrf,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6757,6 +6831,7 @@ def oracles() -> Dict[str, str]:
         "q_lin_sim": q_lin_sim_sql(),
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
+        "q_rrf": q_rrf_sql(),
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -4,6 +4,8 @@ independent-implementation cross-checks for simhash and fingerprint."""
 
 import hashlib
 
+import numpy as np
+
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -449,3 +451,47 @@ def test_kneser_ney_crafted_mirror(ray_session, tmp_path):
         lps = [math.log(p(t[i], t[i + 1])) for i in range(len(t) - 1)]
         exp = round(sum(lps) / len(lps), 6)
         assert abs(float(out.loc[d, "logprob_kn"]) - exp) <= 1e-6
+
+
+def test_rrf_matches_pandas_rank_fusion(ray_session, tmp_path):
+    """q_rrf == pandas rank-and-fuse over the (independently tested)
+    q_bm25 and q_unigram_logprob outputs: descending-score ranks with
+    doc_id tiebreak, 1e6 // (60 + r) integer fusion, inner-join doc
+    universe.  Ties exercised: docs 5/6 share bm25_score 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import (q_bm25, q_rrf,
+                                                  q_unigram_logprob)
+
+    docs = {1: "hash join table scan",
+            2: "hash hash join",
+            3: "table of contents",
+            4: "sort merge join strategy",
+            5: "plain prose only here",
+            6: "more plain prose here too"}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+
+    bm = q_bm25(str(tmp_path))
+    lm = q_unigram_logprob(str(tmp_path))
+    ra = bm.sort_values(["bm25_score", "doc_id"],
+                        ascending=[False, True], kind="stable")
+    ra = ra.assign(bm25_rank=np.arange(1, len(ra) + 1, dtype="int64"))
+    rb = lm.sort_values(["logprob", "doc_id"],
+                        ascending=[False, True], kind="stable")
+    rb = rb.assign(lm_rank=np.arange(1, len(rb) + 1, dtype="int64"))
+    exp = ra[["doc_id", "bm25_rank"]].merge(
+        rb[["doc_id", "lm_rank"]], on="doc_id")
+    exp["rrf_micro"] = (1_000_000 // (60 + exp["bm25_rank"])
+                        + 1_000_000 // (60 + exp["lm_rank"]))
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+
+    got = q_rrf(str(tmp_path))
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    # tie-break check: docs 5 and 6 both score 0 -> ranks follow ids
+    r5 = int(got.loc[got["doc_id"] == 5, "bm25_rank"].iloc[0])
+    r6 = int(got.loc[got["doc_id"] == 6, "bm25_rank"].iloc[0])
+    assert r6 == r5 + 1
