@@ -10,6 +10,7 @@ cannot flip the value hash.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Callable, Dict
 
@@ -1793,6 +1794,79 @@ SELECT ra.doc_id, ra.bm25_rank::BIGINT AS bm25_rank,
         + 1000000 // ({_RRF_K} + rb.lm_rank))::BIGINT AS rrf_micro
 FROM ra JOIN rb USING (doc_id)
 ORDER BY ra.doc_id
+"""
+
+
+def q_zipf(sf_dir: str) -> pd.DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: the OLS
+    slope of ln(freq) on ln(rank) (rank 1 = most frequent; ties broken
+    by word) — the classic corpus-health diagnostic (natural text ~ -1;
+    boilerplate-heavy or synthetic corpora drift).  Cross-engine
+    exactness: ln(rank)/ln(freq) are integerized ONCE to milli-nats
+    (floor(1000*ln + 0.5) — identical for the nonnegative logs, and
+    small enough that every moment sum stays in int64 at 10^9-word
+    vocabularies), so n/S_x/S_y/S_xy/S_xx are exact int64; the slope
+    divides the numerator/denominator as DOUBLEs exactly like the SQL
+    (half-away 6-decimal rounding, slope may be negative).
+
+    Engine shape: the vocabulary reduce is one word-keyed exchange
+    (:func:`token_counts_batch` partials), the global rank is ONE
+    distributed sort via :func:`global_row_number`, and the moments
+    are constant-size per-batch partials summed on the driver."""
+    from ..functions.relops import global_row_number, grouped_agg
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    freq = grouped_agg(tf, "word", c=("tf", "sum"))
+    ranked = global_row_number(freq, ["c", "word"],
+                               ascending=[False, True])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["pos"].to_numpy(dtype="int64") + 1
+        c = df["c"].to_numpy(dtype="int64")
+        x = np.floor(1000 * np.log(r) + 0.5).astype("int64")
+        y = np.floor(1000 * np.log(c) + 0.5).astype("int64")
+        return pd.DataFrame({
+            "n": [np.int64(len(df))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()]})
+
+    p = ranked.map_batches(part, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy, sxy, sxx = (int(p[c].sum()) for c in
+                        ("sx", "sy", "sxy", "sxx"))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx  # Python ints
+    if den != 0:
+        v = float(num) / float(den)  # SQL's DOUBLE-cast-then-divide
+        slope = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    else:
+        slope = 0.0
+    return pd.DataFrame({
+        "n_words": pd.Series([n], dtype="int64"),
+        "s_x": pd.Series([sx], dtype="int64"),
+        "s_y": pd.Series([sy], dtype="int64"),
+        "s_xy": pd.Series([sxy], dtype="int64"),
+        "s_xx": pd.Series([sxx], dtype="int64"),
+        "zipf_slope": pd.Series([slope], dtype="float64")})
+
+
+Q_ZIPF_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+      FROM freq),
+t AS (SELECT CAST(floor(1000 * ln(rank) + 0.5) AS BIGINT) AS x,
+             CAST(floor(1000 * ln(c) + 0.5) AS BIGINT) AS y FROM r),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx FROM t)
+SELECT n AS n_words, sx AS s_x, sy AS s_y, sxy AS s_xy, sxx AS s_xx,
+       CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0
+            ELSE round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+                       (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6)
+       END AS zipf_slope
+FROM s
 """
 
 
@@ -6690,6 +6764,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
         "q_rrf": q_rrf,
+        "q_zipf": q_zipf,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6832,6 +6907,7 @@ def oracles() -> Dict[str, str]:
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_rrf": q_rrf_sql(),
+        "q_zipf": Q_ZIPF_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -495,3 +495,60 @@ def test_rrf_matches_pandas_rank_fusion(ray_session, tmp_path):
     r5 = int(got.loc[got["doc_id"] == 5, "bm25_rank"].iloc[0])
     r6 = int(got.loc[got["doc_id"] == 6, "bm25_rank"].iloc[0])
     assert r6 == r5 + 1
+
+
+def test_zipf_slope_crafted_mirror(ray_session, tmp_path):
+    """q_zipf vs a pure-Python milli-nat OLS mirror on a corpus with
+    hand-chosen frequencies (8/4/2/1), plus the degenerate cases: a
+    flat corpus (num = 0 -> slope 0) and a one-word vocabulary
+    (den = 0 -> slope 0.0 by contract)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_zipf
+
+    def write(docs, path):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+            "text": pa.array(docs, pa.string())}),
+            path / "documents.parquet")
+
+    def mirror(freqs):
+        # freqs already rank-ordered desc (ties broken upstream)
+        xs = [math.floor(1000 * math.log(i + 1) + 0.5)
+              for i in range(len(freqs))]
+        ys = [math.floor(1000 * math.log(c) + 0.5) for c in freqs]
+        n = len(freqs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            return 0.0
+        v = float(num) / float(den)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    # freqs: aa x8, bb x4, cc x2, dd x1
+    d = tmp_path / "zipf"
+    d.mkdir()
+    write(["aa aa aa aa bb bb cc", "aa aa aa aa bb bb cc dd"], d)
+    out = q_zipf(str(d)).iloc[0]
+    assert int(out["n_words"]) == 4
+    assert float(out["zipf_slope"]) == mirror([8, 4, 2, 1])
+    assert float(out["zipf_slope"]) < 0  # frequency falls with rank
+
+    # flat corpus: every word freq 2 -> zero covariance
+    f = tmp_path / "flat"
+    f.mkdir()
+    write(["aa bb cc", "cc bb aa"], f)
+    assert float(q_zipf(str(f)).iloc[0]["zipf_slope"]) == 0.0
+
+    # single-word vocabulary: var(ln rank) = 0 -> 0.0 by contract
+    s = tmp_path / "single"
+    s.mkdir()
+    write(["aa aa aa"], s)
+    one = q_zipf(str(s)).iloc[0]
+    assert int(one["n_words"]) == 1
+    assert float(one["zipf_slope"]) == 0.0
