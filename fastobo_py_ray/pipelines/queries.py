@@ -535,6 +535,94 @@ def q_lin_sim(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
 
 
+def q_mention_depth(sf_dir: str) -> pd.DataFrame:
+    """Per-document ontology SPECIFICITY: mentions weighted by their
+    canonical term's is_a depth (min hops from a root), the standard
+    "how deep in the ontology does this page talk" signal — shallow
+    docs mention umbrella terms, specific docs mention leaves.
+
+    Engine shape: the depth map is a driver-side memoized walk over
+    the ontology tier (the q_resnik_sim discipline), broadcast by
+    closure; scoring is batch-local per-doc sums (one doc per row) —
+    ZERO exchanges end to end.  depth_sum is an exact int64; the mean
+    uses half-away 6-decimal rounding mirroring SQL round()."""
+    wmap = dict(docs_canonical_word_map())
+    isa = [(s, o) for s, p, o in docs_canonical_edges() if p == "is_a"]
+    parents: dict = {}
+    allt = set(wmap.values())
+    for c, p in isa:
+        parents.setdefault(c, []).append(p)
+        allt.update((c, p))
+
+    depth: dict = {}
+
+    def dp(t: str) -> int:
+        if t in depth:
+            return depth[t]
+        ps = parents.get(t)
+        d = 0 if not ps else 1 + min(dp(p) for p in ps)
+        depth[t] = d
+        return d
+
+    for t in sorted(allt):
+        dp(t)
+    wdepth = {w: depth[t] for w, t in wmap.items()}
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        ex = toks.explode()
+        dep = ex.map(wdepth)
+        hit = dep[dep.notna()]
+        if hit.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_mentions": pd.Series(dtype="int64"),
+                "depth_sum": pd.Series(dtype="int64"),
+                "specificity": pd.Series(dtype="float64")})
+        g = hit.groupby(level=0).agg(["size", "sum"])
+        n = g["size"].to_numpy(dtype="int64")
+        s = g["sum"].to_numpy(dtype="int64")
+        spec = np.floor((s / n) * 1e6 + 0.5) / 1e6  # half-away, >= 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].loc[g.index].to_numpy(),
+            "n_mentions": n, "depth_sum": s, "specificity": spec})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mention_depth_sql() -> str:
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    edge_rows = ", ".join(
+        f"('{c}', '{p}')" for c, p in sorted(
+            {(s, o) for s, p, o in docs_canonical_edges()
+             if p == "is_a"}))
+    return f"""
+WITH RECURSIVE dict(word, term_id) AS (VALUES {dict_rows}),
+e(child, parent) AS (VALUES {edge_rows}),
+allt(t) AS (SELECT DISTINCT term_id FROM dict
+            UNION SELECT child FROM e UNION SELECT parent FROM e),
+d(t, depth) AS (
+  SELECT t, 0 FROM allt WHERE t NOT IN (SELECT child FROM e)
+  UNION
+  SELECT e.child, d.depth + 1 FROM e JOIN d ON d.t = e.parent),
+dmin AS (SELECT t AS term_id, min(depth) AS depth FROM d GROUP BY t),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+m AS (SELECT t.doc_id, dm.depth
+      FROM toks t JOIN dict USING (word)
+      JOIN dmin dm ON dm.term_id = dict.term_id)
+SELECT doc_id, count(*)::BIGINT AS n_mentions,
+       sum(depth)::BIGINT AS depth_sum,
+       round(sum(depth)::DOUBLE / count(*), 6) AS specificity
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_lin_sim_sql() -> str:
     edges = sorted({(s, o) for s, p, o in docs_canonical_edges()
                     if p == "is_a"})
@@ -6761,6 +6849,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_term_ic": q_term_ic,
         "q_resnik_sim": q_resnik_sim,
         "q_lin_sim": q_lin_sim,
+        "q_mention_depth": q_mention_depth,
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
         "q_rrf": q_rrf,
@@ -6904,6 +6993,7 @@ def oracles() -> Dict[str, str]:
         "q_term_ic": q_term_ic_sql(),
         "q_resnik_sim": q_resnik_sim_sql(),
         "q_lin_sim": q_lin_sim_sql(),
+        "q_mention_depth": q_mention_depth_sql(),
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_rrf": q_rrf_sql(),

@@ -865,3 +865,27 @@ def test_cooccur_pmi_and_term_ic_crafted(tmp_path, ray_session):
             2 * math.log(2 / 5) / (math.log(1 / 5) + math.log(2 / 5)), 6))}
     # Lin is bounded: every pair lands in [0, 1]
     assert ((ls["lin"] >= 0) & (ls["lin"] <= 1)).all()
+
+
+def test_mention_depth_crafted(tmp_path, ray_session):
+    """q_mention_depth on hand-derivable is_a depths: join/order are
+    roots (depth 0), hash/sort sit one level down (depth 1); docs with
+    no mentions are absent (inner-join contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_mention_depth
+
+    docs = ["hash join", "hash hash sort", "the a", "order"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_mention_depth(str(tmp_path))
+    got = {int(d): (int(n), int(s), float(v)) for d, n, s, v in
+           zip(out["doc_id"], out["n_mentions"], out["depth_sum"],
+               out["specificity"])}
+    assert got == {1: (2, 1, 0.5),    # hash(1) + join(0)
+                   2: (3, 3, 1.0),    # hash(1)*2 + sort(1)
+                   4: (1, 0, 0.0)}    # order is a root
