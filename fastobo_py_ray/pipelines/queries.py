@@ -1958,6 +1958,62 @@ FROM s
 """
 
 
+def q_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-term burstiness (Church & Gale 1995): the dispersion index
+    var/mean of the term's tf across the documents CONTAINING it —
+    bursty terms (content words) disperse far above 1, function words
+    sit near it; the standard keyword/topicality signal TF-IDF can't
+    see.  With n = df, s = sum tf, s2 = sum tf^2 (population variance
+    over occurring docs):
+
+        dispersion = (n*s2 - s*s) / (n*s)
+
+    All moments are exact int64 from ONE word-keyed exchange of
+    batch-local (tf, tf^2, 1) partials (a doc lives in one row, so
+    per-doc tf never splits); the ratio divides HUGEINT-safe products
+    as DOUBLEs with half-away 6-decimal rounding, identically in
+    SQL."""
+    from ..functions.relops import grouped_agg
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(tf_batch, batch_format="pandas").map_batches(
+        lambda df: pd.DataFrame({
+            "word": df["word"], "one": np.int64(1),
+            "tf": df["tf"].astype("int64"),
+            "tf2": (df["tf"].astype("int64") ** 2)}),
+        batch_format="pandas")
+    out = grouped_agg(tf, "word", df=("one", "sum"),
+                      tf_sum=("tf", "sum"),
+                      tf2_sum=("tf2", "sum")).to_pandas()
+    n = out["df"].to_numpy(dtype="int64")
+    s = out["tf_sum"].to_numpy(dtype="int64")
+    s2 = out["tf2_sum"].to_numpy(dtype="int64")
+    v = (n * s2 - s * s).astype("float64") / (n * s).astype("float64")
+    out["dispersion"] = np.floor(v * 1e6 + 0.5) / 1e6  # half-away, >=0
+    out["word"] = out["word"].astype(str)
+    for c in ("df", "tf_sum", "tf2_sum"):
+        out[c] = out[c].astype("int64")
+    return out[["word", "df", "tf_sum", "tf2_sum", "dispersion"]] \
+        .sort_values("word").reset_index(drop=True)
+
+
+Q_BURSTINESS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       FROM toks GROUP BY 1, 2),
+a AS (SELECT w AS word, count(*)::BIGINT AS df,
+             sum(c)::BIGINT AS tf_sum,
+             sum(c * c)::BIGINT AS tf2_sum
+      FROM tf GROUP BY w)
+SELECT word, df, tf_sum, tf2_sum,
+       round((df::HUGEINT * tf2_sum - tf_sum::HUGEINT * tf_sum)::DOUBLE
+             / (df::HUGEINT * tf_sum)::DOUBLE, 6) AS dispersion
+FROM a ORDER BY word
+"""
+
+
 def q_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-document top-k TF-IDF keywords (see
     stages/textstats.py:tfidf_topk for the vocab-tiered scale shape:
@@ -6854,6 +6910,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_assortativity": q_assortativity,
         "q_rrf": q_rrf,
         "q_zipf": q_zipf,
+        "q_burstiness": q_burstiness,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -6998,6 +7055,7 @@ def oracles() -> Dict[str, str]:
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_rrf": q_rrf_sql(),
         "q_zipf": Q_ZIPF_SQL,
+        "q_burstiness": Q_BURSTINESS_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

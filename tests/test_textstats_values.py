@@ -552,3 +552,31 @@ def test_zipf_slope_crafted_mirror(ray_session, tmp_path):
     one = q_zipf(str(s)).iloc[0]
     assert int(one["n_words"]) == 1
     assert float(one["zipf_slope"]) == 0.0
+
+
+def test_burstiness_crafted(ray_session, tmp_path):
+    """q_burstiness on hand-computable tf patterns: a bursty word
+    (tf 3 and 1 -> dispersion 0.5), a uniform function word (tf 1
+    everywhere -> 0), and a single-doc word (variance 0 -> 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_burstiness
+
+    docs = ["aa aa aa bb cc cc cc cc",   # aa tf=3, bb 1, cc 4
+            "aa bb",                     # aa tf=1, bb 1
+            "bb"]                        # bb 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_burstiness(str(tmp_path)).set_index("word")
+    # aa: n=2, s=4, s2=10 -> (2*10-16)/(2*4) = 0.5
+    assert (int(out.loc["aa", "df"]), int(out.loc["aa", "tf_sum"]),
+            float(out.loc["aa", "dispersion"])) == (2, 4, 0.5)
+    # bb: tf 1 in all 3 docs -> (3*3-9)/(3*3) = 0
+    assert float(out.loc["bb", "dispersion"]) == 0.0
+    # cc: single doc -> zero variance
+    assert (int(out.loc["cc", "df"]), int(out.loc["cc", "tf2_sum"]),
+            float(out.loc["cc", "dispersion"])) == (1, 16, 0.0)
