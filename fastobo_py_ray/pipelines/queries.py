@@ -5685,6 +5685,53 @@ FROM lv GROUP BY node ORDER BY node
 """
 
 
+_KCORE_K, _KCORE_ROUNDS = 2, 12
+
+
+def q_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core (k=2) of the near-dup graph by iterative peeling
+    (stages/graph.py:kcore): survivors after repeatedly deleting
+    degree<2 nodes, with their in-core degree — the dense-duplicate
+    filter that strips chains/stars of borderline matches.  Each round
+    is one degree reduce + two semi-joins (all keyed exchanges); the
+    engine iterates to the FIXPOINT (raising past max_rounds — no
+    silent caps) while the oracle unrolls the same rounds, where
+    post-fixpoint rounds are no-ops, so converged results are equal
+    by construction."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.graph import kcore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.rename(
+            columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+        batch_format="pandas")
+    return kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+def q_kcore_sql() -> str:
+    # AS MATERIALIZED: each round references the previous CTE three
+    # times — without materialization DuckDB inlines the chain into
+    # 3^rounds copies of the base scan
+    parts = [f"WITH pairs AS MATERIALIZED ({Q_NGRAM_JACCARD_SQL}),",
+             "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b "
+             "FROM pairs\n"
+             "       UNION ALL SELECT doc_b, doc_a FROM pairs)"]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT a AS node FROM e{i} "
+            f"GROUP BY a\n"
+            f"           HAVING count(*) >= {_KCORE_K})")
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e\n"
+            f"  WHERE e.a IN (SELECT node FROM s{i})\n"
+            f"    AND e.b IN (SELECT node FROM s{i}))")
+    parts.append(
+        f"SELECT a AS node, count(*)::BIGINT AS degree\n"
+        f"FROM e{_KCORE_ROUNDS} GROUP BY a ORDER BY node")
+    return "\n".join(parts)
+
+
 def q_assortativity(sf_dir: str) -> pd.DataFrame:
     """Degree assortativity of the near-dup graph (Newman 2002;
     stages/graph.py:degree_assortativity): Pearson correlation of
@@ -6908,6 +6955,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_mention_depth": q_mention_depth,
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
+        "q_kcore": q_kcore,
         "q_rrf": q_rrf,
         "q_zipf": q_zipf,
         "q_burstiness": q_burstiness,
@@ -7053,6 +7101,7 @@ def oracles() -> Dict[str, str]:
         "q_mention_depth": q_mention_depth_sql(),
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
+        "q_kcore": q_kcore_sql(),
         "q_rrf": q_rrf_sql(),
         "q_zipf": Q_ZIPF_SQL,
         "q_burstiness": Q_BURSTINESS_SQL,

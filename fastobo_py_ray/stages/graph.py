@@ -696,3 +696,75 @@ def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
         "num": pd.Series([num], dtype="int64"),
         "den": pd.Series([den], dtype="int64"),
         "assort": pd.Series([assort], dtype="float64")})
+
+
+def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
+          num_buckets: int = 16, max_rounds: int = 12) -> pd.DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj-Zaversnik
+    semantics, fixpoint form): repeatedly delete nodes of degree < k
+    until every survivor has degree >= k within the survivor set — the
+    densest-substructure filter that separates true duplicate cliques
+    from chains/stars of borderline matches.
+
+    Engine shape: each round is ONE degree reduce (grouped_agg) + two
+    semi-joins filtering edges to survivor endpoints — all keyed coarse
+    exchanges, nothing on the driver but the survivor COUNT (the
+    convergence test).  Rounds = peeling depth; dedup graphs converge
+    in a handful (cliques survive round 1, chains peel inward at 2
+    nodes/round), and ``max_rounds`` raises rather than silently
+    truncating (no-silent-caps rule) — the SQL oracle unrolls the same
+    round count, and extra unrolled rounds past the fixpoint are
+    no-ops, so converged results are equal by construction.
+
+    Input edges canonical (a < b, distinct).  Returns a pandas
+    DataFrame (node, degree) of k-core members with their in-core
+    degree."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    edges = edges_ds.materialize()
+    n_prev = None
+    for _ in range(max_rounds):
+        ends = edges.map_batches(
+            lambda df: pd.DataFrame({"node": np.concatenate(
+                [df[a_col].to_numpy(), df[b_col].to_numpy()])}),
+            batch_format="pandas")
+        deg = grouped_agg(ends.map_batches(
+            lambda df: df.groupby("node", as_index=False)
+            .agg(d=("node", "size")), batch_format="pandas"),
+            "node", num_buckets=num_buckets, d=("d", "sum"))
+        surv = deg.map_batches(
+            lambda df: df[df["d"] >= k], batch_format="pandas") \
+            .materialize()
+        n_surv = surv.count()
+        if n_surv == n_prev:
+            out = surv.to_pandas()
+            if out.empty:
+                return pd.DataFrame({
+                    "node": pd.Series(dtype="int64"),
+                    "degree": pd.Series(dtype="int64")})
+            out = out.rename(columns={"d": "degree"})
+            out["node"] = out["node"].astype("int64")
+            out["degree"] = out["degree"].astype("int64")
+            return out[["node", "degree"]].sort_values("node") \
+                .reset_index(drop=True)
+        n_prev = n_surv
+        if n_surv == 0:
+            continue  # one more pass confirms the empty fixpoint
+        keep = surv.map_batches(
+            lambda df: df[["node"]], batch_format="pandas")
+        edges = hash_join(
+            edges, keep.map_batches(
+                lambda df: df.rename(columns={"node": a_col}),
+                batch_format="pandas"),
+            on=a_col, how="semi", lcols=[a_col, b_col],
+            rcols=[a_col], num_buckets=num_buckets)
+        edges = hash_join(
+            edges, keep.map_batches(
+                lambda df: df.rename(columns={"node": b_col}),
+                batch_format="pandas"),
+            on=b_col, how="semi", lcols=[a_col, b_col],
+            rcols=[b_col], num_buckets=num_buckets).materialize()
+    raise ValueError(
+        f"kcore did not converge within max_rounds={max_rounds}; "
+        f"raise max_rounds (peeling depth exceeds the unrolled SQL "
+        f"oracle's round budget)")

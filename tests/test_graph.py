@@ -348,3 +348,34 @@ def test_degree_assortativity_crafted(ray_session):
         .repartition(4)).iloc[0]
     assert (int(out["num"]), int(out["den"]),
             float(out["assort"])) == (num, den, r)
+
+
+def test_kcore_crafted(ray_session):
+    """kcore peeling: a lollipop (triangle + tail) keeps only the
+    triangle at k=2; K4 + pendant keeps only K4 at k=3; a long path
+    with a tiny round budget raises instead of silently truncating."""
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import kcore
+
+    lolli = pd.DataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], columns=["a", "b"])
+    out = kcore(rd.from_pandas(lolli).repartition(3), k=2)
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["degree"].tolist() == [2, 2, 2]
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out3 = kcore(rd.from_pandas(
+        pd.DataFrame(k4 + [(4, 9)], columns=["a", "b"])), k=3)
+    assert out3["node"].tolist() == [1, 2, 3, 4]
+    assert out3["degree"].tolist() == [3, 3, 3, 3]
+
+    # 2-core of any tree is empty
+    path = pd.DataFrame([(i, i + 1) for i in range(1, 8)],
+                        columns=["a", "b"])
+    assert kcore(rd.from_pandas(path), k=2).empty
+
+    # the same path peels ~2 nodes/round: 2 rounds cannot converge
+    with pytest.raises(ValueError, match="max_rounds"):
+        kcore(rd.from_pandas(path), k=2, max_rounds=2)
