@@ -2831,6 +2831,66 @@ def _bigram_batch(df: pd.DataFrame) -> pd.DataFrame:
         .rename(columns={"size": "m"})
 
 
+def q_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document NOVELTY: the share of a doc's distinct word
+    bigrams that first appear in that doc (ownership = min doc_id
+    over the corpus) — the freshness signal an incremental-crawl
+    pipeline uses to rank re-crawled pages (near-1 = new content,
+    near-0 = recombined boilerplate).  Engine shape: batch-local
+    distinct (doc, bigram) rows (:func:`_bigram_batch`; a doc lives
+    in one row), ONE bigram-keyed exchange whose bucket holds every
+    copy of its bigrams (global min = in-bucket min) and pre-reduces
+    per-doc partials, ONE skinny doc-keyed reduce.  Counts are exact
+    int64; the ratio uses half-away 6-decimal rounding mirroring SQL
+    round()."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    db = ds.map_batches(_bigram_batch, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "w1", "w2"]],
+                     batch_format="pandas")
+
+    def owners(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df.groupby(["w1", "w2"], sort=False)["doc_id"] \
+            .transform("min")
+        part = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "novel": (df["doc_id"] == mn).astype("int64"),
+            "one": np.int64(1)})
+        return part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(novel=("novel", "sum"), one=("one", "sum"))
+
+    part = grouped_map(db, ["w1", "w2"], owners, num_buckets=32)
+    out = grouped_agg(part, "doc_id", n_novel=("novel", "sum"),
+                      n_bigrams=("one", "sum")).to_pandas()
+    n = out["n_bigrams"].to_numpy(dtype="int64")
+    s = out["n_novel"].to_numpy(dtype="int64")
+    out["novelty"] = np.floor((s / n) * 1e6 + 0.5) / 1e6  # half-away
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("n_novel", "n_bigrams"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "n_bigrams", "n_novel", "novelty"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NOVELTY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM t)),
+db AS (SELECT DISTINCT doc_id, w1, w2 FROM pairs),
+own AS (SELECT w1, w2, min(doc_id) AS owner FROM db GROUP BY 1, 2)
+SELECT db.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN db.doc_id = own.owner THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(sum(CASE WHEN db.doc_id = own.owner THEN 1 ELSE 0
+                 END)::DOUBLE / count(*), 6) AS novelty
+FROM db JOIN own USING (w1, w2)
+GROUP BY db.doc_id ORDER BY db.doc_id
+"""
+
+
 def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean INTERPOLATED bigram log-probability — the
     next LM-quality rung above q_unigram_logprob:
@@ -6959,6 +7019,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_rrf": q_rrf,
         "q_zipf": q_zipf,
         "q_burstiness": q_burstiness,
+        "q_novelty": q_novelty,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7105,6 +7166,7 @@ def oracles() -> Dict[str, str]:
         "q_rrf": q_rrf_sql(),
         "q_zipf": Q_ZIPF_SQL,
         "q_burstiness": Q_BURSTINESS_SQL,
+        "q_novelty": Q_NOVELTY_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

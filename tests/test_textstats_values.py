@@ -580,3 +580,29 @@ def test_burstiness_crafted(ray_session, tmp_path):
     # cc: single doc -> zero variance
     assert (int(out.loc["cc", "df"]), int(out.loc["cc", "tf2_sum"]),
             float(out.loc["cc", "dispersion"])) == (1, 16, 0.0)
+
+
+def test_novelty_crafted(ray_session, tmp_path):
+    """q_novelty on hand-derivable bigram ownership: doc 1 owns all
+    its bigrams (novelty 1), doc 2 repeats one of doc 1's bigrams plus
+    one new (0.5), doc 3 is pure rehash (0), and a one-token doc is
+    absent (no bigrams)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_novelty
+
+    docs = {1: "a b c",        # bigrams (a,b) (b,c) -> owns both
+            2: "a b x",        # (a,b) owned by 1; (b,x) new -> 0.5
+            3: "a b c",        # all owned by 1 -> 0
+            4: "solo"}         # no bigrams -> absent
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_novelty(str(tmp_path))
+    got = {int(d): (int(n), int(s), float(v)) for d, n, s, v in
+           zip(out["doc_id"], out["n_bigrams"], out["n_novel"],
+               out["novelty"])}
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
