@@ -5745,6 +5745,76 @@ FROM lv GROUP BY node ORDER BY node
 """
 
 
+def q_dup_sources(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplication leakage matrix: near-dup pairs rolled
+    up by the (unordered) source pair — the curation diagnostic that
+    answers "which sources copy which" before mixing weights are set.
+    Engine shape: the skinny exact-Jaccard pair list rides two
+    doc-keyed joins to attach each endpoint's source, then one
+    coarse source-pair reduce; the mean-strength numerator is an
+    exact int64 because the pair jaccard is ALREADY on the 1e-6 grid
+    (round-before-rank), so jac*1e6 re-integerizes losslessly."""
+    from ..functions.relops import grouped_agg, hash_join
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8)
+    src = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    pa_ = hash_join(
+        pairs.map_batches(lambda df: df.rename(
+            columns={"doc_a": "doc_id"}), batch_format="pandas"),
+        src, on="doc_id",
+        lcols=["doc_id", "doc_b", "jaccard"],
+        rcols=["doc_id", "source"]).map_batches(
+        lambda df: df.rename(columns={"source": "s_a",
+                                      "doc_b": "doc_id2"}),
+        batch_format="pandas")
+    both = hash_join(
+        pa_.map_batches(lambda df: df.rename(
+            columns={"doc_id": "doc_a", "doc_id2": "doc_id"}),
+            batch_format="pandas"),
+        src, on="doc_id",
+        lcols=["doc_a", "doc_id", "jaccard", "s_a"],
+        rcols=["doc_id", "source"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        sa = df["s_a"].astype(str)
+        sb = df["source"].astype(str)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        jm = np.rint(df["jaccard"].to_numpy() * 1e6).astype("int64")
+        part = pd.DataFrame({"source_a": lo, "source_b": hi,
+                             "jm": jm, "one": np.int64(1)})
+        return part.groupby(["source_a", "source_b"], as_index=False,
+                            sort=False).agg(n_pairs=("one", "sum"),
+                                            jac_micro_sum=("jm", "sum"))
+
+    out = grouped_agg(both.map_batches(roll, batch_format="pandas"),
+                      ["source_a", "source_b"],
+                      n_pairs=("n_pairs", "sum"),
+                      jac_micro_sum=("jac_micro_sum", "sum")).to_pandas()
+    for c in ("n_pairs", "jac_micro_sum"):
+        out[c] = out[c].astype("int64")
+    for c in ("source_a", "source_b"):
+        out[c] = out[c].astype(str)
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)
+
+
+Q_DUP_SOURCES_SQL = f"""
+WITH pairs AS ({Q_NGRAM_JACCARD_SQL}),
+sa AS (SELECT CAST(round(p.jaccard * 1000000) AS BIGINT) AS jm,
+              da.source AS s_a, db.source AS s_b
+       FROM pairs p
+       JOIN documents da ON da.doc_id = p.doc_a
+       JOIN documents db ON db.doc_id = p.doc_b)
+SELECT least(s_a, s_b) AS source_a, greatest(s_a, s_b) AS source_b,
+       count(*)::BIGINT AS n_pairs, sum(jm)::BIGINT AS jac_micro_sum
+FROM sa GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _KCORE_K, _KCORE_ROUNDS = 2, 12
 
 
@@ -7020,6 +7090,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_zipf": q_zipf,
         "q_burstiness": q_burstiness,
         "q_novelty": q_novelty,
+        "q_dup_sources": q_dup_sources,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7167,6 +7238,7 @@ def oracles() -> Dict[str, str]:
         "q_zipf": Q_ZIPF_SQL,
         "q_burstiness": Q_BURSTINESS_SQL,
         "q_novelty": Q_NOVELTY_SQL,
+        "q_dup_sources": Q_DUP_SOURCES_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

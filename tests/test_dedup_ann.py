@@ -1145,3 +1145,31 @@ def test_winnow_overlap_pairs_brute_force(ray_session):
     others = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)]
     pair_inter = sum(1 for h in sets[1] & sets[2] if freq[h] <= cap)
     assert len(others) == (1 if pair_inter >= 1 else 0)
+
+
+def test_dup_sources_crafted(ray_session, tmp_path):
+    """q_dup_sources on a controlled Jaccard fixture (the adamic-adar
+    3-doc path: X~Y and Y~Z at exactly 0.8, X~Z below threshold):
+    sources chosen so the two surviving pairs land in one unordered
+    source cell and the jaccard micro-sum is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_dup_sources
+
+    docs = {1: ("a b c d e f", "s2"),   # pair (1,2) -> (s1, s2)
+            2: ("a b c d e f g", "s1"),
+            3: ("b c d e f g", "s2")}   # pair (2,3) -> (s1, s2)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array([t for t, _ in docs.values()], pa.string()),
+        "source": pa.array([s for _, s in docs.values()], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_dup_sources(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    # both pairs are cross-source; least/greatest folds them together
+    assert (row["source_a"], row["source_b"]) == ("s1", "s2")
+    assert int(row["n_pairs"]) == 2
+    assert int(row["jac_micro_sum"]) == 2 * 800_000  # J = 4/5 twice
