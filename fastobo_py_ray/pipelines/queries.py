@@ -5745,6 +5745,78 @@ FROM lv GROUP BY node ORDER BY node
 """
 
 
+def q_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence contingency between source and document
+    length tercile — the dataset-mix diagnostic ("is a source biased
+    toward long docs?") run before setting sampling weights.  Output
+    is the per-cell table: observed n (exact int64), expected count in
+    EXACT micro-units ((row_sum * col_sum * 1e6) // N, pure integer)
+    and the chi-square contribution (o-e)^2/e with e spelled
+    identically in numpy and SQL (half-away 6-decimal rounding).
+
+    Engine shape: the global length tercile is ONE distributed sort
+    (:func:`global_row_number` on (len, doc_id)) + the closed-form
+    :func:`ntile_from_pos` (DuckDB ntile parity), the contingency is
+    one coarse (source, tercile) reduce, and margins + chi2 run on the
+    driver over <= 3*|sources| cells."""
+    from ..functions.relops import (global_row_number, grouped_agg,
+                                    ntile_from_pos)
+
+    n_rows = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    d = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "source": df["source"].astype(str),
+            "len": df["text"].astype(str).str.len().astype("int64")}),
+        batch_format="pandas")
+    ranked = global_row_number(d, ["len", "doc_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        t = ntile_from_pos(df["pos"].to_numpy(), n_rows, 3)
+        part = pd.DataFrame({"source": df["source"],
+                             "len_tercile": t, "one": np.int64(1)})
+        return part.groupby(["source", "len_tercile"], as_index=False,
+                            sort=False).agg(n=("one", "sum"))
+
+    o = grouped_agg(ranked.map_batches(tag, batch_format="pandas"),
+                    ["source", "len_tercile"], n=("n", "sum")).to_pandas()
+    rs = o.groupby("source")["n"].sum()
+    ct = o.groupby("len_tercile")["n"].sum()
+    N = int(o["n"].sum())
+    r = o["source"].map(rs).to_numpy(dtype="int64")
+    c = o["len_tercile"].map(ct).to_numpy(dtype="int64")
+    n = o["n"].to_numpy(dtype="int64")
+    e = (r * c).astype("float64") / N
+    contrib = (n - e) * (n - e) / e
+    out = pd.DataFrame({
+        "source": o["source"].astype(str),
+        "len_tercile": o["len_tercile"].astype("int64"),
+        "n": n,
+        "expected_micro": (r * c * 1_000_000) // N,
+        "chi2_contrib": np.floor(contrib * 1e6 + 0.5) / 1e6})
+    return out.sort_values(["source", "len_tercile"]) \
+        .reset_index(drop=True)
+
+
+Q_CHI2_SQL = """
+WITH d AS (SELECT doc_id, source, length(text) AS len FROM documents),
+r AS (SELECT doc_id, source,
+             ntile(3) OVER (ORDER BY len, doc_id) AS t FROM d),
+o AS (SELECT source, t, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+rm AS (SELECT source, sum(n)::BIGINT AS rs FROM o GROUP BY 1),
+cm AS (SELECT t, sum(n)::BIGINT AS ct FROM o GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM o)
+SELECT o.source, o.t::BIGINT AS len_tercile, o.n,
+       ((rm.rs * cm.ct * 1000000) // tot.nn)::BIGINT AS expected_micro,
+       round((o.n - rm.rs * cm.ct::DOUBLE / tot.nn)
+             * (o.n - rm.rs * cm.ct::DOUBLE / tot.nn)
+             / (rm.rs * cm.ct::DOUBLE / tot.nn), 6) AS chi2_contrib
+FROM o JOIN rm USING (source) JOIN cm USING (t) CROSS JOIN tot
+ORDER BY o.source, len_tercile
+"""
+
+
 def q_dup_sources(sf_dir: str) -> pd.DataFrame:
     """Cross-source duplication leakage matrix: near-dup pairs rolled
     up by the (unordered) source pair — the curation diagnostic that
@@ -7091,6 +7163,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_burstiness": q_burstiness,
         "q_novelty": q_novelty,
         "q_dup_sources": q_dup_sources,
+        "q_chi2": q_chi2,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7239,6 +7312,7 @@ def oracles() -> Dict[str, str]:
         "q_burstiness": Q_BURSTINESS_SQL,
         "q_novelty": Q_NOVELTY_SQL,
         "q_dup_sources": Q_DUP_SOURCES_SQL,
+        "q_chi2": Q_CHI2_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -606,3 +606,36 @@ def test_novelty_crafted(ray_session, tmp_path):
            zip(out["doc_id"], out["n_bigrams"], out["n_novel"],
                out["novelty"])}
     assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_chi2_crafted(ray_session, tmp_path):
+    """q_chi2 on a 2-source corpus engineered so length terciles align
+    perfectly with sources in one cell: observed/expected/contribution
+    checked against hand arithmetic (N=6, terciles of 2)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_chi2
+
+    # lengths: s1 -> 1, 2, 3 chars; s2 -> 10, 11, 12 chars
+    rows = [(1, "s1", "a"), (2, "s1", "ab"), (3, "s1", "abc"),
+            (4, "s2", "a" * 10), (5, "s2", "a" * 11), (6, "s2", "a" * 12)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_chi2(str(tmp_path))
+    got = {(s, int(t)): (int(n), int(e), float(c)) for s, t, n, e, c in
+           zip(out["source"], out["len_tercile"], out["n"],
+               out["expected_micro"], out["chi2_contrib"])}
+    # terciles of 2 docs each: t1 = {1,2} (s1), t2 = {3,4} (one each),
+    # t3 = {5,6} (s2); margins rs = 3 each, ct = 2 each, N = 6
+    e_micro = 3 * 2 * 1_000_000 // 6  # = 1_000_000 for every cell
+    ctr = lambda o: math.floor(((o - 1.0) ** 2 / 1.0) * 1e6 + 0.5) / 1e6
+    assert got == {
+        ("s1", 1): (2, e_micro, ctr(2)), ("s1", 2): (1, e_micro, ctr(1)),
+        ("s2", 2): (1, e_micro, ctr(1)), ("s2", 3): (2, e_micro, ctr(2))}
