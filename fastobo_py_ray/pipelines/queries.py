@@ -2014,6 +2014,66 @@ FROM a ORDER BY word
 """
 
 
+def q_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the corpus word-frequency distribution —
+    the vocabulary-inequality diagnostic (natural text ~0.9+:
+    a few function words own most tokens; a flat Gini flags synthetic
+    or template text).  Closed form over frequencies sorted ascending
+    with rank i = 1..n:
+
+        G = (2 * sum(i * c_i) - (n + 1) * sum(c_i)) / (n * sum(c_i))
+
+    Every moment is an exact int64 (HUGEINT-guarded products in SQL,
+    Python arbitrary-precision on the driver); the ratio divides
+    DOUBLE casts identically in both engines (half-away 6-decimal
+    rounding).  Engine shape = the q_zipf pipeline: one word-keyed
+    vocabulary reduce, ONE distributed sort for the global rank
+    (ascending (c, word)), constant-size per-batch moment partials."""
+    from ..functions.relops import global_row_number, grouped_agg
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    freq = grouped_agg(tf, "word", c=("tf", "sum"))
+    ranked = global_row_number(freq, ["c", "word"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["pos"].to_numpy(dtype="int64") + 1
+        c = df["c"].to_numpy(dtype="int64")
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s0": [c.sum()], "s1": [(r * c).sum()]})
+
+    p = ranked.map_batches(part, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    s0, s1 = int(p["s0"].sum()), int(p["s1"].sum())
+    num, den = 2 * s1 - (n + 1) * s0, n * s0
+    if den != 0:
+        v = float(num) / float(den)
+        gini = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    else:
+        gini = 0.0
+    return pd.DataFrame({
+        "n_words": pd.Series([n], dtype="int64"),
+        "token_total": pd.Series([s0], dtype="int64"),
+        "rank_weighted_sum": pd.Series([s1], dtype="int64"),
+        "gini": pd.Series([gini], dtype="float64")})
+
+
+Q_GINI_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+r AS (SELECT c, row_number() OVER (ORDER BY c, w) AS rank FROM freq),
+s AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s0,
+             sum(rank * c)::BIGINT AS s1 FROM r)
+SELECT n AS n_words, s0 AS token_total, s1 AS rank_weighted_sum,
+       CASE WHEN n::HUGEINT * s0 = 0 THEN 0.0
+            ELSE round((2::HUGEINT * s1 - (n::HUGEINT + 1) * s0)::DOUBLE
+                       / (n::HUGEINT * s0)::DOUBLE, 6) END AS gini
+FROM s
+"""
+
+
 def q_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-document top-k TF-IDF keywords (see
     stages/textstats.py:tfidf_topk for the vocab-tiered scale shape:
@@ -7164,6 +7224,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_novelty": q_novelty,
         "q_dup_sources": q_dup_sources,
         "q_chi2": q_chi2,
+        "q_gini": q_gini,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7313,6 +7374,7 @@ def oracles() -> Dict[str, str]:
         "q_novelty": Q_NOVELTY_SQL,
         "q_dup_sources": Q_DUP_SOURCES_SQL,
         "q_chi2": Q_CHI2_SQL,
+        "q_gini": Q_GINI_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -639,3 +639,43 @@ def test_chi2_crafted(ray_session, tmp_path):
     assert got == {
         ("s1", 1): (2, e_micro, ctr(2)), ("s1", 2): (1, e_micro, ctr(1)),
         ("s2", 2): (1, e_micro, ctr(1)), ("s2", 3): (2, e_micro, ctr(2))}
+
+
+def test_gini_crafted(ray_session, tmp_path):
+    """q_gini: perfectly flat frequencies give 0 up to the (n-1)/n
+    tie-rank correction; a maximally skewed 2-word corpus matches hand
+    arithmetic; mirror checked exactly."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_gini
+
+    def mirror(freqs):
+        fs = sorted(freqs)
+        n, s0 = len(fs), sum(fs)
+        s1 = sum((i + 1) * c for i, c in enumerate(fs))
+        v = float(2 * s1 - (n + 1) * s0) / float(n * s0)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    # skewed: aa x9, bb x1 -> fs=[1,9], G = (2*19 - 3*10)/(2*10) = 0.4
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(["aa"] * 9 + ["bb"])], pa.string())}),
+        d / "documents.parquet")
+    out = q_gini(str(d)).iloc[0]
+    assert (int(out["n_words"]), int(out["token_total"]),
+            float(out["gini"])) == (2, 10, 0.4)
+    assert float(out["gini"]) == mirror([9, 1])
+
+    # flat: every word once -> G = (2*n(n+1)/2 - (n+1)*n)/(n*n) = 0
+    f = tmp_path / "flat"
+    f.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["aa bb cc dd"], pa.string())}),
+        f / "documents.parquet")
+    assert float(q_gini(str(f)).iloc[0]["gini"]) == 0.0
