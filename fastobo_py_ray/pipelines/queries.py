@@ -2014,6 +2014,111 @@ FROM a ORDER BY word
 """
 
 
+_SRCKL_K = 64
+
+
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    add-1-smoothed hashed-unigram bucket distributions (the q_dsir
+    feature map) — the monitoring signal that flags a crawl source
+    whose language shifted before it poisons the mix.
+
+    Exactness (the DSIR oracle-form discipline): the per-bucket log
+    ratio is integerized ONCE to micro-nats from EXACT integer
+    products (one double division -> ln -> round, written identically
+    in SQL), so the per-source weighted sum sum((c_sb+1) * term_micro)
+    is an exact int64; the reported kl divides it by (N_s+K)*1e6 with
+    an identical expression.
+
+    Scale shape: every batch reduces to a constant |sources|*K-row
+    partial; ONE coarse (source, bucket) exchange; the grid math runs
+    on the driver over |sources|*K rows."""
+    from ..functions.relops import grouped_agg
+    from ..stages.traindata import hashed_ngram_buckets
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(w=df["text"].astype(str).str.split(" ")) \
+            .explode("w")
+        toks = toks[toks["w"].notna() & (toks["w"] != "")]
+        if toks.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        uw = toks["w"].unique()
+        bmap = dict(zip(uw, hashed_ngram_buckets(
+            np.asarray(uw, dtype=object), _SRCKL_K)))
+        toks = toks.assign(b=toks["w"].map(bmap).astype("int64"))
+        return toks.groupby(["source", "b"], as_index=False,
+                            sort=False).size().rename(
+            columns={"size": "c"})
+
+    cnt = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                      ["source", "b"], c=("c", "sum")).to_pandas()
+    sources = sorted(cnt["source"].astype(str).unique())
+    cs = {(s, int(b)): int(c) for s, b, c in
+          zip(cnt["source"].astype(str), cnt["b"], cnt["c"])}
+    ns = {s: sum(cs.get((s, b), 0) for b in range(_SRCKL_K))
+          for s in sources}
+    cb = {b: sum(cs.get((s, b), 0) for s in sources)
+          for b in range(_SRCKL_K)}
+    nn = sum(ns.values())
+    rows = []
+    for s in sources:
+        kw = 0
+        for b in range(_SRCKL_K):
+            cs1 = cs.get((s, b), 0) + 1
+            cb1 = cb[b] + 1
+            tm = int(np.round(1e6 * np.log(
+                (cs1 * (nn + _SRCKL_K)) / (cb1 * (ns[s] + _SRCKL_K)))))
+            kw += cs1 * tm
+        kl = float(kw) / ((ns[s] + _SRCKL_K) * 1_000_000)
+        rows.append({
+            "source": s, "n_tokens": ns[s], "kl_weighted_micro": kw,
+            "kl": math.copysign(math.floor(abs(kl) * 1e6 + 0.5), kl)
+            / 1e6})
+    out = pd.DataFrame(rows)
+    for c in ("n_tokens", "kl_weighted_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_SOURCE_KL_SQL = f"""
+WITH tk AS (SELECT source, w FROM (
+         SELECT source, unnest(string_split(text, ' ')) AS w
+         FROM documents) WHERE w <> ''),
+sb AS (SELECT source,
+              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                % {_SRCKL_K} AS b
+       FROM tk),
+c AS (SELECT source, b, count(*)::BIGINT AS c FROM sb GROUP BY 1, 2),
+ns AS (SELECT source, count(*)::BIGINT AS n FROM sb GROUP BY 1),
+cb AS (SELECT b, count(*)::BIGINT AS c FROM sb GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM sb),
+grid AS (SELECT s.source, bk.b
+         FROM (SELECT DISTINCT source FROM sb) s
+         CROSS JOIN (SELECT unnest(generate_series(
+             0, {_SRCKL_K - 1})) AS b) bk),
+t AS (SELECT g.source,
+             coalesce(c.c, 0) + 1 AS cs1, ns.n AS nsn,
+             CAST(round(1000000 * ln(
+                 ((coalesce(c.c, 0) + 1) * (nn.n + {_SRCKL_K}))::DOUBLE
+               / ((coalesce(cb.c, 0) + 1) * (ns.n + {_SRCKL_K}))))
+               AS BIGINT) AS tm
+      FROM grid g
+      LEFT JOIN c ON c.source = g.source AND c.b = g.b
+      JOIN ns ON ns.source = g.source
+      LEFT JOIN cb ON cb.b = g.b
+      CROSS JOIN nn)
+SELECT source, min(nsn)::BIGINT AS n_tokens,
+       sum(cs1 * tm)::BIGINT AS kl_weighted_micro,
+       round(sum(cs1 * tm)::DOUBLE
+             / ((min(nsn) + {_SRCKL_K}) * 1000000), 6) AS kl
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def q_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of the corpus word-frequency distribution —
     the vocabulary-inequality diagnostic (natural text ~0.9+:
@@ -7225,6 +7330,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_dup_sources": q_dup_sources,
         "q_chi2": q_chi2,
         "q_gini": q_gini,
+        "q_source_kl": q_source_kl,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7375,6 +7481,7 @@ def oracles() -> Dict[str, str]:
         "q_dup_sources": Q_DUP_SOURCES_SQL,
         "q_chi2": Q_CHI2_SQL,
         "q_gini": Q_GINI_SQL,
+        "q_source_kl": Q_SOURCE_KL_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

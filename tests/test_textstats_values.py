@@ -679,3 +679,54 @@ def test_gini_crafted(ray_session, tmp_path):
         "text": pa.array(["aa bb cc dd"], pa.string())}),
         f / "documents.parquet")
     assert float(q_gini(str(f)).iloc[0]["gini"]) == 0.0
+
+
+def test_source_kl_crafted(ray_session, tmp_path):
+    """q_source_kl vs a from-scratch pure-Python mirror (hashed
+    buckets, add-1 smoothing, micro-nat integerization, weighted int
+    sum) on a 2-source corpus where one source is a verbatim slice of
+    the corpus (low KL) and the other is disjoint vocabulary (high)."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import _SRCKL_K, q_source_kl
+
+    docs = [("common", "aa bb cc dd aa bb"),
+            ("common", "aa bb cc dd"),
+            ("weird", "zz yy xx ww vv uu tt ss")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+        "source": pa.array([s for s, _ in docs], pa.string()),
+        "text": pa.array([t for _, t in docs], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _SRCKL_K
+
+    cs, ns, cb, nn = {}, {}, {}, 0
+    for s, t in docs:
+        for w in t.split(" "):
+            b = bucket(w)
+            cs[(s, b)] = cs.get((s, b), 0) + 1
+            ns[s] = ns.get(s, 0) + 1
+            cb[b] = cb.get(b, 0) + 1
+            nn += 1
+    exp = {}
+    for s in ns:
+        kw = 0
+        for b in range(_SRCKL_K):
+            cs1, cb1 = cs.get((s, b), 0) + 1, cb.get(b, 0) + 1
+            tm = round(1e6 * math.log(
+                (cs1 * (nn + _SRCKL_K)) / (cb1 * (ns[s] + _SRCKL_K))))
+            kw += cs1 * tm
+        exp[s] = kw
+
+    out = q_source_kl(str(tmp_path)).set_index("source")
+    for s in ns:
+        assert int(out.loc[s, "n_tokens"]) == ns[s]
+        assert int(out.loc[s, "kl_weighted_micro"]) == exp[s]
+    # the disjoint-vocabulary source drifts far more than the core one
+    assert float(out.loc["weird", "kl"]) > float(out.loc["common", "kl"])
