@@ -1885,6 +1885,85 @@ ORDER BY ra.doc_id
 """
 
 
+def q_rank_corr(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between the BM25-relevance and
+    unigram-LM-fluency document rankings — the ranker-agreement
+    diagnostic behind fusion choices (rho near 0 justifies RRF; near 1
+    means one ranker suffices).
+
+        rho = 1 - 6 * sum(d^2) / (n * (n^2 - 1)),  d = r1 - r2
+
+    sum(d^2) and n are exact int64 (same distributed rank machinery as
+    :func:`q_rrf`: two global_row_number sorts + one skinny doc-keyed
+    join whose buckets pre-reduce constant-size (d^2, 1) partials);
+    the final expression divides HUGEINT-safe products as DOUBLEs
+    identically in SQL (half-away rounding; rho may be negative)."""
+    from ..functions.relops import global_row_number, hash_join
+
+    ra = global_row_number(
+        _bm25_scores_ds(sf_dir), ["bm25_score", "doc_id"],
+        ascending=[False, True]).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "bm25_rank": (df["pos"] + 1).astype("int64")}),
+        batch_format="pandas")
+    lm = _unigram_logprob_parts(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "logprob": (df["lp"] / df["n"]).round(6)}),
+        batch_format="pandas")
+    rb = global_row_number(
+        lm, ["logprob", "doc_id"], ascending=[False, True]).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lm_rank": (df["pos"] + 1).astype("int64")}),
+        batch_format="pandas")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["bm25_rank"].to_numpy(dtype="int64") \
+            - df["lm_rank"].to_numpy(dtype="int64")
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "d2": [(d * d).sum()]})
+
+    p = hash_join(ra, rb, on="doc_id",
+                  lcols=["doc_id", "bm25_rank"],
+                  rcols=["doc_id", "lm_rank"],
+                  bucket_finalize=part).to_pandas()
+    n = int(p["n"].sum())
+    d2 = int(p["d2"].sum())
+    num, den = 6 * d2, n * (n * n - 1)  # Python ints: overflow-proof
+    if den != 0:
+        v = 1.0 - float(num) / float(den)
+        rho = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    else:
+        rho = 0.0
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "d2_sum": pd.Series([d2], dtype="int64"),
+        "spearman_rho": pd.Series([rho], dtype="float64")})
+
+
+def q_rank_corr_sql() -> str:
+    # lazy: Q_UNIGRAM_LOGPROB_SQL is defined later in the module
+    return f"""
+WITH bm AS ({Q_BM25_SQL}),
+lm AS ({Q_UNIGRAM_LOGPROB_SQL}),
+ra AS (SELECT doc_id, row_number() OVER
+         (ORDER BY bm25_score DESC, doc_id) AS r1 FROM bm),
+rb AS (SELECT doc_id, row_number() OVER
+         (ORDER BY logprob DESC, doc_id) AS r2 FROM lm),
+s AS (SELECT count(*)::BIGINT AS n,
+             sum((ra.r1 - rb.r2) * (ra.r1 - rb.r2))::BIGINT AS d2
+      FROM ra JOIN rb USING (doc_id))
+SELECT n AS n_docs, d2 AS d2_sum,
+       CASE WHEN n::HUGEINT * (n::HUGEINT * n - 1) = 0 THEN 0.0
+            ELSE round(1.0 - (6::HUGEINT * d2)::DOUBLE
+                       / (n::HUGEINT * (n::HUGEINT * n - 1))::DOUBLE, 6)
+       END AS spearman_rho
+FROM s
+"""
+
+
 def q_zipf(sf_dir: str) -> pd.DataFrame:
     """Zipf rank-frequency slope of the corpus vocabulary: the OLS
     slope of ln(freq) on ln(rank) (rank 1 = most frequent; ties broken
@@ -7331,6 +7410,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_chi2": q_chi2,
         "q_gini": q_gini,
         "q_source_kl": q_source_kl,
+        "q_rank_corr": q_rank_corr,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7482,6 +7562,7 @@ def oracles() -> Dict[str, str]:
         "q_chi2": Q_CHI2_SQL,
         "q_gini": Q_GINI_SQL,
         "q_source_kl": Q_SOURCE_KL_SQL,
+        "q_rank_corr": q_rank_corr_sql(),
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -730,3 +730,44 @@ def test_source_kl_crafted(ray_session, tmp_path):
         assert int(out.loc[s, "kl_weighted_micro"]) == exp[s]
     # the disjoint-vocabulary source drifts far more than the core one
     assert float(out.loc["weird", "kl"]) > float(out.loc["common", "kl"])
+
+
+def test_rank_corr_crafted(ray_session, tmp_path):
+    """q_rank_corr vs a pandas Spearman mirror over the (independently
+    tested) q_bm25/q_unigram_logprob outputs, on the RRF fixture where
+    the two rankers demonstrably disagree."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import (q_bm25, q_rank_corr,
+                                                  q_unigram_logprob)
+
+    docs = {1: "hash join table scan",
+            2: "hash hash join",
+            3: "table of contents",
+            4: "sort merge join strategy",
+            5: "plain prose only here",
+            6: "more plain prose here too"}
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+
+    bm = q_bm25(str(tmp_path)).sort_values(
+        ["bm25_score", "doc_id"], ascending=[False, True], kind="stable")
+    bm = bm.assign(r1=np.arange(1, len(bm) + 1))
+    lm = q_unigram_logprob(str(tmp_path)).sort_values(
+        ["logprob", "doc_id"], ascending=[False, True], kind="stable")
+    lm = lm.assign(r2=np.arange(1, len(lm) + 1))
+    j = bm[["doc_id", "r1"]].merge(lm[["doc_id", "r2"]], on="doc_id")
+    d2 = int(((j["r1"] - j["r2"]) ** 2).sum())
+    n = len(j)
+    v = 1.0 - float(6 * d2) / float(n * (n * n - 1))
+    exp = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    out = q_rank_corr(str(tmp_path)).iloc[0]
+    assert (int(out["n_docs"]), int(out["d2_sum"]),
+            float(out["spearman_rho"])) == (n, d2, exp)
+    assert d2 > 0  # the rankers genuinely disagree on this fixture
