@@ -3135,6 +3135,111 @@ GROUP BY db.doc_id ORDER BY db.doc_id
 """
 
 
+_SPPMI_W, _SPPMI_MIN = 3, 2
+
+
+def q_sppmi(sf_dir: str) -> pd.DataFrame:
+    """Windowed co-occurrence PMI (the SGNS/SPPMI context matrix of
+    Levy & Goldberg 2014): ordered token pairs within a {w}-token
+    window, PMI = ln(n(a,b) * D / (n1(a) * n2(b))) over the pair
+    distribution (D = total pairs, n1/n2 = directional marginals),
+    reported for pairs seen >= {m} times — the embedding-free
+    relatedness matrix.
+
+    Engine shape: window pairs enumerate batch-locally (the
+    _bigram_batch offset trick looped over 1..{w}, masked at doc
+    boundaries), ONE pair-keyed count exchange; the marginals are
+    vocabulary-tier reduces BROADCAST back by closure (the tfidf idf
+    discipline — no second corpus exchange), and PMI integerizes to
+    micro-nats from exact integer products (one double division -> ln
+    -> round, the q_dsir oracle form).""".format(
+        w=_SPPMI_W, m=_SPPMI_MIN)
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.split(" ")
+        lens = s.str.len().fillna(0).astype("int64").to_numpy()
+        ids = np.repeat(df["doc_id"].to_numpy(), lens)
+        toks = s.explode().to_numpy().astype("U")
+        outs = []
+        for o in range(1, _SPPMI_W + 1):
+            if len(toks) <= o:
+                break
+            same = ids[:-o] == ids[o:]
+            outs.append(pd.DataFrame({
+                "w1": pd.Series(toks[:-o][same], dtype="string"),
+                "w2": pd.Series(toks[o:][same], dtype="string")}))
+        if not outs:
+            return pd.DataFrame({"w1": pd.Series(dtype="string"),
+                                 "w2": pd.Series(dtype="string"),
+                                 "n": pd.Series(dtype="int64")})
+        cat = pd.concat(outs, ignore_index=True)
+        return cat.groupby(["w1", "w2"], as_index=False, sort=False,
+                           observed=True).size() \
+            .rename(columns={"size": "n"})
+
+    pr = ds.map_batches(pairs_batch, batch_format="pandas")
+    cnt = grouped_agg(pr, ["w1", "w2"], n=("n", "sum")).materialize()
+
+    # vocabulary-tier marginals -> broadcast dicts (tfidf discipline)
+    m1 = grouped_agg(cnt.map_batches(
+        lambda df: df[["w1", "n"]], batch_format="pandas"),
+        "w1", n1=("n", "sum")).to_pandas()
+    m2 = grouped_agg(cnt.map_batches(
+        lambda df: df[["w2", "n"]], batch_format="pandas"),
+        "w2", n2=("n", "sum")).to_pandas()
+    d1 = dict(zip(m1["w1"].astype(str), m1["n1"].astype("int64")))
+    d2 = dict(zip(m2["w2"].astype(str), m2["n2"].astype("int64")))
+    dd = int(m1["n1"].sum())
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= _SPPMI_MIN]
+        if df.empty:
+            return pd.DataFrame({"w1": pd.Series(dtype="string"),
+                                 "w2": pd.Series(dtype="string"),
+                                 "n_cooc": pd.Series(dtype="int64"),
+                                 "pmi_micro": pd.Series(dtype="int64")})
+        n = df["n"].to_numpy(dtype="int64")
+        a = df["w1"].astype(str).map(d1).to_numpy(dtype="int64")
+        b = df["w2"].astype(str).map(d2).to_numpy(dtype="int64")
+        pm = np.round(1e6 * np.log(
+            (n * dd).astype("float64") / (a * b).astype("float64"))
+        ).astype("int64")
+        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"],
+                             "n_cooc": n, "pmi_micro": pm})
+
+    out = cnt.map_batches(score, batch_format="pandas").to_pandas()
+    out["w1"] = out["w1"].astype(str)
+    out["w2"] = out["w2"].astype(str)
+    for c in ("n_cooc", "pmi_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+Q_SPPMI_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, i, w[i] AS word
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w))) AS i FROM t)),
+pr AS (SELECT a.word AS w1, b.word AS w2
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         AND b.i > a.i AND b.i <= a.i + {_SPPMI_W}),
+c AS (SELECT w1, w2, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+m1 AS (SELECT w1, sum(n)::BIGINT AS n1 FROM c GROUP BY 1),
+m2 AS (SELECT w2, sum(n)::BIGINT AS n2 FROM c GROUP BY 1),
+d AS (SELECT sum(n)::BIGINT AS dd FROM c)
+SELECT c.w1, c.w2, c.n AS n_cooc,
+       CAST(round(1000000 * ln(
+           (c.n::HUGEINT * d.dd)::DOUBLE
+           / (m1.n1::HUGEINT * m2.n2)::DOUBLE)) AS BIGINT) AS pmi_micro
+FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN d
+WHERE c.n >= {_SPPMI_MIN}
+ORDER BY c.w1, c.w2
+"""
+
+
 def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Per-document mean INTERPOLATED bigram log-probability — the
     next LM-quality rung above q_unigram_logprob:
@@ -7411,6 +7516,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_gini": q_gini,
         "q_source_kl": q_source_kl,
         "q_rank_corr": q_rank_corr,
+        "q_sppmi": q_sppmi,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7563,6 +7669,7 @@ def oracles() -> Dict[str, str]:
         "q_gini": Q_GINI_SQL,
         "q_source_kl": Q_SOURCE_KL_SQL,
         "q_rank_corr": q_rank_corr_sql(),
+        "q_sppmi": Q_SPPMI_SQL,
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

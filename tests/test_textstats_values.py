@@ -771,3 +771,49 @@ def test_rank_corr_crafted(ray_session, tmp_path):
     assert (int(out["n_docs"]), int(out["d2_sum"]),
             float(out["spearman_rho"])) == (n, d2, exp)
     assert d2 > 0  # the rankers genuinely disagree on this fixture
+
+
+def test_sppmi_crafted(ray_session, tmp_path):
+    """q_sppmi vs a pure-Python window-pair mirror on a tiny corpus
+    with multi-doc boundaries (pairs must never cross docs) and a
+    repeated collocation whose PMI is hand-derivable."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import (_SPPMI_MIN, _SPPMI_W,
+                                                  q_sppmi)
+
+    docs = ["aa bb cc aa bb", "aa bb dd", "ee ff"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    pairs = {}
+    for t in docs:
+        ws = t.split(" ")
+        for i in range(len(ws)):
+            for o in range(1, _SPPMI_W + 1):
+                if i + o < len(ws):
+                    k = (ws[i], ws[i + o])
+                    pairs[k] = pairs.get(k, 0) + 1
+    n1, n2, dd = {}, {}, 0
+    for (a, b), n in pairs.items():
+        n1[a] = n1.get(a, 0) + n
+        n2[b] = n2.get(b, 0) + n
+        dd += n
+    exp = {}
+    for (a, b), n in pairs.items():
+        if n >= _SPPMI_MIN:
+            exp[(a, b)] = (n, round(1e6 * math.log(
+                (n * dd) / (n1[a] * n2[b]))))
+
+    out = q_sppmi(str(tmp_path))
+    got = {(a, b): (int(n), int(p)) for a, b, n, p in
+           zip(out["w1"], out["w2"], out["n_cooc"], out["pmi_micro"])}
+    assert got == exp
+    assert ("aa", "bb") in got and got[("aa", "bb")][0] == 3
+    # cross-doc pair (dd, ee) must not exist even within the window
+    assert ("dd", "ee") not in pairs
