@@ -139,6 +139,10 @@ def run_bench() -> dict:
     # round-4 scale-shape rewrites, tracked per-round from here on
     timed("q_tfidf", Q.q_tfidf)
     timed("q_passage_dedup", Q.q_passage_dedup)
+    # round-5 continuation additions worth tracking: the MOSS overlap
+    # pairs (heaviest new exchange) and the window-PMI matrix
+    timed("q_winnow_overlap", Q.q_winnow_overlap)
+    timed("q_sppmi", Q.q_sppmi)
 
     actual_pages = corpus_pages(N_PAGES)
     result = {

@@ -589,7 +589,9 @@ def harmonic_centrality_k(edges_ds, max_k: int = 3, a_col: str = "a",
             cand = hash_join(cand, shorter, on=["a", "b"], how="anti",
                              lcols=["a", "b"], rcols=["a", "b"],
                              num_buckets=num_buckets)
-        levels.append(cand.materialize())
+        # coalesce blocks before materializing: the join chain appends
+        # block structure per hop (see kcore's round fix)
+        levels.append(cand.repartition(num_buckets).materialize())
 
     parts = []
     for d, lvl in enumerate(levels, start=1):
@@ -758,12 +760,18 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
                 batch_format="pandas"),
             on=a_col, how="semi", lcols=[a_col, b_col],
             rcols=[a_col], num_buckets=num_buckets)
+        # repartition BEFORE materializing: each hash_join appends its
+        # input's block structure to the output (~+|blocks| per round),
+        # so without coalescing the per-round fixed cost grows with the
+        # round number — measured 500s -> 13s at 300k edges x 4 rounds
+        # (tools/rehearse_graph.py caught this)
         edges = hash_join(
             edges, keep.map_batches(
                 lambda df: df.rename(columns={"node": b_col}),
                 batch_format="pandas"),
             on=b_col, how="semi", lcols=[a_col, b_col],
-            rcols=[b_col], num_buckets=num_buckets).materialize()
+            rcols=[b_col], num_buckets=num_buckets) \
+            .repartition(num_buckets).materialize()
     raise ValueError(
         f"kcore did not converge within max_rounds={max_rounds}; "
         f"raise max_rounds (peeling depth exceeds the unrolled SQL "
