@@ -594,6 +594,63 @@ def q_mention_depth(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_term_coverage(sf_dir: str) -> pd.DataFrame:
+    """Ontology coverage per source: how many distinct canonical terms
+    each source mentions, and the covered fraction of the term
+    universe in exact micro-units ((n * 1e6) // |terms|) — the KG
+    acquisition planner's signal for which crawl sources still add
+    ontology surface.  Engine shape: dictionary broadcast by closure,
+    batch-local distinct (source, term) partials, ONE keyed exchange
+    to global-distinct + ONE per-source count reduce riding the same
+    bucket (pre-reduced in-bucket)."""
+    from ..functions.relops import grouped_map
+
+    wmap = dict(docs_canonical_word_map())
+    n_terms = len(set(wmap.values()))
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(w=df["text"].astype(str).str.split(" ")) \
+            .explode("w")
+        toks = toks.assign(term=toks["w"].map(wmap))
+        toks = toks[toks["term"].notna()]
+        return toks[["source", "term"]].drop_duplicates()
+
+    dt = ds.map_batches(explode, batch_format="pandas")
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds every copy of its (source, term) keys
+        u = df.drop_duplicates()
+        return u.groupby("source", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    part = grouped_map(dt, ["source", "term"], count_bucket,
+                       num_buckets=16)
+    from ..functions.relops import grouped_agg
+    out = grouped_agg(part, "source", n_terms=("n", "sum")).to_pandas()
+    out["source"] = out["source"].astype(str)
+    out["n_terms"] = out["n_terms"].astype("int64")
+    out["coverage_micro"] = (out["n_terms"] * 1_000_000) // n_terms
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_term_coverage_sql() -> str:
+    dict_rows = ", ".join(f"('{w}', '{t}')"
+                          for w, t in docs_canonical_word_map())
+    return f"""
+WITH dict(word, term_id) AS (VALUES {dict_rows}),
+tot AS (SELECT count(DISTINCT term_id) AS t FROM dict),
+toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+mt AS (SELECT DISTINCT source, dict.term_id
+       FROM toks JOIN dict USING (word))
+SELECT source, count(*)::BIGINT AS n_terms,
+       ((count(*) * 1000000) // (SELECT t FROM tot))::BIGINT
+         AS coverage_micro
+FROM mt GROUP BY source ORDER BY source
+"""
+
+
 def q_mention_depth_sql() -> str:
     dict_rows = ", ".join(f"('{w}', '{t}')"
                           for w, t in docs_canonical_word_map())
@@ -2195,6 +2252,52 @@ SELECT source, min(nsn)::BIGINT AS n_tokens,
        round(sum(cs1 * tm)::DOUBLE
              / ((min(nsn) + {_SRCKL_K}) * 1000000), 6) AS kl
 FROM t GROUP BY source ORDER BY source
+"""
+
+
+def q_simpson(sf_dir: str) -> pd.DataFrame:
+    """Simpson repeat rate of the token stream (Herdan/Simpson D):
+    the probability two random tokens are the same word,
+    sum c*(c-1) / (T*(T-1)) — the companion inequality scalar to
+    q_gini/q_token_entropy (high = repetitive/templated corpus).
+    One word-keyed vocabulary reduce, constant-size moment partials,
+    exact int64 numerator/denominator (HUGEINT-guarded in SQL),
+    identical DOUBLE division + half-away rounding."""
+    from ..functions.relops import grouped_agg
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    freq = grouped_agg(tf, "word", c=("tf", "sum"))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype="int64")
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "t": [c.sum()], "s": [(c * (c - 1)).sum()]})
+
+    p = freq.map_batches(part, batch_format="pandas").to_pandas()
+    n, t, s = int(p["n"].sum()), int(p["t"].sum()), int(p["s"].sum())
+    den = t * (t - 1)
+    rate = (math.floor((float(s) / float(den)) * 1e6 + 0.5) / 1e6
+            if den != 0 else 0.0)
+    return pd.DataFrame({
+        "n_words": pd.Series([n], dtype="int64"),
+        "n_tokens": pd.Series([t], dtype="int64"),
+        "repeat_pairs": pd.Series([s], dtype="int64"),
+        "simpson": pd.Series([rate], dtype="float64")})
+
+
+Q_SIMPSON_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+s AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS t,
+             sum(c * (c - 1))::BIGINT AS s FROM freq)
+SELECT n AS n_words, t AS n_tokens, s AS repeat_pairs,
+       CASE WHEN t::HUGEINT * (t - 1) = 0 THEN 0.0
+            ELSE round(s::DOUBLE / (t::HUGEINT * (t - 1))::DOUBLE, 6)
+       END AS simpson
+FROM s
 """
 
 
@@ -7504,6 +7607,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_resnik_sim": q_resnik_sim,
         "q_lin_sim": q_lin_sim,
         "q_mention_depth": q_mention_depth,
+        "q_term_coverage": q_term_coverage,
+        "q_simpson": q_simpson,
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
         "q_kcore": q_kcore,
@@ -7657,6 +7762,8 @@ def oracles() -> Dict[str, str]:
         "q_resnik_sim": q_resnik_sim_sql(),
         "q_lin_sim": q_lin_sim_sql(),
         "q_mention_depth": q_mention_depth_sql(),
+        "q_term_coverage": q_term_coverage_sql(),
+        "q_simpson": Q_SIMPSON_SQL,
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_kcore": q_kcore_sql(),

@@ -817,3 +817,41 @@ def test_sppmi_crafted(ray_session, tmp_path):
     assert ("aa", "bb") in got and got[("aa", "bb")][0] == 3
     # cross-doc pair (dd, ee) must not exist even within the window
     assert ("dd", "ee") not in pairs
+
+
+def test_term_coverage_and_simpson_crafted(ray_session, tmp_path):
+    """q_term_coverage on hand-countable mentions (dedup within
+    source, canonical ids) and q_simpson on hand frequencies
+    (aa x3, bb x1 -> 6/12 = 0.5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import (q_simpson,
+                                                  q_term_coverage)
+    from fastobo_py_ray.testing.corpus import docs_canonical_word_map
+
+    n_terms = len({t for _, t in docs_canonical_word_map()})
+    docs = [("s1", "hash join hash"),   # 2 distinct terms
+            ("s1", "hash"),             # already counted
+            ("s2", "sort")]             # 1 term
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 4), pa.int64()),
+        "source": pa.array([s for s, _ in docs], pa.string()),
+        "text": pa.array([t for _, t in docs], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    cov = q_term_coverage(str(tmp_path)).set_index("source")
+    assert int(cov.loc["s1", "n_terms"]) == 2
+    assert int(cov.loc["s2", "n_terms"]) == 1
+    assert int(cov.loc["s1", "coverage_micro"]) == 2_000_000 // n_terms
+
+    d2 = tmp_path / "simp"
+    d2.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["aa aa aa bb"], pa.string())}),
+        d2 / "documents.parquet")
+    out = q_simpson(str(d2)).iloc[0]
+    # c = [3, 1]: sum c(c-1) = 6; T(T-1) = 12 -> 0.5
+    assert (int(out["n_tokens"]), int(out["repeat_pairs"]),
+            float(out["simpson"])) == (4, 6, 0.5)
