@@ -2255,6 +2255,87 @@ FROM t GROUP BY source ORDER BY source
 """
 
 
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise source-vocabulary Jaccard: |V_a ∩ V_b| over
+    |V_a ∪ V_b| for every unordered source pair — the lexical-overlap
+    matrix that, next to q_source_kl (distributional drift) and
+    q_dup_sources (verbatim copying), completes the source-comparison
+    battery.  Integer-exact: n_common and the micro-unit Jaccard
+    ((n*1e6) // (na+nb-n)) are pure int64.
+
+    Engine shape: batch-local distinct partials -> ONE (source, word)
+    keyed exchange for the global distinct -> the word-keyed
+    inverted-index pair exchange (a word's group is <= |sources| rows,
+    so no stop cap is needed) with in-bucket pre-summed pair partials
+    -> a tiny pair reduce; per-source vocab sizes ride a
+    driver-side dict (|sources| rows)."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(w=df["text"].astype(str).str.split(" ")) \
+            .explode("w")
+        toks = toks[toks["w"].notna()]
+        return toks[["source", "w"]].drop_duplicates()
+
+    dv = grouped_map(ds.map_batches(explode, batch_format="pandas"),
+                     ["source", "w"],
+                     lambda df: df.drop_duplicates(),
+                     num_buckets=32).materialize()
+
+    ns = grouped_agg(dv.map_batches(
+        lambda df: df.groupby("source", as_index=False).size()
+        .rename(columns={"size": "n"}), batch_format="pandas"),
+        "source", n=("n", "sum")).to_pandas()
+    nmap = dict(zip(ns["source"].astype(str), ns["n"].astype("int64")))
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return pd.DataFrame({
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "n_common": pd.Series(dtype="int64")})
+        return m.groupby(["source_x", "source_y"], as_index=False) \
+            .size().rename(columns={"source_x": "source_a",
+                                    "source_y": "source_b",
+                                    "size": "n_common"})
+
+    pr = grouped_agg(grouped_map(dv, "w", pairs_bucket, num_buckets=32),
+                     ["source_a", "source_b"],
+                     n_common=("n_common", "sum")).to_pandas()
+    na = pr["source_a"].astype(str).map(nmap).to_numpy(dtype="int64")
+    nb = pr["source_b"].astype(str).map(nmap).to_numpy(dtype="int64")
+    nc = pr["n_common"].to_numpy(dtype="int64")
+    out = pd.DataFrame({
+        "source_a": pr["source_a"].astype(str),
+        "source_b": pr["source_b"].astype(str),
+        "n_common": nc,
+        "jaccard_micro": (nc * 1_000_000) // (na + nb - nc)})
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)
+
+
+Q_VOCAB_OVERLAP_SQL = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+dv AS (SELECT DISTINCT source, w FROM toks),
+ns AS (SELECT source, count(*)::BIGINT AS n FROM dv GROUP BY 1),
+pr AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*)::BIGINT AS n_common
+       FROM dv a JOIN dv b ON a.w = b.w AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT pr.source_a, pr.source_b, pr.n_common,
+       ((pr.n_common * 1000000)
+        // (na.n + nb.n - pr.n_common))::BIGINT AS jaccard_micro
+FROM pr JOIN ns na ON na.source = pr.source_a
+        JOIN ns nb ON nb.source = pr.source_b
+ORDER BY pr.source_a, pr.source_b
+"""
+
+
 def q_simpson(sf_dir: str) -> pd.DataFrame:
     """Simpson repeat rate of the token stream (Herdan/Simpson D):
     the probability two random tokens are the same word,
@@ -7609,6 +7690,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_mention_depth": q_mention_depth,
         "q_term_coverage": q_term_coverage,
         "q_simpson": q_simpson,
+        "q_vocab_overlap": q_vocab_overlap,
         "q_harmonic": q_harmonic,
         "q_assortativity": q_assortativity,
         "q_kcore": q_kcore,
@@ -7764,6 +7846,7 @@ def oracles() -> Dict[str, str]:
         "q_mention_depth": q_mention_depth_sql(),
         "q_term_coverage": q_term_coverage_sql(),
         "q_simpson": Q_SIMPSON_SQL,
+        "q_vocab_overlap": Q_VOCAB_OVERLAP_SQL,
         "q_harmonic": Q_HARMONIC_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_kcore": q_kcore_sql(),

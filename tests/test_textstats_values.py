@@ -855,3 +855,26 @@ def test_term_coverage_and_simpson_crafted(ray_session, tmp_path):
     # c = [3, 1]: sum c(c-1) = 6; T(T-1) = 12 -> 0.5
     assert (int(out["n_tokens"]), int(out["repeat_pairs"]),
             float(out["simpson"])) == (4, 6, 0.5)
+
+
+def test_vocab_overlap_crafted(ray_session, tmp_path):
+    """q_vocab_overlap on hand-countable vocabularies:
+    V(s1) = {a,b,c}, V(s2) = {b,c,d}, V(s3) = {z} -> (s1,s2) share 2 of
+    4 (jaccard 0.5); s3 is disjoint and absent from the pair list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_vocab_overlap
+
+    docs = [("s1", "a b c a"), ("s2", "b c d"), ("s3", "z z")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 4), pa.int64()),
+        "source": pa.array([s for s, _ in docs], pa.string()),
+        "text": pa.array([t for _, t in docs], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_vocab_overlap(str(tmp_path))
+    got = {(a, b): (int(n), int(j)) for a, b, n, j in
+           zip(out["source_a"], out["source_b"], out["n_common"],
+               out["jaccard_micro"])}
+    assert got == {("s1", "s2"): (2, 2_000_000 // 4)}
