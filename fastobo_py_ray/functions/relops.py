@@ -627,6 +627,68 @@ def global_row_number(ds, keys: Union[str, List[str]],
     return rd.from_pandas_refs(refs)
 
 
+def global_running_sum(ds, keys: Union[str, List[str]],
+                       sum_cols: Union[str, List[str]],
+                       ascending: Union[bool, List[bool]] = True,
+                       suffix: str = "_cum"):
+    """Distributed GLOBAL cumulative sums over a total order — the
+    un-partitioned ``sum(col) OVER (ORDER BY keys ROWS UNBOUNDED
+    PRECEDING)`` window that :func:`grouped_map`'s per-key rank family
+    can't express.  For every column in ``sum_cols`` a new
+    ``<col><suffix>`` column carries the inclusive running sum.
+
+    Shape (the :func:`global_row_number` discipline): one distributed
+    ``Dataset.sort`` on ``keys`` — the ONLY exchange — then each
+    sorted block answers one scalar-per-column partial-sum task, the
+    driver exclusive-prefixes O(num_blocks x cols) scalars, and a
+    per-block remote task attaches ``offset + local cumsum``.  Rows
+    never move after the sort and the driver never holds rows.
+    Integer columns stay exact int64 end-to-end (numpy cumsum of int64
+    is int64); callers must pass a TOTAL order for a deterministic
+    result."""
+    import ray
+    from ray.data.block import BlockAccessor
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    s = ds.sort(keys, descending=[not a for a in (
+        [ascending] * len(keys) if isinstance(ascending, bool)
+        else list(ascending))])
+
+    @ray.remote
+    def _nrows_sums(block):
+        df = BlockAccessor.for_block(block).to_pandas()
+        if len(df) == 0:
+            return 0, [0] * len(cols)
+        return len(df), [df[c].to_numpy().sum() for c in cols]
+
+    @ray.remote
+    def _attach(block, offs):
+        df = BlockAccessor.for_block(block).to_pandas()
+        for c, o in zip(cols, offs):
+            df[c + suffix] = df[c].to_numpy().cumsum() + o
+        return df
+
+    block_refs = [br for bundle in s.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+    if not block_refs:
+        return s
+    got = ray.get([_nrows_sums.remote(b) for b in block_refs])
+    # drop empty blocks: a 0-row pandas block after a sort can carry NO
+    # columns at all, which would poison both the cumsum attach and any
+    # downstream schema union
+    block_refs = [b for b, (nr, _) in zip(block_refs, got) if nr]
+    if not block_refs:
+        return s
+    totals = np.asarray([sm for nr, sm in got if nr])
+    offsets = np.vstack([np.zeros(len(cols), dtype=totals.dtype),
+                         np.cumsum(totals, axis=0)[:-1]])
+    refs = [_attach.remote(b, list(o))
+            for b, o in zip(block_refs, offsets)]
+    import ray.data as rd
+    return rd.from_pandas_refs(refs)
+
+
 def ntile_from_pos(pos: "np.ndarray", n_rows: int,
                    n_tiles: int) -> "np.ndarray":
     """SQL ``ntile(n_tiles)`` (1-based) from 0-based positions in the

@@ -2094,6 +2094,119 @@ FROM s
 """
 
 
+def q_heaps(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth exponent: OLS slope of
+    ln(distinct words seen) on ln(tokens seen) along the corpus in
+    doc_id order — q_zipf's dual (natural text ~ 0.4-0.6; a corpus of
+    near-duplicates grows far slower, template spam faster), the
+    diagnostic that says whether MORE crawl still buys vocabulary.
+
+    Cross-engine exactness (the q_zipf contract): both cumulative
+    curves are exact int64 (token counts and first-occurrence word
+    counts), logs are integerized ONCE to milli-nats, per-batch moment
+    partials are int64 (exact below ~9e9 rows/batch) and the driver
+    folds them in unbounded Python ints while the SQL sums HUGEINT, so
+    the moments agree exactly at any corpus size; the slope divides
+    the HUGEINT-safe products as DOUBLEs with half-away 6-decimal
+    rounding, identically in SQL.
+
+    Scale shape: per-doc token totals are batch-local (a doc lives in
+    one row), the first-occurrence table is ONE word-keyed exchange
+    (min doc_id), new-words-per-doc is a vocab-scale second exchange,
+    and the global cumulative curve is
+    :func:`~fastobo_py_ray.functions.relops.global_running_sum` — one
+    distributed sort, rows never move again, the driver holds
+    O(blocks) scalars."""
+    from ..functions.relops import (global_running_sum, grouped_agg,
+                                    hash_join)
+    from ..stages.textstats import token_counts_batch as tf_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = ds.map_batches(tf_batch, batch_format="pandas")
+    # per-doc token totals: batch-local exact (docs never split)
+    dt = tok.map_batches(
+        lambda df: df.groupby("doc_id", as_index=False, sort=False)
+        .agg(t=("tf", "sum")), batch_format="pandas")
+    # global first-occurrence doc per word: one word-keyed exchange
+    fo = grouped_agg(
+        tok.map_batches(lambda df: df[["word", "doc_id"]],
+                        batch_format="pandas"),
+        "word", fd=("doc_id", "min"))
+    nw = grouped_agg(
+        fo.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["fd"],
+                                     "one": np.int64(1)}),
+            batch_format="pandas"),
+        "doc_id", nw=("one", "sum"))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "t": df["t"].astype("int64"),
+            "nw": df["nw"].fillna(0).astype("int64")})
+
+    per_doc = hash_join(dt, nw, on="doc_id", how="left",
+                        lcols=["doc_id", "t"], rcols=["doc_id", "nw"],
+                        bucket_finalize=fill)
+    cum = global_running_sum(per_doc, "doc_id", ["t", "nw"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["t_cum"].to_numpy(dtype="int64")
+        v = df["nw_cum"].to_numpy(dtype="int64")
+        keep = (n >= 1) & (v >= 1)
+        x = np.floor(1000 * np.log(n[keep]) + 0.5).astype("int64")
+        y = np.floor(1000 * np.log(v[keep]) + 0.5).astype("int64")
+        return pd.DataFrame({
+            "n": [np.int64(keep.sum())], "sx": [x.sum()],
+            "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()]})
+
+    p = cum.map_batches(part, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy, sxy, sxx = (int(p[c].sum()) for c in
+                        ("sx", "sy", "sxy", "sxx"))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx  # Python ints
+    if den != 0:
+        v = float(num) / float(den)
+        beta = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    else:
+        beta = 0.0
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "s_x": pd.Series([sx], dtype="int64"),
+        "s_y": pd.Series([sy], dtype="int64"),
+        "s_xy": pd.Series([sxy], dtype="int64"),
+        "s_xx": pd.Series([sxx], dtype="int64"),
+        "heaps_beta": pd.Series([beta], dtype="float64")})
+
+
+Q_HEAPS_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+fo AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+nwt AS (SELECT fd AS doc_id, count(*)::BIGINT AS nw FROM fo GROUP BY fd),
+dt AS (SELECT doc_id, count(*)::BIGINT AS t FROM tok GROUP BY doc_id),
+cum AS (SELECT d.doc_id,
+               sum(d.t) OVER w AS n,
+               sum(coalesce(x.nw, 0)) OVER w AS v
+        FROM dt d LEFT JOIN nwt x USING (doc_id)
+        WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)),
+t AS (SELECT CAST(floor(1000 * ln(n) + 0.5) AS BIGINT) AS x,
+             CAST(floor(1000 * ln(v) + 0.5) AS BIGINT) AS y
+      FROM cum WHERE n >= 1 AND v >= 1),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy, sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx FROM t)
+SELECT n AS n_docs, sx::BIGINT AS s_x, sy::BIGINT AS s_y,
+       sxy::BIGINT AS s_xy, sxx::BIGINT AS s_xx,
+       CASE WHEN n::HUGEINT * sxx - sx * sx = 0 THEN 0.0
+            ELSE round((n::HUGEINT * sxy - sx * sy)::DOUBLE /
+                       (n::HUGEINT * sxx - sx * sx)::DOUBLE, 6)
+       END AS heaps_beta
+FROM s
+"""
+
+
 def q_burstiness(sf_dir: str) -> pd.DataFrame:
     """Per-term burstiness (Church & Gale 1995): the dispersion index
     var/mean of the term's tf across the documents CONTAINING it —
@@ -4037,6 +4150,93 @@ r0 AS (SELECT node, ({unit} // (SELECT n FROM nn))::BIGINT AS rank
        FROM nodes){it}
 SELECT node, rank AS rank_micro FROM {prev}
 ORDER BY rank_micro DESC, node LIMIT {k}
+"""
+
+
+_HITS_ITERS = 4
+_HITS_K = 20
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the same
+    order->customer->nation->region entity graph as q_pagerank — the
+    link-analysis dual that separates 'points at good pages' (hubs:
+    orders, customers) from 'is pointed at by good hubs' (authorities:
+    nations, regions).  Engine: stages/graph.py:hits — fixed-point
+    int64 recurrence in 1e-9 units with L-inf grid normalization
+    (max-score rescale by floor division), bit-exact in any engine;
+    the edge table is dict-encoded once and never moves, each
+    half-iteration is a shuffle-free bincount-partial pass.  Oracle:
+    the identical recurrence as chained CTEs over HUGEINT.  Top-20 by
+    authority with node tiebreak."""
+    from ..stages.graph import hits
+
+    def pfx(table, a, pa_, b, pb):
+        ds = _read(sf_dir, table, columns=[a, b])
+        return ds.map_batches(
+            lambda df, a=a, b=b, pa_=pa_, pb=pb: pd.DataFrame({
+                "src": (pa_ + df[a].astype(str)).astype("string"),
+                "dst": (pb + df[b].astype(str)).astype("string")}),
+            batch_format="pandas")
+
+    edges = pfx("orders", "o_orderkey", "o:", "o_custkey", "c:") \
+        .union(pfx("customer", "c_custkey", "c:", "c_nationkey", "n:")) \
+        .union(pfx("supplier", "s_suppkey", "s:", "s_nationkey", "n:")) \
+        .union(pfx("nation", "n_nationkey", "n:", "n_regionkey", "r:"))
+    out = hits(edges, num_iters=_HITS_ITERS).to_pandas()
+    out["node"] = out["node"].astype(str)
+    out["auth_nano"] = out["auth_nano"].astype("int64")
+    out["hub_nano"] = out["hub_nano"].astype("int64")
+    return out.sort_values(["auth_nano", "node"],
+                           ascending=[False, True],
+                           kind="stable").head(_HITS_K) \
+        [["node", "auth_nano", "hub_nano"]].reset_index(drop=True)
+
+
+def _hits_sql(num_iters=_HITS_ITERS, k=_HITS_K,
+              edges_sql=_PR_EDGES_SQL) -> str:
+    """Chained-CTE HITS replaying stages/graph.py:hits bit-exactly:
+    per iteration one (auth-raw, auth-scale, auth, hub-raw, hub-scale,
+    hub) CTE six-pack — HUGEINT sums + the same greatest(1, max//UNIT)
+    floor rescale, so the match is exact, not tolerance-based."""
+    from ..stages.graph import HITS_UNIT
+
+    unit = HITS_UNIT
+    it = ""
+    prev = "h0"
+    for i in range(1, num_iters + 1):
+        # AS MATERIALIZED: each level references its predecessor ~4x
+        # (raw + scale on both half-steps); without it DuckDB's CTE
+        # inlining re-evaluates the chain 4^iters times (the q_kcore
+        # 3^rounds guard, same fix)
+        it += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.s)::HUGEINT AS raw
+  FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         (coalesce(r.raw, 0) //
+          (SELECT greatest(1, coalesce(max(raw), 0) // {unit})
+           FROM ar{i}))::HUGEINT AS s
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.s)::HUGEINT AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         (coalesce(r.raw, 0) //
+          (SELECT greatest(1, coalesce(max(raw), 0) // {unit})
+           FROM hr{i}))::HUGEINT AS s
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node)"""
+        prev = f"h{i}"
+    return f"""
+WITH edges AS ({edges_sql}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, {unit}::HUGEINT AS s FROM nodes){it}
+SELECT n.node, a.s::BIGINT AS auth_nano, h.s::BIGINT AS hub_nano
+FROM nodes n JOIN a{num_iters} a ON n.node = a.node
+             JOIN h{num_iters} h ON n.node = h.node
+ORDER BY auth_nano DESC, n.node LIMIT {k}
 """
 
 
@@ -7776,6 +7976,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_kcore": q_kcore,
         "q_rrf": q_rrf,
         "q_zipf": q_zipf,
+        "q_heaps": q_heaps,
         "q_burstiness": q_burstiness,
         "q_novelty": q_novelty,
         "q_dup_sources": q_dup_sources,
@@ -7820,6 +8021,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_khop": q_khop,
         "q_meta_blocking": q_meta_blocking,
         "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
         "q_temp_mix": q_temp_mix,
@@ -7933,6 +8135,7 @@ def oracles() -> Dict[str, str]:
         "q_kcore": q_kcore_sql(),
         "q_rrf": q_rrf_sql(),
         "q_zipf": Q_ZIPF_SQL,
+        "q_heaps": Q_HEAPS_SQL,
         "q_burstiness": Q_BURSTINESS_SQL,
         "q_novelty": Q_NOVELTY_SQL,
         "q_dup_sources": Q_DUP_SOURCES_SQL,
@@ -7989,6 +8192,7 @@ def oracles() -> Dict[str, str]:
         # of rows-only q_dedup_best (minhash clusters have no SQL form)
         "q_cluster_best": Q_CLUSTER_BEST_SQL,
         "q_pagerank": _pagerank_sql(),
+        "q_hits": _hits_sql(),
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,
         "q_source_mix": Q_SOURCE_MIX_SQL,

@@ -429,6 +429,110 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         batch_format="pandas")
 
 
+HITS_UNIT = 10 ** 9
+
+
+def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
+         num_iters: int = 4, max_nodes: int = 5_000_000):
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed
+    (src, dst) edge Dataset; returns a Dataset of
+    ``(node, auth_nano, hub_nano)`` covering every node.
+
+    Fixed-point INTEGER recurrence (same engine-independence argument
+    as :func:`pagerank` — integer sums and floor divisions are exact
+    under any summation order in any engine, so numpy and SQL BIGINT
+    agree bit-for-bit).  Scores are int64 multiples of 1/``HITS_UNIT``
+    (1e-9); each round is
+
+        araw(v)  = sum_{(u,v)} hub(u)
+        auth(v)  = araw(v) // max(1, max_v araw(v) // UNIT)
+        hraw(u)  = sum_{(u,v)} auth(v)
+        hub(u)   = hraw(u) // max(1, max_u hraw(u) // UNIT)
+
+    i.e. the classic L-inf normalization quantized to the unit grid
+    (max score lands in [UNIT, 2*UNIT)); sum-normalization would need
+    a raw*UNIT product that overflows int64 at web edge counts.
+    Init: hub = UNIT for every node.  Bounds: scores stay < 2*UNIT =
+    2e9, so per-batch float64 bincount partials are exact below
+    2^53/2e9 ~ 4.5e6 rows/batch, and the driver's int64 raw fold is
+    exact below 2^63/2e9 ~ 4.6e9 edges; past that, shard the fold (the
+    SQL oracle already sums in HUGEINT).
+
+    Broadcast tier only (node set collected once, guarded by
+    ``max_nodes``; the edge table — the 100-TB side — is
+    dictionary-encoded to int32 pairs ONCE and never moves again; each
+    half-iteration is a shuffle-free ``map_batches`` pass emitting
+    per-batch bincount partials bounded by distinct endpoints per
+    batch).  For node sets beyond a worker's heap, the
+    partition-once bucket-zip tier of :func:`pagerank` (mode="join")
+    is the drop-in shape — HITS differs only in the per-bucket kernel."""
+    import ray
+
+    unit = HITS_UNIT
+
+    def to_sd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df[src_col].astype("string"),
+            "dst": df[dst_col].astype("string")})
+
+    edges = edges_ds.map_batches(to_sd, batch_format="pandas")
+
+    parts = edges.map_batches(
+        lambda df: pd.DataFrame({"node": pd.concat(
+            [df["src"], df["dst"]], ignore_index=True).unique()}),
+        batch_format="pandas").to_pandas()
+    nodes = np.sort(parts["node"].unique())
+    n = len(nodes)
+    if n > max_nodes:
+        raise ValueError(
+            f"hits() node set ({n}) exceeds max_nodes={max_nodes}; "
+            f"port the pagerank(mode='join') partition-once tier for "
+            f"node sets beyond a worker's heap.")
+    idx_ref = ray.put({v: i for i, v in enumerate(nodes)})
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idx_ref)
+        return pd.DataFrame({
+            "si": df["src"].map(m).astype("int32"),
+            "di": df["dst"].map(m).astype("int32")})
+
+    iedges = edges.map_batches(encode,
+                               batch_format="pandas").materialize()
+
+    def half_step(score: np.ndarray, from_col: str,
+                  to_col: str) -> np.ndarray:
+        """One direction of the recurrence: raw(to) = sum score(from)
+        over edges, then the L-inf grid rescale."""
+        w_ref = ray.put(score)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(w_ref)
+            ti = df[to_col].to_numpy()
+            c = np.bincount(ti, weights=w[df[from_col].to_numpy()])
+            nz = np.nonzero(c)[0]
+            return pd.DataFrame({"ti": nz.astype("int32"),
+                                 "c": c[nz].astype("int64")})
+
+        part = iedges.map_batches(contrib,
+                                  batch_format="pandas").to_pandas()
+        raw = np.zeros(n, dtype="int64")
+        np.add.at(raw, part["ti"].to_numpy(), part["c"].to_numpy())
+        scale = max(1, int(raw.max(initial=0)) // unit)
+        return raw // scale
+
+    hub = np.full(n, unit, dtype="int64")
+    auth = np.zeros(n, dtype="int64")
+    for _ in range(num_iters):
+        auth = half_step(hub, "si", "di")
+        hub = half_step(auth, "di", "si")
+
+    out = pd.DataFrame({"node": pd.Series(nodes, dtype="string"),
+                        "auth_nano": auth.astype("int64"),
+                        "hub_nano": hub.astype("int64")})
+    import ray.data as rd
+    return rd.from_pandas(out)
+
+
 def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
                     num_buckets: int = 16):
     """Distributed triangle counting with per-node counts — the

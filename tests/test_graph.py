@@ -379,3 +379,66 @@ def test_kcore_crafted(ray_session):
     # the same path peels ~2 nodes/round: 2 rounds cannot converge
     with pytest.raises(ValueError, match="max_rounds"):
         kcore(rd.from_pandas(path), k=2, max_rounds=2)
+
+
+def test_hits_matches_pure_python_reference(ray_session):
+    """stages/graph.py:hits EXACTLY equals a pure-Python fixed-point
+    mirror of the integer recurrence (1e-9 units, L-inf grid rescale)
+    on a graph with a hub fan-out, an authority fan-in, a cycle, and a
+    sink — and the structure is right: the fan-in node tops authority,
+    the fan-out node tops hubs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import HITS_UNIT, hits
+
+    # h1,h2,h3 all point at "star"; h1 also at x; cycle x->y->x; y->sink
+    edges = pd.DataFrame({
+        "src": ["h1", "h2", "h3", "h1", "x", "y", "y"],
+        "dst": ["star", "star", "star", "x", "y", "x", "sink"]})
+    got = hits(rd.from_pandas(edges), num_iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    U = HITS_UNIT
+    pairs = list(zip(edges["src"].map(ix), edges["dst"].map(ix)))
+
+    def half(score, rev):
+        raw = [0] * n
+        for s, d in pairs:
+            if rev:
+                raw[s] += score[d]
+            else:
+                raw[d] += score[s]
+        sc = max(1, max(raw) // U)
+        return [v // sc for v in raw]
+
+    hub = [U] * n
+    for _ in range(4):
+        auth = half(hub, rev=False)
+        hub = half(auth, rev=True)
+
+    assert got["node"].tolist() == nodes
+    assert got["auth_nano"].tolist() == auth   # EXACT integer equality
+    assert got["hub_nano"].tolist() == hub
+    by = got.set_index("node")
+    # structural: star is the top authority, h1 (two targets incl. the
+    # star) is the top hub; pure sources have zero authority
+    assert by["auth_nano"].idxmax() == "star"
+    assert by["hub_nano"].idxmax() == "h1"
+    assert by.loc[["h1", "h2", "h3"], "auth_nano"].tolist() == [0, 0, 0]
+    assert by.loc["sink", "hub_nano"] == 0
+
+
+def test_hits_max_nodes_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import hits
+
+    ds = rd.from_pandas(pd.DataFrame({"src": list("abc"),
+                                      "dst": list("bcd")}))
+    with pytest.raises(ValueError, match="max_nodes"):
+        hits(ds, max_nodes=2)

@@ -512,3 +512,27 @@ def test_ntile_from_pos_duckdb_parity():
             f"SELECT ntile({t}) OVER (ORDER BY i) AS nt "
             f"FROM range({n}) t(i)").fetchnumpy()["nt"]
         assert got == list(col), (n, t)
+
+
+def test_global_running_sum_exact_multiblock(ray_session):
+    """global_running_sum == pandas cumsum on a shuffled multi-block
+    int64 input (exactness + the only-exchange-is-the-sort claim's
+    correctness half), two sum columns at once."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.functions.relops import global_running_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.permutation(1000).astype("int64"),
+        "a": rng.integers(-50, 50, 1000).astype("int64"),
+        "b": rng.integers(0, 10 ** 12, 1000).astype("int64")})
+    got = global_running_sum(rd.from_pandas(df).repartition(7),
+                             "k", ["a", "b"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = df.sort_values("k").reset_index(drop=True)
+    assert got["a_cum"].tolist() == exp["a"].cumsum().tolist()
+    assert got["b_cum"].tolist() == exp["b"].cumsum().tolist()
+    assert got["k"].tolist() == exp["k"].tolist()

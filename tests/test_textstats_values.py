@@ -904,3 +904,50 @@ def test_textrank_crafted(ray_session, tmp_path):
     assert (out["rank_micro"].to_numpy()[:-1]
             >= out["rank_micro"].to_numpy()[1:]).all()  # sorted desc
     assert len(out) <= 20 and len(out) >= 6
+
+
+def test_heaps_crafted_mirror(ray_session, tmp_path):
+    """q_heaps vs a pure-Python milli-nat OLS mirror on a corpus with
+    a hand-traced vocabulary-growth curve: doc 1 opens 2 words, doc 2
+    adds 1 of 3 tokens, doc 3 adds nothing — (n, v) = (2,2), (5,3),
+    (7,3) — plus the degenerate one-doc corpus (den = 0 -> 0.0 by
+    contract)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_heaps
+
+    def write(docs, path):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+            "text": pa.array(docs, pa.string())}),
+            path / "documents.parquet")
+
+    def mirror(curve):
+        xs = [math.floor(1000 * math.log(n) + 0.5) for n, _ in curve]
+        ys = [math.floor(1000 * math.log(v) + 0.5) for _, v in curve]
+        n = len(curve)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            return 0.0
+        v = float(num) / float(den)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    d = tmp_path / "heaps"
+    d.mkdir()
+    write(["aa bb", "aa cc bb", "cc bb"], d)
+    out = q_heaps(str(d)).iloc[0]
+    assert int(out["n_docs"]) == 3
+    assert float(out["heaps_beta"]) == mirror([(2, 2), (5, 3), (7, 3)])
+    assert 0 < float(out["heaps_beta"]) < 1  # vocabulary grows sublinearly
+
+    # one doc: a single (x, y) point -> den = 0 -> 0.0 by contract
+    e = tmp_path / "one"
+    e.mkdir()
+    write(["aa bb cc"], e)
+    assert float(q_heaps(str(e)).iloc[0]["heaps_beta"]) == 0.0
