@@ -3982,6 +3982,161 @@ ORDER BY c.doc_id
 """
 
 
+def q_cluster_purity(sf_dir: str) -> pd.DataFrame:
+    """Per-near-dup-cluster SOURCE entropy — the curation diagnostic
+    that says whether duplicate clusters live inside one crawl source
+    (benign re-crawls, entropy ~0) or span sources (syndication /
+    cross-source leakage, the q_dup_sources signal localized to actual
+    clusters).  Clusters are the exact 3-gram-Jaccard components of
+    q_graph_cc; for each cluster with per-source doc counts c_s and
+    n = sum c_s, the Shannon entropy ln(n) - (1/n) sum c_s ln(c_s) is
+    computed on the micro-nat integer grid:
+
+        ent_micro = L(n) - (sum_s c_s * L(c_s)) // n,
+        L(x) = floor(1e6 * ln(x) + 0.5)
+
+    so both engines do the identical int64 arithmetic (the DSIR /
+    q_source_kl log-integerization discipline).  Scale shape: the pair
+    pipeline + tree-reduce CC are the existing q_graph_cc stages; the
+    source attach is ONE doc-keyed join whose buckets pre-reduce to
+    (cluster, source) counts, then one cluster-keyed exchange computes
+    the entropy — output is cluster-bounded, never corpus-bounded
+    (singleton docs are not in any pair and never enter)."""
+    from ..functions.relops import grouped_agg, grouped_map, hash_join
+    from ..stages.canonicalize import connected_components_contract
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["doc_a"].astype(str).astype("string"),
+            "b": df["doc_b"].astype(str).astype("string")}),
+        batch_format="pandas")
+    labels = connected_components_contract(edges, col_a="a", col_b="b",
+                                           key=int)
+    docsrc = _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["doc_id"].astype(str).astype("string"),
+                "source": df["source"].astype("string")}),
+            batch_format="pandas")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "source"], as_index=False,
+                       sort=False).size().rename(columns={"size": "c"})
+        return g
+
+    per_src = grouped_agg(
+        hash_join(labels, docsrc, on="node",
+                  lcols=["node", "label"], rcols=["node", "source"],
+                  bucket_finalize=pre),
+        ["label", "source"], c=("c", "sum"))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", sort=False)
+        n = g["c"].transform("sum").to_numpy(dtype="int64")
+        c = df["c"].to_numpy(dtype="int64")
+        lc = np.floor(1e6 * np.log(c) + 0.5).astype("int64")
+        part = pd.DataFrame({"label": df["label"], "n": n,
+                             "clc": c * lc})
+        agg = part.groupby("label", as_index=False, sort=False).agg(
+            n=("n", "first"), clc=("clc", "sum"),
+            n_sources=("label", "size"))
+        ln_n = np.floor(
+            1e6 * np.log(agg["n"].to_numpy(dtype="int64")) + 0.5) \
+            .astype("int64")
+        return pd.DataFrame({
+            "component": agg["label"].astype("int64"),
+            "n_docs": agg["n"].astype("int64"),
+            "n_sources": agg["n_sources"].astype("int64"),
+            "entropy_micro": ln_n - (agg["clc"].to_numpy(dtype="int64")
+                                     // agg["n"].to_numpy(dtype="int64"))})
+
+    out = grouped_map(per_src, "label", entropy).to_pandas()
+    for col in ("component", "n_docs", "n_sources", "entropy_micro"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("component").reset_index(drop=True)
+
+
+Q_CLUSTER_PURITY_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_NGRAM_JACCARD_SQL}),
+bidir AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT s, s FROM bidir
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN bidir e ON e.s = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab)::BIGINT AS component
+         FROM reach GROUP BY node),
+per_src AS (SELECT c.component, d.source, count(*)::BIGINT AS c
+            FROM comp c JOIN documents d USING (doc_id)
+            GROUP BY c.component, d.source),
+tot AS (SELECT component, sum(c)::BIGINT AS n,
+               count(*)::BIGINT AS n_sources,
+               sum(c * CAST(floor(1e6 * ln(c) + 0.5) AS BIGINT))
+                 ::HUGEINT AS clc
+        FROM per_src GROUP BY component)
+SELECT component, n AS n_docs, n_sources,
+       (CAST(floor(1e6 * ln(n) + 0.5) AS BIGINT)
+        - (clc // n))::BIGINT AS entropy_micro
+FROM tot ORDER BY component
+"""
+
+
+_CRAWL_RATE = 2
+
+
+def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """Per-host politeness scheduling — the crawl-frontier step:
+    within each host, pages are prioritized (longest first, doc_id
+    tiebreak) and packed {r} to a fetch slot, so ``slot`` is the
+    round at which the page may be fetched without hammering the
+    host.  Batch-local URL canonicalization derives the host, then
+    ONE host-keyed exchange with an in-bucket C-speed sort + cumcount
+    assigns slots — the q_source_mix shape over the politeness key
+    every real crawler shards by.""".format(r=_CRAWL_RATE)
+    from ..functions.relops import grouped_map
+    from ..stages.urlops import url_canonicalize_batch
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def hostify(df: pd.DataFrame) -> pd.DataFrame:
+        c = url_canonicalize_batch(df.assign(url=_synth_url_batch(df)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "host": c["host"].astype("string"),
+            "n_chars": df["n_chars"].astype("int64")})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        rn = df.groupby("host", sort=False).cumcount().to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "host": df["host"],
+            "slot": (rn // _CRAWL_RATE).astype("int64")})
+
+    out = grouped_map(ds.map_batches(hostify, batch_format="pandas"),
+                      "host", bucket).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["host"] = out["host"].astype(str)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CRAWL_SCHEDULE_SQL = f"""
+WITH c AS ({_url_canon_sql(_SYNTH_URL_SQL)})
+SELECT d.doc_id, c.host,
+       ((row_number() OVER (PARTITION BY c.host
+                            ORDER BY d.n_chars DESC, d.doc_id) - 1)
+        // {_CRAWL_RATE})::BIGINT AS slot
+FROM documents d JOIN c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _KHOP_SEEDS = ("r:0", "r:3")
 _KHOP_K = 2
 
@@ -8018,6 +8173,8 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_graph_cc": q_graph_cc,
+        "q_cluster_purity": q_cluster_purity,
+        "q_crawl_schedule": q_crawl_schedule,
         "q_khop": q_khop,
         "q_meta_blocking": q_meta_blocking,
         "q_pagerank": q_pagerank,
@@ -8186,6 +8343,8 @@ def oracles() -> Dict[str, str]:
         "q_dup_removal": Q_DUP_REMOVAL_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
+        "q_cluster_purity": Q_CLUSTER_PURITY_SQL,
+        "q_crawl_schedule": Q_CRAWL_SCHEDULE_SQL,
         "q_khop": Q_KHOP_SQL,
         "q_meta_blocking": Q_META_BLOCKING_SQL,
         # keep-max-quality per Jaccard component: the SQL-green sibling

@@ -951,3 +951,82 @@ def test_heaps_crafted_mirror(ray_session, tmp_path):
     e.mkdir()
     write(["aa bb cc"], e)
     assert float(q_heaps(str(e)).iloc[0]["heaps_beta"]) == 0.0
+
+
+def test_cluster_purity_crafted(ray_session, tmp_path):
+    """q_cluster_purity on a corpus with two controlled duplicate
+    clusters: one pure (both docs from src_a -> entropy 0) and one
+    maximally mixed (one doc each from src_a/src_b -> entropy
+    L(2) = floor(1e6*ln2+0.5) micro-nats), singletons absent from the
+    output by construction."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_cluster_purity
+
+    # identical text => 3-gram jaccard 1.0 within each cluster; the
+    # clusters and the singleton share no 3-grams
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 10, 11, 99], pa.int64()),
+        "text": pa.array([t1, t1, t2, t2,
+                          "lonely standalone document xyz"], pa.string()),
+        "source": pa.array(["src_a", "src_a", "src_a", "src_b",
+                            "src_c"], pa.string())})
+    d = tmp_path / "purity"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_cluster_purity(str(d))
+    assert out["component"].tolist() == [1, 10]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["n_sources"].tolist() == [1, 2]
+    L2 = math.floor(1e6 * math.log(2) + 0.5)
+    # pure cluster: n*L(n) - n*L(n) = 0; mixed: L(2) - 0 (c_s=1, L(1)=0)
+    assert out["entropy_micro"].tolist() == [0, L2]
+
+
+def test_crawl_schedule_crafted(ray_session, tmp_path):
+    """q_crawl_schedule packs pages of one host into slots of
+    _CRAWL_RATE in longest-first order: 5 same-host pages with
+    distinct lengths land in slots [0,0,1,1,2], and the priority
+    order follows n_chars DESC with doc_id tiebreak."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_crawl_schedule
+
+    # one source and doc ids chosen to canonicalize to ONE host
+    # (_synth_url_batch host = source + '.example.com' lowercased)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["x"] * 5, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["web"] * 5, pa.string()),
+        "n_chars": pa.array([50, 40, 30, 20, 10], pa.int64())})
+    d = tmp_path / "sched"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_crawl_schedule(str(d)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["host"].nunique() == 1
+    # n_chars DESC order is doc_id order here: slots pair up
+    assert out["slot"].tolist() == [0, 0, 1, 1, 2]
+
+    # tiebreak: equal lengths order by doc_id
+    docs2 = pa.table({
+        "doc_id": pa.array([7, 3], pa.int64()),
+        "text": pa.array(["x", "x"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["web", "web"], pa.string()),
+        "n_chars": pa.array([10, 10], pa.int64())})
+    e = tmp_path / "tie"
+    e.mkdir()
+    pq.write_table(docs2, e / "documents.parquet")
+    out2 = q_crawl_schedule(str(e)).set_index("doc_id")
+    assert out2.loc[3, "slot"] == 0 and out2.loc[7, "slot"] == 0
