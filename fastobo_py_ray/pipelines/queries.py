@@ -1392,6 +1392,57 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_BP_W = 2
+_BP_MIN_DOCS = 3
+
+
+def q_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Per-source boilerplate share (CCNet-style repeated-paragraph
+    detection at host granularity): a non-overlapping {w}-word passage
+    is boilerplate when it appears in >= {t} DISTINCT documents of the
+    SAME source — templates repeat within a host, not across the web.
+    Engine: :func:`~fastobo_py_ray.stages.dedup.boilerplate_stats`
+    (batch-local pre-reduced occurrences, ONE (source, passage)-keyed
+    exchange deciding the threshold in-bucket, ONE skinny doc-keyed
+    reduce).  Oracle: exploded passages + HAVING count(DISTINCT doc_id)
+    + LEFT JOIN back, integer-floor bp_milli mirrored."""
+    from ..stages.dedup import boilerplate_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = boilerplate_stats(ds, passage_words=_BP_W,
+                            min_docs=_BP_MIN_DOCS).to_pandas()
+    for c in ("doc_id", "n_passages", "n_bp", "bp_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+q_boilerplate.__doc__ = q_boilerplate.__doc__.format(
+    w=_BP_W, t=_BP_MIN_DOCS)
+
+Q_BOILERPLATE_SQL = f"""
+WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+p AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + {_BP_W - 1}), ' ')
+           AS passage
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w), {_BP_W}))
+                AS i) t),
+bp AS (
+  SELECT source, passage FROM p
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+per AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_passages,
+         count(bp.passage)::BIGINT AS n_bp
+  FROM p LEFT JOIN bp USING (source, passage)
+  GROUP BY 1)
+SELECT doc_id, n_passages, n_bp,
+       (n_bp * 1000 // n_passages)::BIGINT AS bp_milli
+FROM per ORDER BY doc_id
+"""
+
+
 # deterministic synthetic URL per document — exercises EVERY
 # canonicalization rule (mixed-case scheme/host, default + exotic
 # ports, trailing slashes, fragments); built identically in pandas and
@@ -8158,6 +8209,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_train_split": q_train_split,
         "q_exact_dedup": q_exact_dedup,
         "q_passage_dedup": q_passage_dedup,
+        "q_boilerplate": q_boilerplate,
         "q_pii_redact": q_pii_redact,
         "q_url_normalize": q_url_normalize,
         "q_host_stats": q_host_stats,
@@ -8319,6 +8371,7 @@ def oracles() -> Dict[str, str]:
         "q_train_split": Q_TRAIN_SPLIT_SQL,
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,
+        "q_boilerplate": Q_BOILERPLATE_SQL,
         "q_pii_redact": _pii_sql(),
         "q_url_normalize": Q_URL_NORMALIZE_SQL,
         "q_host_stats": Q_HOST_STATS_SQL,

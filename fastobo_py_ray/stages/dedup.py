@@ -1155,6 +1155,97 @@ def passage_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_buckets=num_buckets, exchange=exchange)
 
 
+def boilerplate_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                      group_col: str = "source", passage_words: int = 2,
+                      min_docs: int = 3, num_buckets: int = 64):
+    """Per-host boilerplate share — CCNet-style repeated-paragraph
+    detection scoped to the source: a passage (non-overlapping
+    ``passage_words``-token window, the :func:`passage_dedup` chunking)
+    is *boilerplate* when it occurs in >= ``min_docs`` DISTINCT
+    documents of the SAME ``group_col``.  Navigation chrome, footers
+    and license blocks repeat within a host, not across the web —
+    which is why CCNet hashes paragraphs per shard and RefinedWeb
+    filters per domain rather than globally.
+
+    Returns one row per document: ``(id_col, n_passages, n_bp,
+    bp_milli)`` where ``n_bp`` counts the document's passage
+    occurrences (multiplicity included) whose ``(group, passage)`` key
+    crossed the distinct-doc threshold, and
+    ``bp_milli = n_bp * 1000 // n_passages`` (exact integer floor).
+
+    Scale shape: passages pre-reduce batch-locally to distinct
+    ``(group, passage, id, c)`` occurrence rows (documents are whole
+    per input row, so per-doc counts are exact batch-locally); ONE
+    (group, passage)-keyed exchange holds every occurrence row of a
+    key, so the distinct-doc threshold is decided exactly in-bucket
+    with no join and re-emits per-doc boilerplate partials; ONE skinny
+    id-keyed reduce merges those with batch-local passage totals.  Two
+    coarse exchanges — the :func:`passage_dedup` budget — and the
+    second moves at most one row per (doc, boilerplate-hit) plus one
+    base row per doc.
+    """
+    from ..functions.relops import grouped_agg, grouped_map
+
+    P = int(passage_words)
+
+    def occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        ids: List = []
+        grps: List = []
+        texts: List[str] = []
+        for did, g, t in zip(df[id_col].tolist(), df[group_col].tolist(),
+                             df[text_col].tolist()):
+            w = (t or "").split(" ")
+            for j in range(0, (len(w) + P - 1) // P):
+                ids.append(did)
+                grps.append(g)
+                texts.append(" ".join(w[j * P:(j + 1) * P]))
+        out = pd.DataFrame({
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
+            group_col: pd.Series(grps, dtype="string"),
+            "passage": pd.Series(texts, dtype="string")})
+        return out.groupby([group_col, "passage", id_col],
+                           as_index=False, sort=False).size() \
+            .rename(columns={"size": "c"})
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        # split(" ") of "" is [''] -> every doc has >= 1 passage
+        n_words = df[text_col].astype(str).str.count(" ").to_numpy() + 1
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "bp": np.zeros(len(df), dtype="int64"),
+            "np_": ((n_words + P - 1) // P).astype("int64")})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (group, passage, id): a plain count IS
+        # the distinct-doc count for the key
+        nd = df.groupby([group_col, "passage"], sort=False)[id_col] \
+            .transform("count")
+        hit = df[nd.to_numpy() >= min_docs]
+        return pd.DataFrame({
+            id_col: hit[id_col],
+            "bp": hit["c"].astype("int64"),
+            "np_": np.zeros(len(hit), dtype="int64")})
+
+    occ = ds.map_batches(occurrences, batch_format="pandas")
+    hits = grouped_map(occ, [group_col, "passage"], bucket,
+                       num_buckets=num_buckets)
+    base = ds.map_batches(totals, batch_format="pandas")
+    per_doc = grouped_agg(hits.union(base), id_col,
+                          num_buckets=num_buckets,
+                          n_bp=("bp", "sum"), n_passages=("np_", "sum"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df["n_bp"].to_numpy().astype("int64")
+        npas = df["n_passages"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_passages": npas,
+            "n_bp": nb,
+            "bp_milli": (nb * 1000) // npas})
+
+    return per_doc.map_batches(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # incremental (cross-corpus) dedup — Bloom + exact-verify
 # ---------------------------------------------------------------------------

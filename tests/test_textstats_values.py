@@ -1030,3 +1030,40 @@ def test_crawl_schedule_crafted(ray_session, tmp_path):
     pq.write_table(docs2, e / "documents.parquet")
     out2 = q_crawl_schedule(str(e)).set_index("doc_id")
     assert out2.loc[3, "slot"] == 0 and out2.loc[7, "slot"] == 0
+
+
+def test_boilerplate_crafted(ray_session, tmp_path):
+    """q_boilerplate flags a 2-word passage as boilerplate only when it
+    appears in >= 3 DISTINCT docs of the SAME source: 'nav bar' crosses
+    the threshold in src_a (docs 1,2,3 — doc 3 carries it twice and
+    both occurrences count), 'home page' stays below it (2 docs), and
+    the same 'nav bar' passage in src_b (1 doc) is NOT boilerplate —
+    the per-source scoping that distinguishes this from passage_dedup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_boilerplate
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "nav bar home page",          # passages: [nav bar][home page]
+            "nav bar home page",
+            "nav bar nav bar extra",      # [nav bar][nav bar][extra]
+            "nav bar home page",          # src_b: below threshold
+        ], pa.string()),
+        "source": pa.array(["src_a", "src_a", "src_a", "src_b"],
+                           pa.string())})
+    d = tmp_path / "bp"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_boilerplate(str(d)).set_index("doc_id")
+    assert out.loc[1, "n_passages"] == 2 and out.loc[1, "n_bp"] == 1
+    assert out.loc[1, "bp_milli"] == 500
+    assert out.loc[2, "n_bp"] == 1
+    # multiplicity: doc 3's two 'nav bar' occurrences both count
+    assert out.loc[3, "n_passages"] == 3 and out.loc[3, "n_bp"] == 2
+    assert out.loc[3, "bp_milli"] == 666
+    # per-source scoping: src_b never reaches 3 distinct docs
+    assert out.loc[4, "n_bp"] == 0 and out.loc[4, "bp_milli"] == 0
