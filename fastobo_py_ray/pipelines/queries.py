@@ -4359,6 +4359,116 @@ ORDER BY rank_micro DESC, node LIMIT {k}
 """
 
 
+_PPR_SEEDS = ("r:0", "r:2")
+_PPR_ITERS = 4
+_PPR_K = 20
+
+# the q_pagerank entity graph REVERSED (region -> nation -> {customer,
+# supplier}, customer -> order): PPR relevance flows OUT of the seeds,
+# so seeding at regions ranks the entities in their subtree — with the
+# forward orientation the region seeds are sinks and the walk is
+# degenerate
+_PPR_EDGES_SQL = """
+  SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'n:' || c_nationkey, 'c:' || c_custkey FROM customer
+  UNION ALL
+  SELECT 'n:' || s_nationkey, 's:' || s_suppkey FROM supplier
+  UNION ALL
+  SELECT 'r:' || n_regionkey, 'n:' || n_nationkey FROM nation
+"""
+
+
+def q_ppr(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank from two region seeds over the REVERSED
+    entity graph — "rank every entity by proximity to the seed
+    regions", the related-entity query behind seed-expanded topic
+    crawls.  Engine: stages/graph.py:personalized_pagerank (fixed-point
+    int64, teleport + dangling mass confined to the seed set, bit-exact
+    in any engine).  Oracle: the identical integer recurrence as
+    chained CTEs with the seed CASE inline.  Top-20 by rank with node
+    tiebreak."""
+    from ..stages.graph import personalized_pagerank
+
+    def pfx(table, a, pa_, b, pb):
+        ds = _read(sf_dir, table, columns=[a, b])
+        return ds.map_batches(
+            lambda df, a=a, b=b, pa_=pa_, pb=pb: pd.DataFrame({
+                "src": (pa_ + df[a].astype(str)).astype("string"),
+                "dst": (pb + df[b].astype(str)).astype("string")}),
+            batch_format="pandas")
+
+    edges = pfx("orders", "o_custkey", "c:", "o_orderkey", "o:") \
+        .union(pfx("customer", "c_nationkey", "n:", "c_custkey", "c:")) \
+        .union(pfx("supplier", "s_nationkey", "n:", "s_suppkey", "s:")) \
+        .union(pfx("nation", "n_regionkey", "r:", "n_nationkey", "n:"))
+    out = personalized_pagerank(edges, _PPR_SEEDS,
+                                num_iters=_PPR_ITERS).to_pandas()
+    out["node"] = out["node"].astype(str)
+    out["rank_micro"] = out["rank_micro"].astype("int64")
+    return out.sort_values(["rank_micro", "node"],
+                           ascending=[False, True],
+                           kind="stable").head(_PPR_K) \
+        [["node", "rank_micro"]].reset_index(drop=True)
+
+
+def _ppr_sql(seeds=_PPR_SEEDS, num_iters=_PPR_ITERS, damping=0.85,
+             k=_PPR_K, edges_sql=_PPR_EDGES_SQL) -> str:
+    """Chained-CTE personalized PageRank replaying
+    stages/graph.py:personalized_pagerank bit-exactly: BIGINT ranks in
+    1e-12 units, teleport and dangling-return restricted to the seed
+    rows via a LEFT JOIN against the (seed ∩ node) CTE, floor division
+    spelled identically."""
+    from fractions import Fraction
+
+    from ..stages.graph import PAGERANK_UNIT
+
+    fr = Fraction(str(damping))
+    num, den = fr.numerator, fr.denominator
+    tele_num = den - num
+    unit = PAGERANK_UNIT
+    seed_vals = ", ".join(f"('{s}')" for s in seeds)
+    it = ""
+    prev = "r0"
+    for i in range(1, num_iters + 1):
+        it += f""",
+d{i} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+         FROM {prev} r LEFT JOIN deg g ON r.node = g.node
+         WHERE g.node IS NULL),
+c{i} AS (SELECT e.dst AS node, sum(r.rank // g.outdeg) AS s
+         FROM edges e JOIN {prev} r ON e.src = r.node
+                      JOIN deg g ON e.src = g.node
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+           (CASE WHEN sd.node IS NOT NULL
+                 THEN ({tele_num} * {unit}) // ({den} * (SELECT s FROM sn))
+                 ELSE 0 END
+            + ({num} * (coalesce(c.s, 0)
+                        + CASE WHEN sd.node IS NOT NULL
+                               THEN (SELECT mass FROM d{i})
+                                    // (SELECT s FROM sn)
+                               ELSE 0 END)) // {den})::BIGINT AS rank
+         FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+                      LEFT JOIN sd ON n.node = sd.node)"""
+        prev = f"r{i}"
+    return f"""
+WITH edges AS ({edges_sql}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+        FROM edges GROUP BY src),
+sd AS (SELECT n.node FROM nodes n
+       JOIN (VALUES {seed_vals}) v(node) ON n.node = v.node),
+sn AS (SELECT count(*)::BIGINT AS s FROM sd),
+r0 AS (SELECT n.node,
+              (CASE WHEN sd.node IS NOT NULL
+                    THEN {unit} // (SELECT s FROM sn)
+                    ELSE 0 END)::BIGINT AS rank
+       FROM nodes n LEFT JOIN sd ON n.node = sd.node){it}
+SELECT node, rank AS rank_micro FROM {prev}
+ORDER BY rank_micro DESC, node LIMIT {k}
+"""
+
+
 _HITS_ITERS = 4
 _HITS_K = 20
 
@@ -8230,6 +8340,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_khop": q_khop,
         "q_meta_blocking": q_meta_blocking,
         "q_pagerank": q_pagerank,
+        "q_ppr": q_ppr,
         "q_hits": q_hits,
         "q_semantic_link": q_semantic_link,
         "q_source_mix": q_source_mix,
@@ -8404,6 +8515,7 @@ def oracles() -> Dict[str, str]:
         # of rows-only q_dedup_best (minhash clusters have no SQL form)
         "q_cluster_best": Q_CLUSTER_BEST_SQL,
         "q_pagerank": _pagerank_sql(),
+        "q_ppr": _ppr_sql(),
         "q_hits": _hits_sql(),
         "q_running_total": Q_RUNNING_TOTAL_SQL,
         "q_chunk": Q_CHUNK_SQL,

@@ -442,3 +442,50 @@ def test_hits_max_nodes_guard(ray_session):
                                       "dst": list("bcd")}))
     with pytest.raises(ValueError, match="max_nodes"):
         hits(ds, max_nodes=2)
+
+
+def test_personalized_pagerank_hand_values(ray_session):
+    """PPR with seed {A} on A<->B (plus C->A, C unreachable): two
+    hand-traced integer iterations — teleport mass lands ONLY on the
+    seed, the non-seed B carries pure walk mass, and C (nothing points
+    at it) stays exactly 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import personalized_pagerank
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["A", "B", "C"], "dst": ["B", "A", "A"]}))
+    out = personalized_pagerank(edges, ["A"], num_iters=2) \
+        .to_pandas().set_index("node")
+    # unit=1e12, d=17/20, tele_A=(3*1e12)//20=150e9
+    # it1: A=150e9, B=(17*1e12)//20=850e9
+    # it2: A=150e9+(17*850e9)//20=872_500_000_000, B=(17*150e9)//20
+    assert int(out.loc["A", "rank_micro"]) == 872_500_000_000
+    assert int(out.loc["B", "rank_micro"]) == 127_500_000_000
+    assert int(out.loc["C", "rank_micro"]) == 0
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(ray_session):
+    """Dangling mass returns to the SEED set, not uniformly: A->B with
+    B dangling and seed {A} — after one iteration B holds the walk
+    mass; after two, B's mass has come back to A (teleport + dangling
+    return), never leaking to B as uniform teleport would."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import personalized_pagerank
+
+    edges = rd.from_pandas(pd.DataFrame({"src": ["A"], "dst": ["B"]}))
+    out = personalized_pagerank(edges, ["A"], num_iters=2) \
+        .to_pandas().set_index("node")
+    # it1: mass(dangling B)=0; A=tele=150e9, B=(17*1e12)//20=850e9
+    # it2: dangling mass = 850e9 returns to A only:
+    #   A = 150e9 + (17*850e9)//20 = 872_500_000_000; B=(17*150e9)//20
+    assert int(out.loc["A", "rank_micro"]) == 872_500_000_000
+    assert int(out.loc["B", "rank_micro"]) == 127_500_000_000
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, ["ZZZ"], num_iters=1)
