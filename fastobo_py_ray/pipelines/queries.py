@@ -1392,6 +1392,76 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_FW_K = 25
+
+
+def q_fightin_words(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-drift vocabulary: Monroe et al. (2008) "Fightin'
+    Words" log-odds-ratio with a flat Dirichlet prior between two
+    crawl snapshots (doc_id parity split — the A/B halves a recrawl
+    produces), the per-word signal behind "which terms are newly
+    over-represented".  delta(w) = ln((c_a+1)/(n_a+V-c_a-1)) -
+    ln((c_b+1)/(n_b+V-c_b-1)), each log integerized ONCE to micro-nats
+    from exact integer counts (the q_source_kl DSIR discipline, so the
+    subtraction is exact int64 in both engines).  Scale shape:
+    batch-local (word, half) count partials, ONE word-keyed coarse
+    exchange, grid math on the vocab-bounded table.  Top-{k} A-leaning
+    words, word tiebreak."""
+    from ..functions.relops import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(w=df["text"].astype(str).str.split(" ")) \
+            .explode("w")
+        toks = toks[toks["w"].notna() & (toks["w"] != "")]
+        toks = toks.assign(
+            a=(toks["doc_id"].to_numpy() % 2 == 0).astype("int64"))
+        g = toks.groupby("w", as_index=False, sort=False) \
+            .agg(c_a=("a", "sum"), n=("a", "size"))
+        return pd.DataFrame({
+            "w": g["w"].astype("string"),
+            "c_a": g["c_a"].astype("int64"),
+            "c_b": (g["n"] - g["c_a"]).astype("int64")})
+
+    c = grouped_agg(ds.map_batches(part, batch_format="pandas"), "w",
+                    c_a=("c_a", "sum"), c_b=("c_b", "sum")).to_pandas()
+    ca = c["c_a"].to_numpy().astype("int64")
+    cb = c["c_b"].to_numpy().astype("int64")
+    na, nb, v = int(ca.sum()), int(cb.sum()), len(c)
+    la = np.round(1e6 * np.log((ca + 1) / (na + v - ca - 1).astype(
+        "float64"))).astype("int64")
+    lb = np.round(1e6 * np.log((cb + 1) / (nb + v - cb - 1).astype(
+        "float64"))).astype("int64")
+    out = pd.DataFrame({"word": c["w"].astype(str), "c_a": ca,
+                        "c_b": cb, "delta_micro": la - lb})
+    return out.sort_values(["delta_micro", "word"],
+                           ascending=[False, True], kind="stable") \
+        .head(_FW_K).reset_index(drop=True)
+
+
+q_fightin_words.__doc__ = q_fightin_words.__doc__.format(k=_FW_K)
+
+Q_FIGHTIN_WORDS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+t2 AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a, w
+       FROM toks WHERE w <> ''),
+c AS (SELECT w, sum(a)::BIGINT AS c_a,
+             sum(1 - a)::BIGINT AS c_b
+      FROM t2 GROUP BY w),
+tot AS (SELECT sum(c_a)::BIGINT AS na, sum(c_b)::BIGINT AS nb,
+               count(*)::BIGINT AS v FROM c)
+SELECT w AS word, c_a, c_b,
+       (CAST(round(1e6 * ln((c_a + 1)::DOUBLE / (na + v - c_a - 1)))
+             AS BIGINT)
+        - CAST(round(1e6 * ln((c_b + 1)::DOUBLE / (nb + v - c_b - 1)))
+               AS BIGINT)) AS delta_micro
+FROM c, tot
+ORDER BY delta_micro DESC, word LIMIT {_FW_K}
+"""
+
+
 _BP_W = 2
 _BP_MIN_DOCS = 3
 
@@ -8320,6 +8390,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_passage_dedup": q_passage_dedup,
         "q_boilerplate": q_boilerplate,
+        "q_fightin_words": q_fightin_words,
         "q_pii_redact": q_pii_redact,
         "q_url_normalize": q_url_normalize,
         "q_host_stats": q_host_stats,
@@ -8483,6 +8554,7 @@ def oracles() -> Dict[str, str]:
         "q_exact_dedup": Q_EXACT_DEDUP_SQL,
         "q_passage_dedup": Q_PASSAGE_DEDUP_SQL,
         "q_boilerplate": Q_BOILERPLATE_SQL,
+        "q_fightin_words": Q_FIGHTIN_WORDS_SQL,
         "q_pii_redact": _pii_sql(),
         "q_url_normalize": Q_URL_NORMALIZE_SQL,
         "q_host_stats": Q_HOST_STATS_SQL,

@@ -1067,3 +1067,29 @@ def test_boilerplate_crafted(ray_session, tmp_path):
     assert out.loc[3, "bp_milli"] == 666
     # per-source scoping: src_b never reaches 3 distinct docs
     assert out.loc[4, "n_bp"] == 0 and out.loc[4, "bp_milli"] == 0
+
+
+def test_fightin_words_crafted(ray_session, tmp_path):
+    """q_fightin_words on a hand-computable two-doc corpus: doc 0
+    (snapshot A) = 'x x x y', doc 1 (snapshot B) = 'y z' — with
+    V=3, n_a=4, n_b=2 the flat-prior log-odds deltas are
+    x: round(1e6*ln(4/3)) - round(1e6*ln(1/4)) = 1673976,
+    y: -510826, z: -1386294, ordered x > y > z."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_fightin_words
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x x x y", "y z"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string())})
+    d = tmp_path / "fw"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_fightin_words(str(d))
+    assert out["word"].tolist() == ["x", "y", "z"]
+    assert out["c_a"].tolist() == [3, 1, 0]
+    assert out["c_b"].tolist() == [0, 1, 1]
+    assert out["delta_micro"].tolist() == [1673976, -510826, -1386294]
