@@ -7720,6 +7720,69 @@ GROUP BY i ORDER BY dim
 """
 
 
+def q_emb_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance matrix of the embedding column — the
+    PCA/whitening precursor every vector pipeline runs before choosing
+    projections.  Exactness: values are integerized ONCE to the 1e-6
+    grid (half-away rounding, the SQL round() form), so every moment
+    (n, Sx, Sy, Sxy) is an exact integer and
+    ``cov_pico = trunc((n*Sxy - Sx*Sy) / n^2)`` is bit-equal in both
+    engines (trunc mirrors DuckDB's truncating ``//``; Python's floors,
+    so the engine truncates explicitly).  Scale shape: ZERO exchanges —
+    each batch emits a d*(d+1)/2-row moment partial via one int64
+    ``Q.T @ Q`` matmul, the driver folds Python-int exact sums over
+    O(blocks) constant-size partials; the oracle self-joins the
+    unnested grid.  Upper triangle (dim_i <= dim_j), 1-based dims."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.ann import _as_matrix
+        m = _as_matrix(df["embedding"]).astype("float64") * 1e6
+        q = (np.copysign(np.floor(np.abs(m) + 0.5), m)).astype("int64")
+        d = q.shape[1]
+        s = q.sum(axis=0, dtype="int64")
+        sxy = q.T @ q
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": (iu + 1).astype("int64"), "j": (ju + 1).astype("int64"),
+            "n": np.int64(len(q)),
+            "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["i", "j"], sort=True).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+        sxy=("sxy", "sum")).reset_index()
+    # Python-int exact products (n*Sxy can pass 2^63 at corpus scale)
+    cov = []
+    for n, sx, sy, sxy in zip(g["n"].tolist(), g["sx"].tolist(),
+                              g["sy"].tolist(), g["sxy"].tolist()):
+        num = n * sxy - sx * sy
+        den = n * n
+        cov.append(-((-num) // den) if num < 0 else num // den)
+    return pd.DataFrame({
+        "dim_i": g["i"].astype("int64"), "dim_j": g["j"].astype("int64"),
+        "cov_pico": pd.Series(cov, dtype="int64")})
+
+
+Q_EMB_COVARIANCE_SQL = """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings, generate_series(1, 64) t(i)),
+m AS (
+  SELECT a.i AS dim_i, b.i AS dim_j,
+         count(*)::HUGEINT AS n,
+         sum(a.qv)::HUGEINT AS sx, sum(b.qv)::HUGEINT AS sy,
+         sum(a.qv::HUGEINT * b.qv::HUGEINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2)
+SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j,
+       ((n * sxy - sx * sy) // (n * n))::BIGINT AS cov_pico
+FROM m ORDER BY dim_i, dim_j
+"""
+
+
 def q_media_ppm(sf_dir: str) -> pd.DataFrame:
     """REAL image decode through the driver contract: each document's
     bytes are rendered into an actual binary-netpbm P6 image
@@ -8427,6 +8490,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_dedup_best": q_dedup_best,
         "q_cluster_best": q_cluster_best,
         "q_dim_means": q_dim_means,
+        "q_emb_covariance": q_emb_covariance,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_histogram": q_histogram,
@@ -8640,6 +8704,7 @@ def oracles() -> Dict[str, str]:
         "q_json_extract": Q_JSON_EXTRACT_SQL,
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         "q_dim_means": Q_DIM_MEANS_SQL,
+        "q_emb_covariance": Q_EMB_COVARIANCE_SQL,
         # the k-means E-step at fixed seed centroids: value-gates the
         # assignment kernel the iterative (rows-only) q_kmeans reuses
         "q_kmeans_assign": Q_KMEANS_ASSIGN_SQL,

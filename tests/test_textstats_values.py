@@ -1093,3 +1093,37 @@ def test_fightin_words_crafted(ray_session, tmp_path):
     assert out["c_a"].tolist() == [3, 1, 0]
     assert out["c_b"].tolist() == [0, 1, 1]
     assert out["delta_micro"].tolist() == [1673976, -510826, -1386294]
+
+
+def test_emb_covariance_crafted(ray_session, tmp_path):
+    """q_emb_covariance hand arithmetic: vectors (1,2) and (3,6) give
+    population covariances 1, 2, 4 (in pico units 1e12/2e12/4e12); a
+    second fixture forces a NEGATIVE non-divisible numerator to pin
+    the truncating division (-1e12/9 -> -111111111111, matching
+    DuckDB's trunc //, NOT Python floor's -111111111112)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_emb_covariance
+
+    emb = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [3.0, 6.0]],
+                              pa.list_(pa.float32()))})
+    d = tmp_path / "cov"
+    d.mkdir()
+    pq.write_table(emb, d / "embeddings.parquet")
+    out = q_emb_covariance(str(d)).set_index(["dim_i", "dim_j"])
+    assert int(out.loc[(1, 1), "cov_pico"]) == 1_000_000_000_000
+    assert int(out.loc[(1, 2), "cov_pico"]) == 2_000_000_000_000
+    assert int(out.loc[(2, 2), "cov_pico"]) == 4_000_000_000_000
+
+    emb2 = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.0, 1.0], [1.0, 0.0], [1.0, 1.0]],
+                              pa.list_(pa.float32()))})
+    e = tmp_path / "covneg"
+    e.mkdir()
+    pq.write_table(emb2, e / "embeddings.parquet")
+    out2 = q_emb_covariance(str(e)).set_index(["dim_i", "dim_j"])
+    assert int(out2.loc[(1, 2), "cov_pico"]) == -111_111_111_111
