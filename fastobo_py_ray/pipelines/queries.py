@@ -3094,6 +3094,69 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
 """
 
 
+_KNN_TOPK = 3
+
+
+def q_jaccard_knn(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-{k} nearest neighbors by EXACT word-3-gram
+    Jaccard — the k-NN near-dup graph that feeds cluster
+    canonicalization with exact edges instead of LSH candidates.
+    Engine: stages/dedup.py:jaccard_topk_neighbors (the shared
+    _jaccard_inter two-exchange pipeline + one skinny doc-keyed top-k
+    exchange); similarity ranks on the integer
+    inter*1e6 // union grid (round-before-rank) with neighbor-id
+    tiebreak, so engine and SQL argsort identically."""
+    from ..stages.dedup import jaccard_topk_neighbors
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = jaccard_topk_neighbors(ds, topk=_KNN_TOPK).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("doc_id", "nbr", "jac_micro",
+                                       "rnk")})
+    for c in ("doc_id", "nbr", "jac_micro", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+q_jaccard_knn.__doc__ = q_jaccard_knn.__doc__.format(k=_KNN_TOPK)
+
+Q_JACCARD_KNN_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM idx
+         UNION ALL
+         SELECT doc_id, array_to_string(w, ' ')
+         FROM t WHERE len(w) BETWEEN 1 AND 2
+           AND array_to_string(w, ' ') <> '')),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+jm AS (SELECT doc_a, doc_b,
+              (inter * 1000000 // (sa.n + sb.n - inter))::BIGINT
+                AS jac_micro
+       FROM pair
+       JOIN sz sa ON sa.doc_id = doc_a
+       JOIN sz sb ON sb.doc_id = doc_b),
+sym AS (SELECT doc_a AS doc_id, doc_b AS nbr, jac_micro FROM jm
+        UNION ALL
+        SELECT doc_b, doc_a, jac_micro FROM jm),
+r AS (SELECT doc_id, nbr, jac_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jac_micro DESC, nbr) AS rnk
+      FROM sym)
+SELECT doc_id, nbr, jac_micro, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= {_KNN_TOPK}
+ORDER BY doc_id, rnk
+"""
+
+
 def q_running_total(sf_dir: str) -> pd.DataFrame:
     """Per-user running (cumulative) sum of event values — the
     UNBOUNDED PRECEDING window frame.  One keyed exchange on user_id;
@@ -8468,6 +8531,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_jaccard_knn": q_jaccard_knn,
         "q_graph_cc": q_graph_cc,
         "q_cluster_purity": q_cluster_purity,
         "q_crawl_schedule": q_crawl_schedule,
@@ -8642,6 +8706,7 @@ def oracles() -> Dict[str, str]:
         "q_winnow_overlap": Q_WINNOW_OVERLAP_SQL,
         "q_dup_removal": Q_DUP_REMOVAL_SQL,
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_jaccard_knn": Q_JACCARD_KNN_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_cluster_purity": Q_CLUSTER_PURITY_SQL,
         "q_crawl_schedule": Q_CRAWL_SCHEDULE_SQL,

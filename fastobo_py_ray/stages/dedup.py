@@ -549,6 +549,29 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     :func:`minhash_candidate_pairs` (probabilistic) instead.
     Returns a Dataset of (doc_a, doc_b, jaccard >= threshold), ids ordered.
     """
+    inter = _jaccard_inter(ds, id_col, text_col, k, max_doc_freq)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": df.get("doc_a", pd.Series(dtype="int64")),
+                                 "doc_b": df.get("doc_b", pd.Series(dtype="int64")),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = (df["inter"] / (df["n_a"] + df["n_b"] - df["inter"])).round(6)
+        out = df.assign(jaccard=jac)
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    return inter.map_batches(finish, batch_format="pandas")
+
+
+def _jaccard_inter(ds, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3, max_doc_freq: Optional[int] = None):
+    """The shared exact-Jaccard intersection pipeline behind
+    :func:`ngram_jaccard_pairs` and :func:`jaccard_topk_neighbors`:
+    distinct-shingle explode -> shingle-keyed pair partials (C-speed
+    in-bucket self-merge, pre-summed per pair) -> pair-keyed reduce.
+    Returns a Dataset of ``(doc_a, doc_b, n_a, n_b, inter)`` with
+    doc_a < doc_b — every pair sharing >= 1 shingle."""
     from ..functions.relops import grouped_agg, grouped_map
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -584,21 +607,63 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       sort=False).size().rename(columns={"size": "inter"})
         return g.astype({"inter": "int64"})
 
-    inter = grouped_agg(
+    return grouped_agg(
         grouped_map(sh, "shingle", bucket_pairs),
         ["doc_a", "doc_b", "n_a", "n_b"], inter=("inter", "sum"))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_a": df.get("doc_a", pd.Series(dtype="int64")),
-                                 "doc_b": df.get("doc_b", pd.Series(dtype="int64")),
-                                 "jaccard": pd.Series(dtype="float64")})
-        jac = (df["inter"] / (df["n_a"] + df["n_b"] - df["inter"])).round(6)
-        out = df.assign(jaccard=jac)
-        out = out[out["jaccard"] >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
 
-    return inter.map_batches(finish, batch_format="pandas")
+def jaccard_topk_neighbors(ds, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3,
+                           topk: int = 3,
+                           max_doc_freq: Optional[int] = None,
+                           num_buckets: int = 64):
+    """Per-document top-``topk`` nearest neighbors by EXACT word-k-gram
+    Jaccard — the k-NN near-dup graph construction that feeds cluster
+    canonicalization and SemDeDup-style pruning with an exact edge
+    list instead of LSH candidates.
+
+    Rides :func:`_jaccard_inter` (two coarse exchanges), then
+    symmetrizes each pair into both endpoint rows and runs ONE skinny
+    doc-keyed exchange whose in-bucket C sort + cumcount takes the
+    top-k.  Similarity is the exact integer
+    ``jac_micro = inter * 1_000_000 // union`` — ranking on the
+    integer grid (round-before-rank) so engine and SQL argsort
+    identically; ties break on neighbor id ascending.  Docs with no
+    positive-intersection neighbor are absent from the output.
+
+    Returns a Dataset of ``(doc_id, nbr, jac_micro, rnk)`` with
+    ``rnk`` in 1..topk.  Skew note: the symmetric edge list is the
+    pair table doubled — corpus-bounded for near-dup-shaped corpora;
+    ``max_doc_freq`` is the stop-gram cap when shingle groups explode.
+    """
+    from ..functions.relops import grouped_map
+
+    inter = _jaccard_inter(ds, id_col, text_col, k, max_doc_freq)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "jac_micro": pd.Series(dtype="int64")})
+        union = (df["n_a"] + df["n_b"] - df["inter"]).to_numpy()
+        jm = (df["inter"].to_numpy() * 1_000_000) // union
+        return pd.DataFrame({
+            "doc_id": pd.concat([df["doc_a"], df["doc_b"]],
+                                ignore_index=True),
+            "nbr": pd.concat([df["doc_b"], df["doc_a"]],
+                             ignore_index=True),
+            "jac_micro": np.concatenate([jm, jm]).astype("int64")})
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "jac_micro", "nbr"],
+                            ascending=[True, False, True], kind="stable")
+        rnk = df.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        out = df.assign(rnk=rnk.astype("int64"))
+        return out[out["rnk"] <= topk]
+
+    edges = inter.map_batches(symmetrize, batch_format="pandas")
+    return grouped_map(edges, "doc_id", top, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

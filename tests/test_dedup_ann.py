@@ -1173,3 +1173,29 @@ def test_dup_sources_crafted(ray_session, tmp_path):
     assert (row["source_a"], row["source_b"]) == ("s1", "s2")
     assert int(row["n_pairs"]) == 2
     assert int(row["jac_micro_sum"]) == 2 * 800_000  # J = 4/5 twice
+
+
+def test_jaccard_topk_neighbors_crafted(ray_session):
+    """jaccard_topk_neighbors on a hand-computable 4-doc corpus:
+    identical docs rank first at exactly 1_000_000 micro, the partial
+    overlap ranks second at 333333 (= 1*1e6 // 3), ties break on
+    neighbor id ascending, and a doc sharing no shingle is absent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.dedup import jaccard_topk_neighbors
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c d", "a b c x", "z z"]}))
+    out = jaccard_topk_neighbors(docs, topk=3).to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+    assert sorted(out["doc_id"].unique().tolist()) == [1, 2, 3]
+    d1 = out[out["doc_id"] == 1]
+    assert d1[["nbr", "jac_micro", "rnk"]].values.tolist() == [
+        [2, 1_000_000, 1], [3, 333_333, 2]]
+    d3 = out[out["doc_id"] == 3]
+    # tie at 333333: neighbor id ascending
+    assert d3[["nbr", "jac_micro", "rnk"]].values.tolist() == [
+        [1, 333_333, 1], [2, 333_333, 2]]
