@@ -4269,6 +4269,81 @@ FROM tot ORDER BY component
 """
 
 
+def q_cluster_density(sf_dir: str) -> pd.DataFrame:
+    """Per-near-dup-cluster edge density — the cluster-SHAPE QA signal
+    the purity entropy can't see: a cluster of true duplicates is a
+    near-clique (density ~1e6 micro), while a transitive chain of
+    barely-over-threshold pairs (A~B~C with A!~C, the classic LSH
+    false-merge shape) has density 2/n(n-1) — keep-one-per-cluster
+    canonicalization is only safe on the former.
+    ``density_micro = 2 * edges * 1e6 // (n * (n-1))`` — exact integer.
+    Scale shape: the q_graph_cc pair pipeline + tree-reduce CC, ONE
+    doc-keyed join attaching each pair's cluster label with in-bucket
+    pre-reduction to (cluster, edges) counts, and cluster-bounded
+    tables from there (never corpus-bounded)."""
+    from ..functions.relops import grouped_agg, hash_join
+    from ..stages.canonicalize import connected_components_contract
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "a": df["doc_a"].astype(str).astype("string"),
+            "b": df["doc_b"].astype(str).astype("string")}),
+        batch_format="pandas")
+    labels = connected_components_contract(edges, col_a="a", col_b="b",
+                                           key=int)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("label", as_index=False, sort=False).size() \
+            .rename(columns={"size": "e"})
+
+    ecnt = grouped_agg(
+        hash_join(edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["a"]}),
+            batch_format="pandas"),
+            labels, on="node",
+            lcols=["node"], rcols=["node", "label"],
+            bucket_finalize=pre),
+        "label", e=("e", "sum")).to_pandas()
+    ncnt = grouped_agg(labels, "label", n=("node", "count")).to_pandas()
+    # both tables are cluster-bounded (labels exist only for docs in
+    # >= 1 pair) — the driver merge is O(#clusters), never corpus-sized
+    m = ncnt.merge(ecnt, on="label")
+    n = m["n"].to_numpy().astype("int64")
+    e = m["e"].to_numpy().astype("int64")
+    out = pd.DataFrame({
+        "component": m["label"].astype("int64"),
+        "n_docs": n, "n_edges": e,
+        "density_micro": (2 * e * 1_000_000) // (n * (n - 1))})
+    return out.sort_values("component").reset_index(drop=True)
+
+
+Q_CLUSTER_DENSITY_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_NGRAM_JACCARD_SQL}),
+bidir AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT s, s FROM bidir
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN bidir e ON e.s = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab)::BIGINT AS component
+         FROM reach GROUP BY node),
+nodes AS (SELECT component, count(*)::BIGINT AS n_docs
+          FROM comp GROUP BY 1),
+ecnt AS (SELECT c.component, count(*)::BIGINT AS n_edges
+         FROM pairs p JOIN comp c ON p.doc_a = c.doc_id
+         GROUP BY 1)
+SELECT n.component, n.n_docs, e.n_edges,
+       (2 * e.n_edges * 1000000
+        // (n.n_docs * (n.n_docs - 1)))::BIGINT AS density_micro
+FROM nodes n JOIN ecnt e USING (component)
+ORDER BY component
+"""
+
+
 _CRAWL_RATE = 2
 
 
@@ -8534,6 +8609,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_jaccard_knn": q_jaccard_knn,
         "q_graph_cc": q_graph_cc,
         "q_cluster_purity": q_cluster_purity,
+        "q_cluster_density": q_cluster_density,
         "q_crawl_schedule": q_crawl_schedule,
         "q_khop": q_khop,
         "q_meta_blocking": q_meta_blocking,
@@ -8709,6 +8785,7 @@ def oracles() -> Dict[str, str]:
         "q_jaccard_knn": Q_JACCARD_KNN_SQL,
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_cluster_purity": Q_CLUSTER_PURITY_SQL,
+        "q_cluster_density": Q_CLUSTER_DENSITY_SQL,
         "q_crawl_schedule": Q_CRAWL_SCHEDULE_SQL,
         "q_khop": Q_KHOP_SQL,
         "q_meta_blocking": Q_META_BLOCKING_SQL,

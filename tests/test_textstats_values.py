@@ -1127,3 +1127,39 @@ def test_emb_covariance_crafted(ray_session, tmp_path):
     pq.write_table(emb2, e / "embeddings.parquet")
     out2 = q_emb_covariance(str(e)).set_index(["dim_i", "dim_j"])
     assert int(out2.loc[(1, 2), "cov_pico"]) == -111_111_111_111
+
+
+def test_cluster_density_crafted(ray_session, tmp_path):
+    """q_cluster_density separates clique-shaped from chain-shaped
+    clusters: three identical docs form a triangle (3 edges / 3 docs,
+    density 1e6) while a 3-doc transitive chain (A~B~C, A!~C at the
+    0.8 threshold) has 2 edges -> density 2*2*1e6//6 = 666666."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_cluster_density
+
+    # clique: identical texts (jaccard 1.0 pairwise)
+    tq = "alpha beta gamma delta epsilon zeta eta theta"
+    # chain: B shares >80% of shingles with both A and C (38/46 =
+    # 0.826), but A and C overlap only on the core (38/54 = 0.704 <
+    # 0.8) — a transitive chain, not a triangle
+    core = " ".join(f"w{i}" for i in range(40))
+    a = core + " " + " ".join(f"a{i}" for i in range(8))
+    b = core
+    c = " ".join(f"c{i}" for i in range(8)) + " " + core
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+        "text": pa.array([tq, tq, tq, a, b, c], pa.string()),
+        "source": pa.array(["s"] * 6, pa.string())})
+    d = tmp_path / "dens"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_cluster_density(str(d)).set_index("component")
+    assert int(out.loc[1, "n_docs"]) == 3
+    assert int(out.loc[1, "n_edges"]) == 3
+    assert int(out.loc[1, "density_micro"]) == 1_000_000
+    assert int(out.loc[10, "n_docs"]) == 3
+    assert int(out.loc[10, "n_edges"]) == 2
+    assert int(out.loc[10, "density_micro"]) == 666_666
