@@ -4269,6 +4269,77 @@ FROM tot ORDER BY component
 """
 
 
+def q_crawl_change(sf_dir: str) -> pd.DataFrame:
+    """Per-host recrawl change rate (Cho & Garcia-Molina refresh
+    estimation — the signal a crawl scheduler turns into revisit
+    frequency): consecutive doc_id pairs (2k, 2k+1) model the same URL
+    in two crawl snapshots, attributed to the snapshot-0 source; a page
+    "changed" when its length drifted > 10% (the cheap CCNet-style
+    detector: 20*|d0-d1| > d0+d1, pure integers).  Scale shape:
+    batch-local skinny (url_key, snap, source, n_chars) projection,
+    ONE url-keyed exchange pairs the snapshots in-bucket and
+    pre-reduces to (source, n, c) partials, ONE tiny source reduce;
+    ``change_milli = c*1000//n`` exact."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source",
+                                             "n_chars"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "url_key": d // 2, "snap": d % 2,
+            "source": df["source"].astype("string"),
+            "n_chars": df["n_chars"].astype("int64")})
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["snap"] == 0]
+        b = df[df["snap"] == 1]
+        m = a.merge(b[["url_key", "n_chars"]], on="url_key",
+                    suffixes=("_0", "_1"))
+        if m.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="string"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        d0 = m["n_chars_0"].to_numpy()
+        d1 = m["n_chars_1"].to_numpy()
+        chg = (20 * np.abs(d0 - d1) > (d0 + d1)).astype("int64")
+        g = m.assign(chg=chg).groupby("source", as_index=False,
+                                      sort=False) \
+            .agg(n=("chg", "size"), c=("chg", "sum"))
+        return g.astype({"n": "int64", "c": "int64"})
+
+    per_src = grouped_agg(
+        grouped_map(ds.map_batches(project, batch_format="pandas"),
+                    "url_key", pair),
+        "source", n_recrawled=("n", "sum"), n_changed=("c", "sum")) \
+        .to_pandas()
+    n = per_src["n_recrawled"].to_numpy().astype("int64")
+    c = per_src["n_changed"].to_numpy().astype("int64")
+    out = pd.DataFrame({
+        "source": per_src["source"].astype(str),
+        "n_recrawled": n, "n_changed": c,
+        "change_milli": (c * 1000) // n})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_CRAWL_CHANGE_SQL = """
+WITH s AS (SELECT doc_id // 2 AS url_key, doc_id % 2 AS snap,
+                  source, n_chars
+           FROM documents),
+p AS (SELECT a.source,
+             CASE WHEN 20 * abs(a.n_chars - b.n_chars)
+                       > (a.n_chars + b.n_chars)
+                  THEN 1 ELSE 0 END AS chg
+      FROM s a JOIN s b ON a.url_key = b.url_key
+                        AND a.snap = 0 AND b.snap = 1)
+SELECT source, count(*)::BIGINT AS n_recrawled,
+       sum(chg)::BIGINT AS n_changed,
+       (sum(chg) * 1000 // count(*))::BIGINT AS change_milli
+FROM p GROUP BY source ORDER BY source
+"""
+
+
 def q_cluster_density(sf_dir: str) -> pd.DataFrame:
     """Per-near-dup-cluster edge density — the cluster-SHAPE QA signal
     the purity entropy can't see: a cluster of true duplicates is a
@@ -8610,6 +8681,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_graph_cc": q_graph_cc,
         "q_cluster_purity": q_cluster_purity,
         "q_cluster_density": q_cluster_density,
+        "q_crawl_change": q_crawl_change,
         "q_crawl_schedule": q_crawl_schedule,
         "q_khop": q_khop,
         "q_meta_blocking": q_meta_blocking,
@@ -8786,6 +8858,7 @@ def oracles() -> Dict[str, str]:
         "q_graph_cc": Q_GRAPH_CC_SQL,
         "q_cluster_purity": Q_CLUSTER_PURITY_SQL,
         "q_cluster_density": Q_CLUSTER_DENSITY_SQL,
+        "q_crawl_change": Q_CRAWL_CHANGE_SQL,
         "q_crawl_schedule": Q_CRAWL_SCHEDULE_SQL,
         "q_khop": Q_KHOP_SQL,
         "q_meta_blocking": Q_META_BLOCKING_SQL,

@@ -1163,3 +1163,36 @@ def test_cluster_density_crafted(ray_session, tmp_path):
     assert int(out.loc[10, "n_docs"]) == 3
     assert int(out.loc[10, "n_edges"]) == 2
     assert int(out.loc[10, "density_micro"]) == 666_666
+
+
+def test_crawl_change_crafted(ray_session, tmp_path):
+    """q_crawl_change pairs (2k, 2k+1) as two snapshots of one URL and
+    flags >10% length drift: 100->105 (4.9%) is unchanged, 100->120
+    (18%) changed, exact 10% drift (100->110: 20*10 > 210 false) is
+    UNCHANGED (strict inequality), and an unpaired trailing doc is
+    dropped.  Attribution goes to the snapshot-0 source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_crawl_change
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["x"] * 7, pa.string()),
+        "source": pa.array(["hostA", "zzz", "hostA", "zzz",
+                            "hostB", "zzz", "hostB"], pa.string()),
+        "n_chars": pa.array([100, 105, 100, 120, 100, 110, 999],
+                            pa.int64())})
+    d = tmp_path / "chg"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = q_crawl_change(str(d)).set_index("source")
+    # hostA: pairs (0,1) unchanged, (2,3) changed -> 1/2
+    assert int(out.loc["hostA", "n_recrawled"]) == 2
+    assert int(out.loc["hostA", "n_changed"]) == 1
+    assert int(out.loc["hostA", "change_milli"]) == 500
+    # hostB: pair (4,5) exactly 10% -> unchanged; doc 6 unpaired
+    assert int(out.loc["hostB", "n_recrawled"]) == 1
+    assert int(out.loc["hostB", "n_changed"]) == 0
+    assert "zzz" not in out.index  # snap-1 sources never attributed
