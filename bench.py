@@ -143,6 +143,10 @@ def run_bench() -> dict:
     # pairs (heaviest new exchange) and the window-PMI matrix
     timed("q_winnow_overlap", Q.q_winnow_overlap)
     timed("q_sppmi", Q.q_sppmi)
+    # round-5 final-session additions: the per-host boilerplate pass
+    # (two corpus-text exchanges) and the exact-Jaccard k-NN graph
+    timed("q_boilerplate", Q.q_boilerplate)
+    timed("q_jaccard_knn", Q.q_jaccard_knn)
 
     actual_pages = corpus_pages(N_PAGES)
     result = {
