@@ -7929,19 +7929,13 @@ GROUP BY i ORDER BY dim
 """
 
 
-def q_emb_covariance(sf_dir: str) -> pd.DataFrame:
-    """Distributed covariance matrix of the embedding column — the
-    PCA/whitening precursor every vector pipeline runs before choosing
-    projections.  Exactness: values are integerized ONCE to the 1e-6
-    grid (half-away rounding, the SQL round() form), so every moment
-    (n, Sx, Sy, Sxy) is an exact integer and
-    ``cov_pico = trunc((n*Sxy - Sx*Sy) / n^2)`` is bit-equal in both
-    engines (trunc mirrors DuckDB's truncating ``//``; Python's floors,
-    so the engine truncates explicitly).  Scale shape: ZERO exchanges —
-    each batch emits a d*(d+1)/2-row moment partial via one int64
-    ``Q.T @ Q`` matmul, the driver folds Python-int exact sums over
-    O(blocks) constant-size partials; the oracle self-joins the
-    unnested grid.  Upper triangle (dim_i <= dim_j), 1-based dims."""
+def _emb_cov_moments(sf_dir: str) -> pd.DataFrame:
+    """Shared exact-integer covariance moment fold behind
+    q_emb_covariance and q_emb_pca: per-batch 1e-6-grid integerization
+    (half-away, the SQL round() form) + one int64 ``Q.T @ Q`` matmul
+    emitting a d*(d+1)/2-row partial, driver-folded over O(blocks)
+    constant-size frames — ZERO exchanges.  Returns the reduced
+    ``(i, j, n, sx, sy, sxy)`` table (1-based dims, i <= j)."""
     ds = _read(sf_dir, "embeddings", columns=["embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -7958,9 +7952,25 @@ def q_emb_covariance(sf_dir: str) -> pd.DataFrame:
             "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    g = parts.groupby(["i", "j"], sort=True).agg(
+    return parts.groupby(["i", "j"], sort=True).agg(
         n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
         sxy=("sxy", "sum")).reset_index()
+
+
+def q_emb_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance matrix of the embedding column — the
+    PCA/whitening precursor every vector pipeline runs before choosing
+    projections.  Exactness: values are integerized ONCE to the 1e-6
+    grid (half-away rounding, the SQL round() form), so every moment
+    (n, Sx, Sy, Sxy) is an exact integer and
+    ``cov_pico = trunc((n*Sxy - Sx*Sy) / n^2)`` is bit-equal in both
+    engines (trunc mirrors DuckDB's truncating ``//``; Python's floors,
+    so the engine truncates explicitly).  Scale shape: ZERO exchanges —
+    each batch emits a d*(d+1)/2-row moment partial via one int64
+    ``Q.T @ Q`` matmul, the driver folds Python-int exact sums over
+    O(blocks) constant-size partials; the oracle self-joins the
+    unnested grid.  Upper triangle (dim_i <= dim_j), 1-based dims."""
+    g = _emb_cov_moments(sf_dir)
     # Python-int exact products (n*Sxy can pass 2^63 at corpus scale)
     cov = []
     for n, sx, sy, sxy in zip(g["n"].tolist(), g["sx"].tolist(),
@@ -7989,6 +7999,94 @@ m AS (
 SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j,
        ((n * sxy - sx * sy) // (n * n))::BIGINT AS cov_pico
 FROM m ORDER BY dim_i, dim_j
+"""
+
+
+_PCA_ITERS = 8
+_PCA_UNIT = 10**6
+
+
+def q_emb_pca(sf_dir: str) -> pd.DataFrame:
+    """Dominant principal component of the embedding covariance —
+    power iteration as an exact integer fixed-point recurrence (the
+    q_hits discipline applied to PCA), so both engines land on
+    bit-identical components instead of comparing float eigensolvers.
+    Rides _emb_cov_moments' ZERO-exchange distributed fold (the corpus
+    never moves; each block ships one d(d+1)/2-row moment partial);
+    the d x d iteration itself is corpus-size-free and runs on the
+    driver over exact Python ints.  Recurrence: v0 = UNIT everywhere;
+    raw = C_pico @ v; scale = max(1, max|raw| // UNIT); v' =
+    trunc(raw / scale) (DuckDB's truncating ``//`` — components go
+    NEGATIVE, so the engine truncates explicitly rather than
+    Python-flooring).  The all-positive v0 pins the eigenvector sign,
+    so there is no sign ambiguity to paper over.  Output: (dim, comp)
+    — the unnormalized principal direction on the UNIT grid."""
+    g = _emb_cov_moments(sf_dir)
+    d = int(g["j"].max())
+    cov = [[0] * d for _ in range(d)]
+    for i, j, n, sx, sy, sxy in zip(
+            g["i"].tolist(), g["j"].tolist(), g["n"].tolist(),
+            g["sx"].tolist(), g["sy"].tolist(), g["sxy"].tolist()):
+        num = n * sxy - sx * sy
+        den = n * n
+        c = -((-num) // den) if num < 0 else num // den
+        cov[i - 1][j - 1] = c
+        cov[j - 1][i - 1] = c
+    v = [_PCA_UNIT] * d
+    for _ in range(_PCA_ITERS):
+        raw = [sum(cov[i][j] * v[j] for j in range(d))
+               for i in range(d)]
+        scale = max(1, max(abs(r) for r in raw) // _PCA_UNIT)
+        v = [-((-r) // scale) if r < 0 else r // scale for r in raw]
+    return pd.DataFrame({
+        "dim": pd.Series(range(1, d + 1), dtype="int64"),
+        "comp": pd.Series(v, dtype="int64")})
+
+
+def _emb_pca_sql(num_iters=_PCA_ITERS, unit=_PCA_UNIT,
+                 dims=64) -> str:
+    """Chained-CTE power iteration replaying q_emb_pca bit-exactly:
+    the covariance CTEs are Q_EMB_COVARIANCE_SQL's, mirrored to the
+    full matrix, then one (raw, rescale) HUGEINT CTE pair per
+    iteration — AS MATERIALIZED for the usual CTE-inlining blowup
+    guard (each level is referenced twice by its scale subquery)."""
+    it = ""
+    prev = "v0"
+    for i in range(1, num_iters + 1):
+        it += f""",
+r{i} AS MATERIALIZED (
+  SELECT c.i AS dim, sum(c.c * v.s)::HUGEINT AS raw
+  FROM covfull c JOIN {prev} v ON c.j = v.dim GROUP BY c.i),
+v{i} AS MATERIALIZED (
+  SELECT dim,
+         (raw // (SELECT greatest(1, max(abs(raw)) // {unit})
+                  FROM r{i}))::HUGEINT AS s
+  FROM r{i})"""
+        prev = f"v{i}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings, generate_series(1, {dims}) t(i)),
+m AS (
+  SELECT a.i AS dim_i, b.i AS dim_j,
+         count(*)::HUGEINT AS n,
+         sum(a.qv)::HUGEINT AS sx, sum(b.qv)::HUGEINT AS sy,
+         sum(a.qv::HUGEINT * b.qv::HUGEINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+cov AS (SELECT dim_i, dim_j,
+               ((n * sxy - sx * sy) // (n * n)) AS c
+        FROM m),
+covfull AS (
+  SELECT dim_i AS i, dim_j AS j, c FROM cov
+  UNION ALL
+  SELECT dim_j AS i, dim_i AS j, c FROM cov WHERE dim_i < dim_j),
+v0 AS (SELECT i AS dim, {unit}::HUGEINT AS s
+       FROM generate_series(1, {dims}) t(i)){it}
+SELECT dim::BIGINT AS dim, s::BIGINT AS comp FROM {prev}
+ORDER BY dim
 """
 
 
@@ -8703,6 +8801,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_cluster_best": q_cluster_best,
         "q_dim_means": q_dim_means,
         "q_emb_covariance": q_emb_covariance,
+        "q_emb_pca": q_emb_pca,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_histogram": q_histogram,
@@ -8920,6 +9019,7 @@ def oracles() -> Dict[str, str]:
         "q_embedding_stats": Q_EMBEDDING_STATS_SQL,
         "q_dim_means": Q_DIM_MEANS_SQL,
         "q_emb_covariance": Q_EMB_COVARIANCE_SQL,
+        "q_emb_pca": _emb_pca_sql(),
         # the k-means E-step at fixed seed centroids: value-gates the
         # assignment kernel the iterative (rows-only) q_kmeans reuses
         "q_kmeans_assign": Q_KMEANS_ASSIGN_SQL,

@@ -1129,6 +1129,39 @@ def test_emb_covariance_crafted(ray_session, tmp_path):
     assert int(out2.loc[(1, 2), "cov_pico"]) == -111_111_111_111
 
 
+def test_emb_pca_crafted(ray_session, tmp_path):
+    """q_emb_pca hand trace: vectors (1,2),(3,6) have rank-1
+    covariance with eigenvector (1,2) — the integer power iteration
+    converges to (500000, 1000000) on the UNIT grid by iteration 2.
+    A second fixture, deviations along (1,-2), pins NEGATIVE
+    components through the truncating division: (-500000, 1000000)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_emb_pca
+
+    emb = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [3.0, 6.0]],
+                              pa.list_(pa.float32()))})
+    d = tmp_path / "pca"
+    d.mkdir()
+    pq.write_table(emb, d / "embeddings.parquet")
+    out = q_emb_pca(str(d))
+    assert out["dim"].tolist() == [1, 2]
+    assert out["comp"].tolist() == [500000, 1000000]
+
+    emb2 = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, -2.0], [3.0, -6.0], [2.0, -4.0]],
+                              pa.list_(pa.float32()))})
+    e = tmp_path / "pcaneg"
+    e.mkdir()
+    pq.write_table(emb2, e / "embeddings.parquet")
+    out2 = q_emb_pca(str(e))
+    assert out2["comp"].tolist() == [-500000, 1000000]
+
+
 def test_cluster_density_crafted(ray_session, tmp_path):
     """q_cluster_density separates clique-shaped from chain-shaped
     clusters: three identical docs form a triangle (3 edges / 3 docs,
