@@ -1169,6 +1169,73 @@ FROM flagged GROUP BY user_id
 """
 
 
+_FLOW_ROUNDS = 8
+
+
+def q_flow_cycles(sf_dir: str) -> pd.DataFrame:
+    """Cyclic core of the user-flow event-type transition graph — the
+    directed-graph QA that asks 'which states live on loops' (for a KG
+    is_a hierarchy the same fixpoint is the acyclicity check: a valid
+    DAG trims to empty).  Transitions are consecutive events per user
+    (lead() semantics, (ts, event_id) order pinning duplicate
+    timestamps), derived in ONE user-keyed exchange with batch-local
+    vectorized shift — then stages/graph.py:cyclic_core runs the trim
+    fixpoint (one node-keyed degree exchange + two semi-joins per
+    round, driver holds only the survivor count).  Multi-edges kept:
+    n_in/n_out are transition multiplicities within the core.  Oracle:
+    the identical rounds unrolled as chained CTEs; post-fixpoint
+    rounds are no-ops."""
+    from ..functions.relops import grouped_map
+    from ..stages.graph import cyclic_core
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "src": pd.Series(et[:-1][same], dtype="string"),
+            "dst": pd.Series(et[1:][same], dtype="string")})
+
+    edges = grouped_map(ds, "user_id", transitions, num_buckets=32)
+    out = cyclic_core(edges, max_rounds=_FLOW_ROUNDS)
+    out["node"] = out["node"].astype(str)
+    return out
+
+
+def _flow_cycles_sql(rounds=_FLOW_ROUNDS) -> str:
+    """Chained-CTE trim fixpoint replaying cyclic_core round for
+    round: v{i} = nodes of e{i-1} with both in- and out-degree > 0,
+    e{i} = e{i-1} restricted to v{i} x v{i} — AS MATERIALIZED for the
+    usual CTE-inlining blowup guard (each level referenced 3x)."""
+    it = ""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        it += f""",
+v{i} AS MATERIALIZED (
+  SELECT node, sum(ind)::BIGINT AS n_in, sum(outd)::BIGINT AS n_out
+  FROM (SELECT dst AS node, 1 AS ind, 0 AS outd FROM {prev}
+        UNION ALL SELECT src, 0, 1 FROM {prev})
+  GROUP BY node HAVING sum(ind) > 0 AND sum(outd) > 0),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN v{i} a ON e.src = a.node JOIN v{i} b ON e.dst = b.node)"""
+        prev = f"e{i}"
+    return f"""
+WITH tr AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e0 AS (SELECT src, dst FROM tr WHERE dst IS NOT NULL){it}
+SELECT node, n_in, n_out FROM v{rounds} ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -8753,6 +8820,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_sliding_window": q_sliding_window,
         "q_sessionize": q_sessionize,
+        "q_flow_cycles": q_flow_cycles,
         "q_doc_stats": q_doc_stats,
         "q_quality": q_quality,
         "q_gopher_rules": q_gopher_rules,
@@ -8922,6 +8990,7 @@ def oracles() -> Dict[str, str]:
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
         "q_sliding_window": Q_SLIDING_WINDOW_SQL,
         "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_flow_cycles": _flow_cycles_sql(),
         "q_doc_stats": Q_DOC_STATS_SQL,
         "q_quality": Q_QUALITY_SQL,
         "q_gopher_rules": Q_GOPHER_RULES_SQL,

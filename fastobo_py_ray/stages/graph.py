@@ -988,3 +988,85 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
         f"kcore did not converge within max_rounds={max_rounds}; "
         f"raise max_rounds (peeling depth exceeds the unrolled SQL "
         f"oracle's round budget)")
+
+
+def cyclic_core(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                num_buckets: int = 16, max_rounds: int = 16
+                ) -> pd.DataFrame:
+    """Cyclic core of a DIRECTED graph by trim fixpoint — the standard
+    forward/backward trim that SCC algorithms (Hong et al. 2013) run
+    first, and the acyclicity QA a KG is_a hierarchy needs: repeatedly
+    delete nodes lacking an in-edge or an out-edge within the survivor
+    set.  Every node on a directed cycle survives; a pure DAG trims to
+    EMPTY (the is_a validity check); survivors that are not on a cycle
+    themselves lie on a path between two cycles (documented semantics
+    — exact on-cycle membership is SCC-size-2+, which this fixpoint
+    brackets from above).
+
+    Engine shape (the kcore discipline): each round is ONE node-keyed
+    degree exchange of batch-local (node, in, out) pre-reduced
+    partials + two semi-joins restricting edges to survivor endpoints;
+    the driver holds only the survivor COUNT.  Multi-edges are kept
+    (degrees are transition multiplicities), mirrored in the SQL
+    oracle.  ``max_rounds`` raises rather than silently truncating
+    (no-silent-caps rule); the oracle unrolls the same rounds and
+    post-fixpoint rounds are no-ops, so converged results are equal
+    by construction.
+
+    Returns (node, n_in, n_out) — in/out degree within the core."""
+    from ..functions.relops import grouped_agg, hash_join
+
+    edges = edges_ds.materialize()
+    n_prev = None
+    for _ in range(max_rounds):
+        def ends(df, s=src_col, d=dst_col):
+            part = pd.concat([
+                pd.DataFrame({"node": df[d], "ind": 1, "outd": 0}),
+                pd.DataFrame({"node": df[s], "ind": 0, "outd": 1})])
+            return part.groupby("node", as_index=False).agg(
+                ind=("ind", "sum"), outd=("outd", "sum"))
+
+        deg = grouped_agg(
+            edges.map_batches(ends, batch_format="pandas"),
+            "node", num_buckets=num_buckets,
+            ind=("ind", "sum"), outd=("outd", "sum"))
+        surv = deg.map_batches(
+            lambda df: df[(df["ind"] > 0) & (df["outd"] > 0)],
+            batch_format="pandas").materialize()
+        n_surv = surv.count()
+        if n_surv == n_prev:
+            out = surv.to_pandas()
+            if out.empty:
+                return pd.DataFrame({
+                    "node": pd.Series(dtype="string"),
+                    "n_in": pd.Series(dtype="int64"),
+                    "n_out": pd.Series(dtype="int64")})
+            out = out.rename(columns={"ind": "n_in", "outd": "n_out"})
+            out["n_in"] = out["n_in"].astype("int64")
+            out["n_out"] = out["n_out"].astype("int64")
+            return out[["node", "n_in", "n_out"]] \
+                .sort_values("node").reset_index(drop=True)
+        n_prev = n_surv
+        if n_surv == 0:
+            continue  # one more pass confirms the empty fixpoint
+        keep = surv.map_batches(
+            lambda df: df[["node"]], batch_format="pandas")
+        edges = hash_join(
+            edges, keep.map_batches(
+                lambda df, s=src_col: df.rename(columns={"node": s}),
+                batch_format="pandas"),
+            on=src_col, how="semi", lcols=[src_col, dst_col],
+            rcols=[src_col], num_buckets=num_buckets)
+        # repartition before materializing — the kcore block-accretion
+        # fix (each hash_join appends its input's block structure)
+        edges = hash_join(
+            edges, keep.map_batches(
+                lambda df, d=dst_col: df.rename(columns={"node": d}),
+                batch_format="pandas"),
+            on=dst_col, how="semi", lcols=[src_col, dst_col],
+            rcols=[dst_col], num_buckets=num_buckets) \
+            .repartition(num_buckets).materialize()
+    raise ValueError(
+        f"cyclic_core did not converge within max_rounds={max_rounds}; "
+        f"raise max_rounds (trim depth exceeds the unrolled SQL "
+        f"oracle's round budget)")

@@ -489,3 +489,70 @@ def test_personalized_pagerank_dangling_returns_to_seeds(ray_session):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, ["ZZZ"], num_iters=1)
+
+
+def test_cyclic_core_crafted(ray_session):
+    """Trim-fixpoint semantics: a 3-cycle with a dangling tail keeps
+    exactly the cycle (the tail peels inward one node per round); a
+    bridge node BETWEEN two cycles survives (documented bracket
+    semantics); a pure DAG trims to EMPTY (the is_a acyclicity QA)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import cyclic_core
+
+    # cycle a->b->c->a with tail c->d->e
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["a", "b", "c", "c", "d"],
+        "dst": ["b", "c", "a", "d", "e"]}))
+    out = cyclic_core(edges)
+    assert out["node"].tolist() == ["a", "b", "c"]
+    assert out["n_in"].tolist() == [1, 1, 1]
+    assert out["n_out"].tolist() == [1, 1, 1]
+
+    # two cycles joined by a bridge x: a<->b -> x -> c<->d
+    edges2 = rd.from_pandas(pd.DataFrame({
+        "src": ["a", "b", "b", "x", "c", "d"],
+        "dst": ["b", "a", "x", "c", "d", "c"]}))
+    out2 = cyclic_core(edges2)
+    assert out2["node"].tolist() == ["a", "b", "c", "d", "x"]
+
+    # DAG: diamond a->b, a->c, b->d, c->d
+    edges3 = rd.from_pandas(pd.DataFrame({
+        "src": ["a", "a", "b", "c"],
+        "dst": ["b", "c", "d", "d"]}))
+    out3 = cyclic_core(edges3)
+    assert len(out3) == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cyclic_core(edges, max_rounds=1)
+
+
+def test_flow_cycles_transitions(ray_session, tmp_path):
+    """q_flow_cycles transition derivation + core: user 1 walks
+    A->B->A (edges A->B, B->A: a 2-cycle, multiplicity counted), user
+    2 walks C->D (acyclic, trimmed); duplicate timestamps are pinned
+    by the event_id tiebreak."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_flow_cycles
+
+    ts = pd.Timestamp("2024-01-01")
+    ev = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([ts, ts, ts + pd.Timedelta(minutes=1),
+                        ts, ts + pd.Timedelta(minutes=1)]),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "A", "C", "D"],
+                               pa.string())})
+    d = tmp_path / "flow"
+    d.mkdir()
+    pq.write_table(ev, d / "events.parquet")
+    out = q_flow_cycles(str(d))
+    assert out["node"].tolist() == ["A", "B"]
+    assert out["n_in"].tolist() == [1, 1]
+    assert out["n_out"].tolist() == [1, 1]
