@@ -7960,6 +7960,60 @@ FROM x GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_covisit(sf_dir: str) -> pd.DataFrame:
+    """Item-item co-visitation matrix ('users who touched A also
+    touched B' — the collaborative-filtering / related-content
+    primitive) over the integer item field ``k`` of the event props:
+    n_users = distinct users whose event stream touches BOTH items.
+    Extraction follows the q_json_extract parity contract (the oracle
+    runs the IDENTICAL regex, so malformed props agree by
+    construction).  Scale shape: ONE user-keyed exchange — per-user
+    distinct items, the unordered pair explosion, and the (item_a,
+    item_b, count) pre-reduction all stay in-bucket — then ONE
+    pair-keyed coarse reduce; both reduced tables are
+    item-DOMAIN-bounded (|I|(|I|-1)/2 pairs), not corpus-bounded (the
+    SPPMI vocab^2 discipline).  At open item domains a per-user
+    distinct-item cap must gate the in-bucket quadratic (the hot-user
+    analogue of the stop-gram cap); the bounded k domain here keeps
+    every user's pair fan-out <= |I|^2/2 by construction."""
+    from ..functions.relops import grouped_agg, grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].astype(str).str.extract(
+            r'"k"\s*:\s*(-?\d+)', expand=False)
+        part = pd.DataFrame({"u": df["user_id"], "k": k}).dropna()
+        part["k"] = part["k"].astype("int64")
+        part = part.drop_duplicates()
+        m = part.merge(part, on="u")
+        m = m[m["k_x"] < m["k_y"]]
+        return m.groupby(["k_x", "k_y"], as_index=False) \
+            .size().rename(columns={
+                "k_x": "item_a", "k_y": "item_b", "size": "n_users"})
+
+    p = grouped_map(ds, "user_id", pairs, num_buckets=32)
+    out = grouped_agg(p, ["item_a", "item_b"], num_buckets=16,
+                      n_users=("n_users", "sum")).to_pandas()
+    out["item_a"] = out["item_a"].astype("int64")
+    out["item_b"] = out["item_b"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+Q_COVISIT_SQL = r"""
+WITH ki AS (
+  SELECT DISTINCT user_id,
+         CAST(NULLIF(regexp_extract(
+             props, '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS item
+  FROM events),
+kk AS (SELECT user_id, item FROM ki WHERE item IS NOT NULL)
+SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+FROM kk a JOIN kk b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2 ORDER BY item_a, item_b
+"""
+
+
 def q_dim_means(sf_dir: str) -> pd.DataFrame:
     """Per-dimension mean of the embedding column — the feature-drift /
     centering scan (a shifted dimension is the first sign of a broken
@@ -8870,6 +8924,7 @@ def registry() -> Dict[str, Callable[[str], pd.DataFrame]]:
         "q_dim_means": q_dim_means,
         "q_emb_covariance": q_emb_covariance,
         "q_emb_pca": q_emb_pca,
+        "q_covisit": q_covisit,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_histogram": q_histogram,
@@ -9089,6 +9144,7 @@ def oracles() -> Dict[str, str]:
         "q_dim_means": Q_DIM_MEANS_SQL,
         "q_emb_covariance": Q_EMB_COVARIANCE_SQL,
         "q_emb_pca": _emb_pca_sql(),
+        "q_covisit": Q_COVISIT_SQL,
         # the k-means E-step at fixed seed centroids: value-gates the
         # assignment kernel the iterative (rows-only) q_kmeans reuses
         "q_kmeans_assign": Q_KMEANS_ASSIGN_SQL,

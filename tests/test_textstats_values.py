@@ -1229,3 +1229,27 @@ def test_crawl_change_crafted(ray_session, tmp_path):
     assert int(out.loc["hostB", "n_recrawled"]) == 1
     assert int(out.loc["hostB", "n_changed"]) == 0
     assert "zzz" not in out.index  # snap-1 sources never attributed
+
+
+def test_covisit_crafted(ray_session, tmp_path):
+    """q_covisit hand count: user 1 touches items {1,2,3} (item 2
+    twice — distinct-per-user, not event-weighted), user 2 touches
+    {2,3}, user 3 has only malformed props (dropped): pairs
+    (1,2)=1, (1,3)=1, (2,3)=2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastobo_py_ray.pipelines.queries import q_covisit
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 2}',
+                           '{"k": 3}', '{"k": 2}', '{"k": 3}',
+                           '{"x": 9}'], pa.string())})
+    d = tmp_path / "covisit"
+    d.mkdir()
+    pq.write_table(ev, d / "events.parquet")
+    out = q_covisit(str(d))
+    assert out["item_a"].tolist() == [1, 1, 2]
+    assert out["item_b"].tolist() == [2, 3, 3]
+    assert out["n_users"].tolist() == [1, 1, 2]
