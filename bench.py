@@ -147,6 +147,10 @@ def run_bench() -> dict:
     # (two corpus-text exchanges) and the exact-Jaccard k-NN graph
     timed("q_boilerplate", Q.q_boilerplate)
     timed("q_jaccard_knn", Q.q_jaccard_knn)
+    # round-5 close additions: the trim-fixpoint cyclic core (iterative
+    # semi-join rounds) and the co-visitation pair exchange
+    timed("q_flow_cycles", Q.q_flow_cycles)
+    timed("q_covisit", Q.q_covisit)
 
     actual_pages = corpus_pages(N_PAGES)
     result = {
