@@ -936,6 +936,12 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
     from ..functions.relops import grouped_agg, hash_join
 
     edges = edges_ds.materialize()
+    # declare cast= on the semi-joins: the tagged union NA-widens
+    # non-key int64 columns to float64 (fine < 2^53, NOT for 64-bit
+    # hash ids at web scale) — see cyclic_core for the same guard
+    _d = edges.take_batch(1, batch_format="pandas").dtypes
+    cast = {c: str(_d[c]) for c in (a_col, b_col)
+            if pd.api.types.is_integer_dtype(_d[c])}
     n_prev = None
     for _ in range(max_rounds):
         ends = edges.map_batches(
@@ -971,7 +977,7 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
                 lambda df: df.rename(columns={"node": a_col}),
                 batch_format="pandas"),
             on=a_col, how="semi", lcols=[a_col, b_col],
-            rcols=[a_col], num_buckets=num_buckets)
+            rcols=[a_col], num_buckets=num_buckets, cast=cast)
         # repartition BEFORE materializing: each hash_join appends its
         # input's block structure to the output (~+|blocks| per round),
         # so without coalescing the per-round fixed cost grows with the
@@ -982,7 +988,7 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
                 lambda df: df.rename(columns={"node": b_col}),
                 batch_format="pandas"),
             on=b_col, how="semi", lcols=[a_col, b_col],
-            rcols=[b_col], num_buckets=num_buckets) \
+            rcols=[b_col], num_buckets=num_buckets, cast=cast) \
             .repartition(num_buckets).materialize()
     raise ValueError(
         f"kcore did not converge within max_rounds={max_rounds}; "
@@ -1017,6 +1023,14 @@ def cyclic_core(edges_ds, src_col: str = "src", dst_col: str = "dst",
     from ..functions.relops import grouped_agg, hash_join
 
     edges = edges_ds.materialize()
+    # capture the edge-id dtypes once: hash_join's tagged union
+    # NA-widens non-key int64 columns to float64 (documented in
+    # relops.hash_join — value-preserving only below 2^53, i.e. NOT
+    # for 64-bit hash ids at web scale), so declare cast= to restore
+    # them inside every semi-join round
+    _d = edges.take_batch(1, batch_format="pandas").dtypes
+    cast = {c: str(_d[c]) for c in (src_col, dst_col)
+            if pd.api.types.is_integer_dtype(_d[c])}
     n_prev = None
     for _ in range(max_rounds):
         def ends(df, s=src_col, d=dst_col):
@@ -1056,7 +1070,7 @@ def cyclic_core(edges_ds, src_col: str = "src", dst_col: str = "dst",
                 lambda df, s=src_col: df.rename(columns={"node": s}),
                 batch_format="pandas"),
             on=src_col, how="semi", lcols=[src_col, dst_col],
-            rcols=[src_col], num_buckets=num_buckets)
+            rcols=[src_col], num_buckets=num_buckets, cast=cast)
         # repartition before materializing — the kcore block-accretion
         # fix (each hash_join appends its input's block structure)
         edges = hash_join(
@@ -1064,7 +1078,7 @@ def cyclic_core(edges_ds, src_col: str = "src", dst_col: str = "dst",
                 lambda df, d=dst_col: df.rename(columns={"node": d}),
                 batch_format="pandas"),
             on=dst_col, how="semi", lcols=[src_col, dst_col],
-            rcols=[dst_col], num_buckets=num_buckets) \
+            rcols=[dst_col], num_buckets=num_buckets, cast=cast) \
             .repartition(num_buckets).materialize()
     raise ValueError(
         f"cyclic_core did not converge within max_rounds={max_rounds}; "
