@@ -935,13 +935,24 @@ def kcore(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
     degree."""
     from ..functions.relops import grouped_agg, hash_join
 
-    edges = edges_ds.materialize()
-    # declare cast= on the semi-joins: the tagged union NA-widens
-    # non-key int64 columns to float64 (fine < 2^53, NOT for 64-bit
-    # hash ids at web scale) — see cyclic_core for the same guard
-    _d = edges.take_batch(1, batch_format="pandas").dtypes
-    cast = {c: str(_d[c]) for c in (a_col, b_col)
-            if pd.api.types.is_integer_dtype(_d[c])}
+    # int64 edge ids are converted ONCE to pandas nullable Int64:
+    # hash_join's tagged union NA-widens plain int64 to float64, which
+    # silently ROUNDS 64-bit hash ids above 2^53 at web scale (cast=
+    # alone cannot un-round — it only restores the dtype); nullable
+    # Int64 carries pd.NA through the union bit-exactly
+    _d = edges_ds.take_batch(1, batch_format="pandas").dtypes
+    _ints = [c for c in (a_col, b_col)
+             if pd.api.types.is_integer_dtype(_d[c])]
+    cast = {c: "Int64" for c in _ints}
+
+    def _nullable(df, cols=tuple(_ints)):
+        df = df.copy()
+        for c in cols:
+            df[c] = df[c].astype("Int64")
+        return df
+
+    edges = edges_ds.map_batches(
+        _nullable, batch_format="pandas").materialize()         if _ints else edges_ds.materialize()
     n_prev = None
     for _ in range(max_rounds):
         ends = edges.map_batches(
@@ -1022,15 +1033,22 @@ def cyclic_core(edges_ds, src_col: str = "src", dst_col: str = "dst",
     Returns (node, n_in, n_out) — in/out degree within the core."""
     from ..functions.relops import grouped_agg, hash_join
 
-    edges = edges_ds.materialize()
-    # capture the edge-id dtypes once: hash_join's tagged union
-    # NA-widens non-key int64 columns to float64 (documented in
-    # relops.hash_join — value-preserving only below 2^53, i.e. NOT
-    # for 64-bit hash ids at web scale), so declare cast= to restore
-    # them inside every semi-join round
-    _d = edges.take_batch(1, batch_format="pandas").dtypes
-    cast = {c: str(_d[c]) for c in (src_col, dst_col)
-            if pd.api.types.is_integer_dtype(_d[c])}
+    # int64 node ids -> nullable Int64 once (see kcore: hash_join's
+    # tagged union NA-widens plain int64 to float64, silently rounding
+    # 64-bit hash ids above 2^53; Int64 carries pd.NA bit-exactly)
+    _d = edges_ds.take_batch(1, batch_format="pandas").dtypes
+    _ints = [c for c in (src_col, dst_col)
+             if pd.api.types.is_integer_dtype(_d[c])]
+    cast = {c: "Int64" for c in _ints}
+
+    def _nullable(df, cols=tuple(_ints)):
+        df = df.copy()
+        for c in cols:
+            df[c] = df[c].astype("Int64")
+        return df
+
+    edges = edges_ds.map_batches(
+        _nullable, batch_format="pandas").materialize()         if _ints else edges_ds.materialize()
     n_prev = None
     for _ in range(max_rounds):
         def ends(df, s=src_col, d=dst_col):

@@ -556,3 +556,22 @@ def test_flow_cycles_transitions(ray_session, tmp_path):
     assert out["node"].tolist() == ["A", "B"]
     assert out["n_in"].tolist() == [1, 1]
     assert out["n_out"].tolist() == [1, 1]
+
+
+def test_cyclic_core_huge_int64_ids(ray_session):
+    """Regression for the semi-join NA-widening hazard: 64-bit hash
+    ids above 2^53 are NOT float64-representable, so without the
+    declared cast= the iterative rounds would silently round them.
+    A 3-cycle at 2^60+{1,2,3} with a tail must come back bit-exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastobo_py_ray.stages.graph import cyclic_core
+
+    base = 1 << 60
+    ids = [base + 1, base + 2, base + 3]
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": pd.Series(ids + [ids[2]], dtype="int64"),
+        "dst": pd.Series(ids[1:] + [ids[0], base + 7], dtype="int64")}))
+    out = cyclic_core(edges)
+    assert out["node"].tolist() == ids  # bit-exact, not 2^60 rounded
